@@ -1,0 +1,53 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual devices by default (the "fake backend" the
+reference never had — SURVEY.md §4): Pallas kernels execute in interpreter
+mode, and the distributed layer is exercised on a virtual 8-device mesh.
+Set ``MFA_TPU_TESTS=1`` to run on real TPU hardware instead (kernels compile
+via Mosaic; multi-device tests are skipped if only one chip is present).
+"""
+
+import os
+
+# Must happen before jax is imported anywhere.
+if os.environ.get("MFA_TPU_TESTS") != "1":
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
+import jax  # noqa: E402
+import pytest  # noqa: E402
+
+
+def on_cpu() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+@pytest.fixture(scope="session")
+def interpret() -> bool:
+    """Whether Pallas kernels should run in interpreter mode."""
+    return on_cpu()
+
+
+@pytest.fixture(scope="session")
+def eight_devices():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    return jax.devices()[:8]
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running test (MFA_SLOW_TESTS=1)")
+    config.addinivalue_line("markers", "tpu_only: requires real TPU hardware")
+
+
+def pytest_collection_modifyitems(config, items):
+    run_slow = os.environ.get("MFA_SLOW_TESTS") == "1"
+    for item in items:
+        if "slow" in item.keywords and not run_slow:
+            item.add_marker(pytest.mark.skip(reason="set MFA_SLOW_TESTS=1"))
+        if "tpu_only" in item.keywords and on_cpu():
+            item.add_marker(pytest.mark.skip(reason="requires TPU"))
