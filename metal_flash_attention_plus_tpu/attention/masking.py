@@ -175,11 +175,11 @@ def materialize_mask(
             raise ValueError(f"{spec.kind} requires a ranges array")
         r = jnp.asarray(ranges)
         if spec.kind == MaskKind.BLOCK_SPARSE:
-            r = jnp.asarray(
-                expand_block_ranges_to_rows(
-                    np.asarray(ranges), spec.block_size, seq_q
-                )
+            # jnp (not np) so traced range arrays work under jit.
+            row_blocks = jnp.minimum(
+                jnp.arange(seq_q) // spec.block_size, r.shape[0] - 1
             )
+            r = r[row_blocks]
         start = r[:, 0][:, None]
         end = r[:, 1][:, None]
         return (cols >= start) & (cols < end)

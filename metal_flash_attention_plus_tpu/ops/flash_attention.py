@@ -1,0 +1,533 @@
+"""Fused flash-attention forward Pallas kernel (MXU-tiled, online softmax,
+flattened sparse grid).
+
+TPU-native redesign of the reference's generated forward kernel
+(``AttentionKernel+Source.swift:372-416`` — parallelize over R, traverse C,
+online softmax in registers, async-copied K/V tiles):
+
+- Metal threadgroup-over-R grid      → Pallas grid (B, Hq, T) where T
+  enumerates ONLY the live (q-block, kv-block) tile pairs.  The reference's
+  whole mask zoo (causal / sliding-window / sparse row-ranges / block-sparse,
+  ``AttentionKernel+Softmax.swift:278-634``) lowers to per-row [start, end)
+  column ranges, which lower to a static step table (step_i, step_j,
+  first/last flags) delivered via scalar prefetch.  Masked-out tiles never
+  become grid steps, so they cost neither HBM bandwidth nor a pipeline
+  bubble — the splash-style, TPU-idiomatic replacement for the reference's
+  bitmask-vs-elementWise strategy machinery (and measurably better than the
+  skip-via-predicate approach, which still pays per-step overhead).
+- Element-wise range masking runs only on *boundary* tiles: a tile fully
+  inside every row's range (detected from prefetched per-row-block
+  [max_start, min_end] bounds) skips the VPU mask pass entirely.
+- simdgroup async copies             → the Pallas pipeline double-buffers
+  HBM→VMEM tile fetches automatically from the BlockSpec index maps.
+- 13 Metal function constants        → Python closure constants; one
+  compiled variant per static config.
+- GQA/MQA broadcast happens in the K/V BlockSpec index maps
+  (vs in-kernel ``kv_head_id`` arithmetic, ``AttentionKernel+Source.swift:84-87``).
+- L (natural-log row logsumexp) is always computed and written, and O is
+  fp32 in memory by default — both reference decisions kept deliberately
+  (``AttentionDescriptor+Precisions.swift:127-143``).
+
+Numerics: scores and softmax statistics in fp32 regardless of input dtype;
+softmax stats (m, l) are kept lane-replicated [block_q, 128] and widened
+with ``pltpu.repeat`` (cheap full-lane replication) rather than broadcast
+from a 1-lane slice (a relayout) — worth ~5% of peak.  The softmax scale is
+folded into Q once in the wrapper (one [Sq, D] pass) instead of per-tile.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from metal_flash_attention_plus_tpu.attention.masking import (
+    DEFAULT_MASK_VALUE,
+    MaskKind,
+    MaskSpec,
+    FULL,
+    expand_block_ranges_to_rows,
+)
+
+NEG_INF = -jnp.inf
+LANES = 128
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockSizes:
+    """Seq-tile sizes — the analog of the reference's per-device parameter
+    tables (``AttentionDescriptor+Parameters.swift:74-292``), chosen by VMEM
+    budget and VPU:MXU work ratio instead of register pressure.  Large KV
+    blocks amortize the per-block softmax VPU work against MXU time; the
+    wrapper clamps blocks to the (padded) problem size."""
+
+    block_q: int = 512
+    block_kv: int = 1024
+    # Backward tiles (used by flash_attention_bwd kernels).
+    block_q_dkv: int = 256
+    block_kv_dkv: int = 512
+    block_q_dq: int = 512
+    block_kv_dq: int = 256
+
+    def __post_init__(self):
+        for f in dataclasses.fields(self):
+            v = getattr(self, f.name)
+            if v % 128 != 0:
+                raise ValueError(f"{f.name}={v} must be a multiple of 128")
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _round_up(a: int, b: int) -> int:
+    return _cdiv(a, b) * b
+
+
+def compute_row_ranges(
+    mask: MaskSpec,
+    seq_q: int,
+    seq_kv: int,
+    *,
+    mask_ranges: Optional[np.ndarray] = None,
+    seq_q_padded: Optional[int] = None,
+    seq_kv_cap: Optional[int] = None,
+) -> np.ndarray:
+    """Lower any MaskSpec to per-row [start, end) KV column ranges.
+
+    This is the key unification: every mask the reference supports is (or is
+    lowered to, see ``SparseMQABuilder.swift``) a contiguous per-row column
+    range.  Rows past ``seq_q`` (padding) get the empty range [0, 0).
+
+    Returns int32 [seq_q_padded, 2].
+    """
+    sq_pad = seq_q_padded or seq_q
+    cap = seq_kv_cap if seq_kv_cap is not None else seq_kv
+    rows = np.arange(sq_pad)
+    off = seq_kv - seq_q  # rectangular causal: ends aligned
+
+    if mask.kind == MaskKind.NONE:
+        start = np.zeros(sq_pad, np.int64)
+        end = np.full(sq_pad, cap, np.int64)
+    elif mask.kind == MaskKind.CAUSAL:
+        start = np.zeros(sq_pad, np.int64)
+        end = np.minimum(rows + off + 1, cap)
+    elif mask.kind == MaskKind.SLIDING_WINDOW:
+        half = max(1, mask.window_size) // 2
+        start = np.maximum(0, rows - half)
+        end = np.minimum(rows + half, cap)
+        if mask.causal:
+            end = np.minimum(end, rows + off + 1)
+    elif mask.kind in (MaskKind.SPARSE_RANGES, MaskKind.BLOCK_SPARSE):
+        if mask_ranges is None:
+            raise ValueError(f"{mask.kind} requires mask_ranges")
+        r = np.asarray(mask_ranges)
+        if mask.kind == MaskKind.BLOCK_SPARSE:
+            r = expand_block_ranges_to_rows(r, mask.block_size, seq_q)
+        start = np.zeros(sq_pad, np.int64)
+        end = np.zeros(sq_pad, np.int64)
+        start[:seq_q] = r[:seq_q, 0]
+        end[:seq_q] = np.minimum(r[:seq_q, 1], cap)
+    else:
+        raise NotImplementedError(mask.kind)
+
+    if sq_pad > seq_q:
+        start[seq_q:] = 0
+        end[seq_q:] = 0
+    end = np.maximum(end, start)
+    return np.stack([start, end], axis=-1).astype(np.int32)
+
+
+@dataclasses.dataclass(frozen=True)
+class StepTable:
+    """Flattened live-tile schedule: arrays of length T (one per grid step).
+
+    step_i/step_j: q-block / kv-block coordinates of the step.
+    first/last:    1 if the step opens / closes its q-block (init / store).
+    dummy:         1 for placeholder steps of fully-masked q-blocks (store
+                   zeros; every q-block needs ≥1 step so its output tile is
+                   written).
+    max_start/min_end: per-q-block full-live bounds for the boundary-tile
+                   test, indexed by step_i.
+    """
+
+    step_i: np.ndarray
+    step_j: np.ndarray
+    first: np.ndarray
+    last: np.ndarray
+    dummy: np.ndarray
+    max_start: np.ndarray
+    min_end: np.ndarray
+
+    @property
+    def num_steps(self) -> int:
+        return len(self.step_i)
+
+
+def build_step_table(
+    row_ranges: np.ndarray, block_q: int, block_kv: int
+) -> StepTable:
+    """Lower per-row ranges to the flattened live-tile schedule."""
+    sq_pad = row_ranges.shape[0]
+    ni = sq_pad // block_q
+    start = row_ranges[:, 0].reshape(ni, block_q).astype(np.int64)
+    end = row_ranges[:, 1].reshape(ni, block_q).astype(np.int64)
+    live = end > start
+    any_live = live.any(axis=1)
+    all_live = live.all(axis=1)
+    big = np.int64(np.iinfo(np.int32).max)
+    start_masked = np.where(live, start, big)
+    lo = np.where(any_live, start_masked.min(axis=1) // block_kv, 0)
+    hi = np.where(any_live, -(-end.max(axis=1) // block_kv), 0)
+    max_start = np.where(all_live, start.max(axis=1), big)
+    min_end = np.where(all_live, end.min(axis=1), -1)
+
+    si, sj, first, last, dummy = [], [], [], [], []
+    for i in range(ni):
+        if hi[i] <= lo[i]:
+            si.append(i)
+            sj.append(0)
+            first.append(1)
+            last.append(1)
+            dummy.append(1)
+            continue
+        for j in range(lo[i], hi[i]):
+            si.append(i)
+            sj.append(j)
+            first.append(1 if j == lo[i] else 0)
+            last.append(1 if j == hi[i] - 1 else 0)
+            dummy.append(0)
+    return StepTable(
+        step_i=np.asarray(si, np.int32),
+        step_j=np.asarray(sj, np.int32),
+        first=np.asarray(first, np.int32),
+        last=np.asarray(last, np.int32),
+        dummy=np.asarray(dummy, np.int32),
+        max_start=max_start.astype(np.int32),
+        min_end=min_end.astype(np.int32),
+    )
+
+
+def _fwd_kernel(
+    # scalar prefetch
+    si_ref,
+    sj_ref,
+    first_ref,
+    last_ref,
+    dummy_ref,
+    ms_ref,
+    me_ref,
+    # tensor inputs (optional ones gated by flags)
+    *refs,
+    block_q: int,
+    block_kv: int,
+    head_dim: int,
+    has_mask: bool,
+    has_bias: bool,
+    mask_value: float,
+    precision,
+):
+    if has_mask:
+        rs_ref, re_ref = refs[0], refs[1]
+        refs = refs[2:]
+    q_ref, k_ref, v_ref = refs[0], refs[1], refs[2]
+    refs = refs[3:]
+    if has_bias:
+        bias_ref = refs[0]
+        refs = refs[1:]
+    o_ref, l_ref, m_scr, l_scr, acc_scr = refs
+
+    t = pl.program_id(2)
+    i = si_ref[t]
+    j = sj_ref[t]
+    is_dummy = dummy_ref[t] == 1
+
+    @pl.when(jnp.logical_and(first_ref[t] == 1, jnp.logical_not(is_dummy)))
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    @pl.when(jnp.logical_not(is_dummy))
+    def _compute():
+        q = q_ref[0, 0]  # [block_q, D] (pre-scaled by softmax scale)
+        k = k_ref[0, 0]  # [block_kv, D]
+        s = jax.lax.dot_general(
+            q,
+            k,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        if has_bias:
+            s += bias_ref[0, 0].astype(jnp.float32)
+        if has_mask:
+            # Element masking only on boundary tiles; interior tiles
+            # (fully inside every row's range) skip the VPU mask pass.
+            interior = jnp.logical_and(
+                j * block_kv >= ms_ref[i], (j + 1) * block_kv <= me_ref[i]
+            )
+
+            def _masked(s):
+                col = (
+                    jax.lax.broadcasted_iota(
+                        jnp.int32, (block_q, block_kv), 1
+                    )
+                    + j * block_kv
+                )
+                keep = jnp.logical_and(col >= rs_ref[...], col < re_ref[...])
+                return jnp.where(keep, s, mask_value)
+
+            s = jax.lax.cond(interior, lambda s: s, _masked, s)
+
+        m_prev = m_scr[...]  # [block_q, 128] lane-replicated
+        l_prev = l_scr[...]
+        m_curr = jnp.max(s, axis=1, keepdims=True)  # [block_q, 1]
+        m_next = jnp.maximum(m_prev, m_curr)  # [block_q, 128]
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - pltpu.repeat(m_next, block_kv // LANES, axis=1))
+        l_scr[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[...] = m_next
+
+        v = v_ref[0, 0]  # [block_kv, D]
+        pv = jax.lax.dot(
+            p.astype(v.dtype),
+            v,
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        if head_dim == LANES:
+            acc_scr[...] = acc_scr[...] * alpha + pv
+        elif head_dim % LANES == 0:
+            acc_scr[...] = (
+                acc_scr[...] * pltpu.repeat(alpha, head_dim // LANES, axis=1)
+                + pv
+            )
+        else:
+            acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+
+    @pl.when(jnp.logical_and(last_ref[t] == 1, jnp.logical_not(is_dummy)))
+    def _store():
+        lsum = l_scr[...]  # [block_q, 128]
+        safe = jnp.where(lsum == 0.0, 1.0, lsum)
+        if head_dim == LANES:
+            out = acc_scr[...] / safe
+        elif head_dim % LANES == 0:
+            out = acc_scr[...] / pltpu.repeat(safe, head_dim // LANES, axis=1)
+        else:
+            out = acc_scr[...] / safe[:, :1]
+        m = m_scr[...]
+        lse = jnp.where(lsum > 0.0, m + jnp.log(safe), NEG_INF)
+        if has_mask:
+            # Rows whose whole range is empty self-accumulate the uniform
+            # exp(0) garbage of the sentinel trick; zero them explicitly.
+            live = re_ref[...] > rs_ref[...]  # [block_q, 1]
+            out = jnp.where(live, out, 0.0)
+            lse = jnp.where(live, lse, NEG_INF)
+        o_ref[0, 0] = out.astype(o_ref.dtype)
+        l_ref[0, 0] = lse
+
+    @pl.when(is_dummy)
+    def _store_empty():
+        o_ref[0, 0] = jnp.zeros_like(o_ref[0, 0])
+        l_ref[0, 0] = jnp.full(l_ref.shape[2:], NEG_INF, l_ref.dtype)
+
+    # L is written lane-replicated [block_q, 128] (layout [B, H, Sq, 128])
+    # to avoid a sublane->lane relayout at every q-block transition; the
+    # wrapper slices lane 0.  Same decision as the reference always writing
+    # L (MultiHeadAttention.swift:295-319) — cheap, kills a bug class.
+
+
+def flash_attention_forward(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    mask: MaskSpec = FULL,
+    mask_ranges: Optional[jnp.ndarray] = None,
+    bias: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    block_sizes: BlockSizes = BlockSizes(),
+    interleaved_kv: bool = False,
+    mask_value: float = DEFAULT_MASK_VALUE,
+    out_dtype: jnp.dtype = jnp.float32,
+    interpret: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Flash attention forward.
+
+    Args:
+      q: [B, Hq, Sq, D] (bf16 or fp32).
+      k, v: [B, Hkv, Skv, D].
+      mask/mask_ranges/bias: see ``reference_attention`` — identical semantics.
+      block_sizes: seq tiling (clamped to the padded problem size).
+      out_dtype: O memory dtype (fp32 by default, reference policy).
+
+    Returns:
+      (o [B, Hq, Sq, D] out_dtype, l [B, Hq, Sq] fp32 natural logsumexp).
+    """
+    b, hq, sq, d = q.shape
+    _, hkv, skv, dk2 = k.shape
+    assert d == dk2 and v.shape == k.shape
+    assert hq % hkv == 0
+    if scale is None:
+        scale = float(d) ** -0.5
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    bq = min(block_sizes.block_q, _round_up(sq, 128))
+    bkv = min(block_sizes.block_kv, _round_up(skv, 128))
+    sq_p = _round_up(sq, bq)
+    skv_p = _round_up(skv, bkv)
+
+    # Fold the softmax scale into Q once (fp32 accumulate, then back to the
+    # input dtype) instead of scaling every score tile.
+    if scale != 1.0:
+        q = (q.astype(jnp.float32) * scale).astype(q.dtype)
+
+    if sq_p != sq:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
+    if skv_p != skv:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
+    if bias is not None:
+        pb = [
+            (0, 0),
+            (0, 0),
+            (0, sq_p - bias.shape[2]),
+            (0, skv_p - bias.shape[3]),
+        ]
+        bias = jnp.pad(bias, pb)
+
+    has_mask = mask.kind != MaskKind.NONE or skv_p != skv or sq_p != sq
+    row_ranges = compute_row_ranges(
+        mask,
+        sq,
+        skv,
+        mask_ranges=mask_ranges,
+        seq_q_padded=sq_p,
+        seq_kv_cap=skv,
+    )
+    table = build_step_table(row_ranges, bq, bkv)
+
+    grid = (b, hq, table.num_steps)
+    q_per_kv = hq // hkv
+
+    def kv_head(h):
+        return (h % hkv) if interleaved_kv else (h // q_per_kv)
+
+    in_specs = []
+    inputs = []
+    if has_mask:
+        in_specs += [
+            pl.BlockSpec((bq, 1), lambda bi, h, t, si, sj, *_: (si[t], 0)),
+            pl.BlockSpec((bq, 1), lambda bi, h, t, si, sj, *_: (si[t], 0)),
+        ]
+        inputs += [
+            jnp.asarray(row_ranges[:, 0:1]),
+            jnp.asarray(row_ranges[:, 1:2]),
+        ]
+    in_specs += [
+        pl.BlockSpec(
+            (1, 1, bq, d), lambda bi, h, t, si, sj, *_: (bi, h, si[t], 0)
+        ),
+        pl.BlockSpec(
+            (1, 1, bkv, d),
+            lambda bi, h, t, si, sj, *_: (bi, kv_head(h), sj[t], 0),
+        ),
+        pl.BlockSpec(
+            (1, 1, bkv, d),
+            lambda bi, h, t, si, sj, *_: (bi, kv_head(h), sj[t], 0),
+        ),
+    ]
+    inputs += [q, k, v]
+    if bias is not None:
+        bias_batch_bcast = bias.shape[0] == 1
+        bias_head_bcast = bias.shape[1] == 1
+
+        def bias_map(bi, h, t, si, sj, *_):
+            return (
+                0 if bias_batch_bcast else bi,
+                0 if bias_head_bcast else h,
+                si[t],
+                sj[t],
+            )
+
+        in_specs.append(pl.BlockSpec((1, 1, bq, bkv), bias_map))
+        inputs.append(bias)
+
+    kernel = functools.partial(
+        _fwd_kernel,
+        block_q=bq,
+        block_kv=bkv,
+        head_dim=d,
+        has_mask=has_mask,
+        has_bias=bias is not None,
+        mask_value=mask_value,
+        # FP32 pipelines need true-fp32 MXU passes to hit the 2e-5 gate;
+        # bf16 inputs use the native bf16 MXU path.
+        precision=(
+            jax.lax.Precision.HIGHEST
+            if q.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        ),
+    )
+
+    out_shape = [
+        jax.ShapeDtypeStruct((b, hq, sq_p, d), out_dtype),
+        jax.ShapeDtypeStruct((b, hq, sq_p, LANES), jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec(
+            (1, 1, bq, d), lambda bi, h, t, si, sj, *_: (bi, h, si[t], 0)
+        ),
+        pl.BlockSpec(
+            (1, 1, bq, LANES), lambda bi, h, t, si, sj, *_: (bi, h, si[t], 0)
+        ),
+    ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((bq, LANES), jnp.float32),  # m (lane-replicated)
+            pltpu.VMEM((bq, LANES), jnp.float32),  # l
+            pltpu.VMEM((bq, d), jnp.float32),  # acc
+        ],
+    )
+
+    live_tiles = int(np.sum(table.dummy == 0))
+    o, l = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * hq * live_tiles * bq * bkv * d,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=b * hq * live_tiles * bq * bkv,
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(table.step_i),
+        jnp.asarray(table.step_j),
+        jnp.asarray(table.first),
+        jnp.asarray(table.last),
+        jnp.asarray(table.dummy),
+        jnp.asarray(table.max_start),
+        jnp.asarray(table.min_end),
+        *inputs,
+    )
+
+    o = o[:, :, :sq, :]
+    l = l[:, :, :sq, 0]
+    return o, l

@@ -1,0 +1,137 @@
+"""Flash-attention forward kernel vs golden model (tier 1, SURVEY.md §4).
+
+Runs in Pallas interpreter mode on CPU (default); on TPU with
+``MFA_TPU_TESTS=1`` the same cases compile through Mosaic.  Tolerances are
+the reference ladder: FP32 2e-5, mixed 5e-2 (``SquareAttentionTest.swift``).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from metal_flash_attention_plus_tpu.attention import masking
+from metal_flash_attention_plus_tpu.attention.masking import MaskKind, MaskSpec
+from metal_flash_attention_plus_tpu.ops.flash_attention import (
+    BlockSizes,
+    build_step_table,
+    compute_row_ranges,
+    flash_attention_forward,
+)
+from metal_flash_attention_plus_tpu.reference import reference_attention
+from metal_flash_attention_plus_tpu.utils.testing import (
+    TOL_FP32,
+    TOL_MIXED,
+    assert_close,
+    random_qkv,
+)
+
+
+def run_case(shape, mask, dtype=jnp.float32, tol=None, **kw):
+    b, hq, hkv, sq, skv, d = shape
+    q, k, v = random_qkv(jax.random.key(0), b, hq, hkv, sq, skv, d, dtype=dtype)
+    o_ref, l_ref = reference_attention(q, k, v, mask=mask, **kw)
+    o, l = flash_attention_forward(q, k, v, mask=mask, **kw)
+    tol = tol or (TOL_FP32 if dtype == jnp.float32 else TOL_MIXED)
+    assert_close(o, o_ref, tol, "O")
+    assert_close(l, l_ref, max(tol, 1e-4), "L")
+
+
+@pytest.mark.parametrize(
+    "mask",
+    [masking.FULL, masking.CAUSAL, masking.sliding_window(64, causal=True)],
+    ids=["full", "causal", "window"],
+)
+def test_fp32_square(mask):
+    run_case((1, 2, 2, 256, 256, 64), mask, tol=1e-5)
+
+
+def test_bf16_gqa():
+    run_case((2, 8, 2, 256, 256, 64), masking.CAUSAL, dtype=jnp.bfloat16)
+
+
+def test_mqa_interleaved():
+    run_case(
+        (1, 4, 1, 128, 128, 32), masking.CAUSAL, interleaved_kv=True, tol=1e-5
+    )
+
+
+def test_rectangular_cross():
+    # Decode-style: short Q against长 KV, ends aligned (cross-attention
+    # shape zoo from RectangularAttentionTest).
+    run_case((1, 2, 2, 128, 384, 64), masking.CAUSAL, tol=1e-5)
+
+
+def test_odd_shapes():
+    # Analog of the reference's odd problem sizes (seq 777, D 199 —
+    # SquareAttentionTest.swift:5-26): non-multiple-of-block seq.
+    run_case((1, 1, 1, 200, 333, 64), masking.CAUSAL, tol=1e-5)
+
+
+def test_external_bias():
+    b, hq, sq, d = 1, 2, 128, 64
+    q, k, v = random_qkv(jax.random.key(3), b, hq, hq, sq, sq, d)
+    bias = jax.random.normal(jax.random.key(4), (1, hq, sq, sq))
+    o_ref, l_ref = reference_attention(q, k, v, bias=bias)
+    o, l = flash_attention_forward(q, k, v, bias=bias)
+    assert_close(o, o_ref, 1e-5, "O")
+    assert_close(l, l_ref, 1e-4, "L")
+
+
+def test_sparse_ranges():
+    sq = 256
+    ranges = masking.build_sliding_window_ranges(sq, 48)
+    spec = MaskSpec(kind=MaskKind.SPARSE_RANGES)
+    q, k, v = random_qkv(jax.random.key(5), 1, 2, 2, sq, sq, 64)
+    o_ref, l_ref = reference_attention(q, k, v, mask=spec, mask_ranges=ranges)
+    o, l = flash_attention_forward(q, k, v, mask=spec, mask_ranges=ranges)
+    assert_close(o, o_ref, 1e-5, "O")
+
+
+def test_block_sparse():
+    sq, bs = 256, 64
+    pattern = np.zeros((sq // bs, sq // bs), dtype=bool)
+    for i in range(sq // bs):
+        pattern[i, max(0, i - 1) : i + 1] = True  # banded blocks
+    ranges = masking.build_block_sparse_ranges(pattern, bs)
+    spec = MaskSpec(kind=MaskKind.BLOCK_SPARSE, block_size=bs)
+    q, k, v = random_qkv(jax.random.key(6), 1, 1, 1, sq, sq, 64)
+    o_ref, l_ref = reference_attention(q, k, v, mask=spec, mask_ranges=ranges)
+    o, l = flash_attention_forward(q, k, v, mask=spec, mask_ranges=ranges)
+    assert_close(o, o_ref, 1e-5, "O")
+
+
+def test_empty_range_rows_zeroed():
+    sq = 128
+    ranges = np.zeros((sq, 2), dtype=np.int32)
+    ranges[: sq // 2, 1] = 64  # first half attends [0,64); second half empty
+    spec = MaskSpec(kind=MaskKind.SPARSE_RANGES)
+    q, k, v = random_qkv(jax.random.key(7), 1, 1, 1, sq, sq, 32)
+    o, l = flash_attention_forward(q, k, v, mask=spec, mask_ranges=ranges)
+    np.testing.assert_array_equal(np.asarray(o[0, 0, sq // 2 :]), 0.0)
+    assert bool(jnp.all(jnp.isneginf(l[0, 0, sq // 2 :])))
+
+
+def test_custom_softmax_scale():
+    run_case((1, 1, 1, 128, 128, 64), masking.FULL, scale=0.35, tol=1e-5)
+
+
+def test_step_table_causal_counts():
+    rr = compute_row_ranges(masking.CAUSAL, 4096, 4096)
+    t = build_step_table(rr, 512, 1024)
+    # live tiles = sum over i of ceil((i+1)*512/1024)
+    assert t.num_steps == sum(-(-((i + 1) * 512) // 1024) for i in range(8))
+    assert int(t.dummy.sum()) == 0
+    assert int(t.first.sum()) == 8 and int(t.last.sum()) == 8
+
+
+def test_step_table_empty_block_dummy():
+    rr = np.zeros((256, 2), dtype=np.int32)  # everything masked
+    t = build_step_table(rr, 128, 128)
+    assert t.num_steps == 2
+    assert int(t.dummy.sum()) == 2
+
+
+def test_block_size_validation():
+    with pytest.raises(ValueError):
+        BlockSizes(block_q=100)
