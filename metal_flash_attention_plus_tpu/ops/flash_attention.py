@@ -531,3 +531,117 @@ def flash_attention_forward(
     o = o[:, :, :sq, :]
     l = l[:, :, :sq, 0]
     return o, l
+
+
+# ---------------------------------------------------------------------------
+# Differentiable public API (custom_vjp)
+# ---------------------------------------------------------------------------
+#
+# The reference wires backward as two encoder passes sharing the forward's
+# residuals (MultiHeadAttention.swift:574-707).  The TPU analog is a
+# jax.custom_vjp whose bwd invokes the dQ and dK/dV Pallas kernels
+# (ops/flash_attention_bwd.py).  Gradients flow to q, k, v and (if given)
+# the additive bias mask; mask_ranges is integer data (no gradient).
+# Differentiating through the logsumexp output is not supported — use
+# flash_attention_with_lse (l is stop_gradient'ed).
+
+
+def _resolve(q, scale, out_dtype):
+    scale_f = float(q.shape[-1]) ** -0.5 if scale is None else float(scale)
+    return scale_f, (q.dtype if out_dtype is None else out_dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+def _flash_attention(
+    q, k, v, bias, mask_ranges,
+    mask, scale, block_sizes, interleaved_kv, mask_value, out_dtype, interpret,
+):
+    scale_f, odt = _resolve(q, scale, out_dtype)
+    o, _ = flash_attention_forward(
+        q, k, v, mask=mask, mask_ranges=mask_ranges, bias=bias,
+        scale=scale_f, block_sizes=block_sizes, interleaved_kv=interleaved_kv,
+        mask_value=mask_value, out_dtype=jnp.float32, interpret=interpret,
+    )
+    return o.astype(odt)
+
+
+def _flash_attention_fwd(
+    q, k, v, bias, mask_ranges,
+    mask, scale, block_sizes, interleaved_kv, mask_value, out_dtype, interpret,
+):
+    scale_f, odt = _resolve(q, scale, out_dtype)
+    o, l = flash_attention_forward(
+        q, k, v, mask=mask, mask_ranges=mask_ranges, bias=bias,
+        scale=scale_f, block_sizes=block_sizes, interleaved_kv=interleaved_kv,
+        mask_value=mask_value, out_dtype=jnp.float32, interpret=interpret,
+    )
+    return o.astype(odt), (q, k, v, bias, mask_ranges, o, l)
+
+
+def _flash_attention_bwd(
+    mask, scale, block_sizes, interleaved_kv, mask_value, out_dtype, interpret,
+    res, do,
+):
+    from metal_flash_attention_plus_tpu.ops.flash_attention_bwd import (
+        flash_attention_backward,
+    )
+
+    q, k, v, bias, mask_ranges, o, l = res
+    scale_f, _ = _resolve(q, scale, out_dtype)
+    dq, dk, dv, dbias = flash_attention_backward(
+        q, k, v, o, l, do,
+        mask=mask, mask_ranges=mask_ranges, bias=bias, scale=scale_f,
+        block_sizes=block_sizes, interleaved_kv=interleaved_kv,
+        interpret=interpret, compute_dbias=bias is not None,
+    )
+    dmr = (
+        None
+        if mask_ranges is None
+        else np.zeros(mask_ranges.shape, jax.dtypes.float0)
+    )
+    return (
+        dq.astype(q.dtype),
+        dk.astype(k.dtype),
+        dv.astype(v.dtype),
+        None if bias is None else dbias.astype(bias.dtype),
+        dmr,
+    )
+
+
+_flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    mask_ranges: Optional[jnp.ndarray] = None,
+    *,
+    mask: MaskSpec = FULL,
+    scale: Optional[float] = None,
+    block_sizes: BlockSizes = BlockSizes(),
+    interleaved_kv: bool = False,
+    mask_value: float = DEFAULT_MASK_VALUE,
+    out_dtype: Optional[jnp.dtype] = None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Differentiable flash attention; returns O in ``out_dtype``
+    (defaults to q.dtype).  Gradients: dq/dk/dv and dbias if bias given."""
+    return _flash_attention(
+        q, k, v, bias, mask_ranges,
+        mask, scale, block_sizes, interleaved_kv, mask_value, out_dtype,
+        interpret,
+    )
+
+
+def flash_attention_with_lse(q, k, v, bias=None, mask_ranges=None, **kw):
+    """Forward returning (o, stop_gradient(l)) — the always-written L of the
+    reference, exposed without a gradient path."""
+    o = flash_attention(q, k, v, bias, mask_ranges, **kw)
+    kw2 = dict(kw)
+    kw2.pop("out_dtype", None)
+    _, l = flash_attention_forward(
+        q, k, v, bias=bias, mask_ranges=mask_ranges, **kw2
+    )
+    return o, jax.lax.stop_gradient(l)
