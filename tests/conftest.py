@@ -9,9 +9,11 @@ via Mosaic; multi-device tests are skipped if only one chip is present).
 
 import os
 
-# Must happen before jax is imported anywhere.
+# Must happen before the first jax backend initialization.  NOTE: env var
+# JAX_PLATFORMS alone is not enough in environments whose sitecustomize
+# pre-configures a TPU platform — override via jax.config as well.
 if os.environ.get("MFA_TPU_TESTS") != "1":
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
@@ -20,6 +22,9 @@ if os.environ.get("MFA_TPU_TESTS") != "1":
 
 import jax  # noqa: E402
 import pytest  # noqa: E402
+
+if os.environ.get("MFA_TPU_TESTS") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 
 def on_cpu() -> bool:
