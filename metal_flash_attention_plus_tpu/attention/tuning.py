@@ -1,0 +1,255 @@
+"""Block-size tables + on-device autotuner with persistent calibration.
+
+TPU-native analog of two reference subsystems:
+
+- The hand-tuned per-device parameter tables
+  (``AttentionDescriptor+Parameters.swift:74-292`` — rows keyed on max head
+  dim selecting block shapes / cached operands).  Here the cold-start table
+  is keyed on (head_dim, bits) and derived from the VMEM budget: the padded
+  Q/K/V tiles + fp32 accumulator + softmax stats must fit ~16 MB with
+  double buffering.
+- ``MaskingStrategyHeuristic`` + ``MaskingCalibrationStore``
+  (``MaskingStrategyHeuristic.swift:59-302, 415-448``): a data-driven
+  selector with an on-disk per-device JSON calibration cache
+  (``~/.cache/FlashAttention/masking-calibration/<device>.json`` there;
+  ``~/.cache/metal_flash_attention_plus_tpu/tuning/<device>.json`` here).
+  The reference tunes bitmask-vs-elementWise masking; block-level skipping
+  made that choice moot on TPU (masked tiles never become grid steps), so
+  what is worth tuning is the block geometry itself.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import threading
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+from metal_flash_attention_plus_tpu.ops.flash_attention import BlockSizes
+
+_SEQ_BUCKETS = (512, 1024, 2048, 4096, 8192, 16384, 32768)
+
+
+def seq_bucket(seq_len: int) -> int:
+    """Bucket a sequence length like the reference's heuristic cache
+    (``MaskingStrategyHeuristic.swift:31-57`` buckets 64..4096)."""
+    for b in _SEQ_BUCKETS:
+        if seq_len <= b:
+            return b
+    return _SEQ_BUCKETS[-1]
+
+
+def default_block_sizes(head_dim: int, bits: int = 16) -> BlockSizes:
+    """VMEM-budget cold-start table (the parameter-table analog).
+
+    Budget model per grid step (double-buffered): Q tile bq×D, K/V tiles
+    bkv×D at ``bits`` width, fp32 accumulator bq×D, stats 2×bq×128.  Larger
+    KV blocks amortize the per-block VPU softmax against MXU time — the
+    same reasoning as the reference's traversal-block selection, with VMEM
+    in place of registers.
+    """
+    d = max(head_dim, 128)
+    if d <= 64:
+        fwd = (512, 1024)
+    elif d <= 128:
+        fwd = (512, 1024)
+    elif d <= 256:
+        fwd = (256, 512)
+    else:
+        fwd = (128, 256)
+    # Quantized K/V tiles are 2-4× smaller; afford bigger traversal blocks.
+    if bits <= 8 and d <= 128:
+        fwd = (fwd[0], fwd[1] * 2)
+    bq, bkv = fwd
+    return BlockSizes(
+        block_q=bq,
+        block_kv=bkv,
+        block_q_dkv=max(128, bq // 2),
+        block_kv_dkv=max(128, bkv // 2),
+        block_q_dq=bq,
+        block_kv_dq=max(128, bkv // 4),
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class TuneKey:
+    """Cache key: what the block geometry actually depends on."""
+
+    kind: str  # "fwd" | "fwd_q" (quantized) | "bwd"
+    head_dim: int
+    bits: int
+    seq_bucket: int
+
+    def encode(self) -> str:
+        return f"{self.kind}:d{self.head_dim}:b{self.bits}:s{self.seq_bucket}"
+
+    @staticmethod
+    def decode(s: str) -> "TuneKey":
+        kind, d, b, sb = s.split(":")
+        return TuneKey(kind, int(d[1:]), int(b[1:]), int(sb[1:]))
+
+
+class CalibrationStore:
+    """Per-device JSON persistence (``MaskingCalibrationStore`` analog)."""
+
+    def __init__(self, cache_dir: Optional[str] = None):
+        base = cache_dir or os.environ.get(
+            "MFA_CACHE_DIR",
+            os.path.join(
+                os.path.expanduser("~"), ".cache",
+                "metal_flash_attention_plus_tpu", "tuning",
+            ),
+        )
+        self._dir = Path(base)
+
+    def _path(self, device_kind: str) -> Path:
+        safe = "".join(c if c.isalnum() else "-" for c in device_kind)
+        return self._dir / f"{safe}.json"
+
+    def load(self, device_kind: str) -> Dict[str, dict]:
+        p = self._path(device_kind)
+        if not p.exists():
+            return {}
+        try:
+            return json.loads(p.read_text())
+        except (json.JSONDecodeError, OSError):
+            return {}
+
+    def save(self, device_kind: str, entries: Dict[str, dict]) -> None:
+        self._dir.mkdir(parents=True, exist_ok=True)
+        tmp = self._path(device_kind).with_suffix(".tmp")
+        tmp.write_text(json.dumps(entries, indent=1, sort_keys=True))
+        tmp.replace(self._path(device_kind))
+
+
+def _blocks_to_json(bs: BlockSizes) -> dict:
+    return dataclasses.asdict(bs)
+
+
+def _blocks_from_json(d: dict) -> BlockSizes:
+    return BlockSizes(**d)
+
+
+class AttentionTuner:
+    """Process-global recommend/calibrate service (``MaskingStrategyHeuristic
+    .shared`` analog: lock-guarded cache + measured calibration + JSON
+    persistence)."""
+
+    _instance: Optional["AttentionTuner"] = None
+    _instance_lock = threading.Lock()
+
+    def __init__(self, store: Optional[CalibrationStore] = None):
+        self._lock = threading.Lock()
+        self._store = store or CalibrationStore()
+        self._cache: Dict[str, dict] = {}
+        self._loaded_device: Optional[str] = None
+
+    @classmethod
+    def shared(cls) -> "AttentionTuner":
+        with cls._instance_lock:
+            if cls._instance is None:
+                cls._instance = cls()
+            return cls._instance
+
+    def _device_kind(self) -> str:
+        import jax
+
+        try:
+            return jax.devices()[0].device_kind
+        except Exception:
+            return "unknown"
+
+    def _ensure_loaded(self):
+        dk = self._device_kind()
+        if self._loaded_device != dk:
+            self._cache = self._store.load(dk)
+            self._loaded_device = dk
+
+    def recommend(
+        self, kind: str, head_dim: int, seq_len: int, bits: int = 16
+    ) -> BlockSizes:
+        """Calibrated blocks if available, else the cold-start table."""
+        key = TuneKey(kind, head_dim, bits, seq_bucket(seq_len)).encode()
+        with self._lock:
+            self._ensure_loaded()
+            entry = self._cache.get(key)
+        if entry is not None:
+            return _blocks_from_json(entry["blocks"])
+        return default_block_sizes(head_dim, bits)
+
+    def record(self, key: TuneKey, blocks: BlockSizes, tflops: float):
+        with self._lock:
+            self._ensure_loaded()
+            self._cache[key.encode()] = {
+                "blocks": _blocks_to_json(blocks),
+                "tflops": round(tflops, 3),
+            }
+            self._store.save(self._device_kind(), self._cache)
+
+    def calibrate(
+        self,
+        head_dim: int,
+        seq_len: int,
+        *,
+        bits: int = 16,
+        batch: int = 1,
+        num_heads: int = 8,
+        candidates: Optional[Tuple[Tuple[int, int], ...]] = None,
+        iters: int = 20,
+    ) -> BlockSizes:
+        """Measure forward candidates on the live device and persist the
+        winner (``MaskingStrategyHeuristic.calibrate`` analog — fastest of
+        real dispatches, then written to the JSON store)."""
+        import jax
+        import jax.numpy as jnp
+
+        from metal_flash_attention_plus_tpu.attention.masking import CAUSAL
+        from metal_flash_attention_plus_tpu.ops.flash_attention import (
+            flash_attention_forward,
+        )
+        from metal_flash_attention_plus_tpu.utils.profiling import measure
+        from metal_flash_attention_plus_tpu.utils.roofline import (
+            attention_flops,
+        )
+
+        if candidates is None:
+            candidates = ((256, 512), (512, 512), (512, 1024), (256, 1024),
+                          (512, 2048), (1024, 1024))
+        ks = jax.random.split(jax.random.PRNGKey(0), 3)
+        shape = (batch, num_heads, seq_len, head_dim)
+        q = jax.random.normal(ks[0], shape, jnp.bfloat16)
+        k = jax.random.normal(ks[1], shape, jnp.bfloat16)
+        v = jax.random.normal(ks[2], shape, jnp.bfloat16)
+        flops = attention_flops(
+            seq_len, seq_len, head_dim, num_heads=num_heads, batch=batch
+        ) / 2
+
+        best: Tuple[float, Optional[BlockSizes]] = (0.0, None)
+        for bq, bkv in candidates:
+            if bq > seq_len + 127 or bkv > seq_len + 127:
+                continue
+            bs = BlockSizes(
+                block_q=bq, block_kv=bkv,
+                block_q_dkv=max(128, bq // 2),
+                block_kv_dkv=max(128, bkv // 2),
+                block_q_dq=bq, block_kv_dq=max(128, bkv // 4),
+            )
+            f = jax.jit(
+                lambda q, k, v, bs=bs: flash_attention_forward(
+                    q, k, v, mask=CAUSAL, block_sizes=bs, interpret=False
+                )[0]
+            )
+            try:
+                sec = measure(f, q, k, v, iters=iters, warmup=3)
+            except Exception:
+                continue
+            tf = flops / sec / 1e12
+            if tf > best[0]:
+                best = (tf, bs)
+        if best[1] is None:
+            return default_block_sizes(head_dim, bits)
+        key = TuneKey("fwd", head_dim, bits, seq_bucket(seq_len))
+        self.record(key, best[1], best[0])
+        return best[1]

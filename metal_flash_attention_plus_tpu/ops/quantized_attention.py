@@ -1,0 +1,512 @@
+"""Quantized flash attention — INT8 / packed-INT4 K/V with dequant-on-load.
+
+TPU-native redesign of the reference's ``QuantizedAttention`` compute path
+(``Attention/QuantizedAttention.swift:135-263`` — quantized operands bound
+with scale/zero-point pairs; dequantization happens inside the tile load,
+``GEMMHeaders.swift:678-808`` ``load_quantized_int8/int4``; flash math runs
+in float registers):
+
+- K and V live in HBM at integer width (the bandwidth win — KV-cache reads
+  dominate long-context attention).  Tiles are widened and scaled on the
+  VPU inside the kernel; the MXU runs at the float precision of Q.
+- Granularities: per-token (ROW over the head dim — the production KV-cache
+  choice) and TENSOR (expanded to per-token on the host: Skv floats per
+  head, negligible).  The reference's blockwise-K path maps to per-token
+  here; 2D-block K/V scales are intentionally not supported in-kernel (a
+  per-element scale expansion would cancel the bandwidth win).
+- Q stays float, as in the reference's production path (blockwise-Q is
+  rejected with a per-tensor fallback there too,
+  ``QuantizedAttention.swift:588-648``).  For QAT, fake-quantize Q with
+  ``quant.ste.fake_quantize``.
+- Backward reuses the float backward kernels on K/V dequantized once in
+  XLA (the reference likewise reuses the *core* flash kernels with
+  dequant-on-load for backward, ``QuantizedAttention.swift:1188-1228``);
+  gradients flow to q (and bias) only — quantized operands are data.
+
+The mask zoo / GQA / L conventions are identical to ops/flash_attention.py
+(same step-table machinery).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from metal_flash_attention_plus_tpu.attention.masking import (
+    DEFAULT_MASK_VALUE,
+    FULL,
+    MaskKind,
+    MaskSpec,
+)
+from metal_flash_attention_plus_tpu.ops.flash_attention import (
+    LANES,
+    NEG_INF,
+    BlockSizes,
+    _round_up,
+    build_step_table,
+    compute_row_ranges,
+)
+from metal_flash_attention_plus_tpu.ops.quantized_gemm import unpack_int4_tile
+from metal_flash_attention_plus_tpu.quant.params import (
+    QuantConfig,
+    QuantGranularity,
+)
+from metal_flash_attention_plus_tpu.quant.tensor import QuantizedTensor
+
+
+def _dequant_kv_tile(q_ref, s_ref, z_ref, bkv, d, bits, compute_dtype):
+    """(payload tile, per-token scale/zp) → float [bkv, d] tile."""
+    if bits == 4:
+        w = unpack_int4_tile(q_ref[0, 0], d)  # f32 [bkv, d]
+    else:
+        w = q_ref[0, 0].astype(jnp.int32).astype(jnp.float32)
+    scale = s_ref[0, 0]  # [bkv, 1]
+    zp = z_ref[0, 0]  # [bkv, 1] f32
+    return ((w - zp) * scale).astype(compute_dtype)
+
+
+def _qfwd_kernel(
+    # scalar prefetch
+    si_ref, sj_ref, first_ref, last_ref, dummy_ref, ms_ref, me_ref,
+    # tensors
+    *refs,
+    block_q: int,
+    block_kv: int,
+    head_dim: int,
+    has_mask: bool,
+    has_bias: bool,
+    mask_value: float,
+    bits: int,
+    precision,
+    compute_dtype,
+):
+    if has_mask:
+        rs_ref, re_ref = refs[0], refs[1]
+        refs = refs[2:]
+    (q_ref, kq_ref, ks_ref, kz_ref, vq_ref, vs_ref, vz_ref) = refs[:7]
+    refs = refs[7:]
+    if has_bias:
+        bias_ref = refs[0]
+        refs = refs[1:]
+    o_ref, l_ref, m_scr, l_scr, acc_scr = refs
+
+    t = pl.program_id(2)
+    i = si_ref[t]
+    j = sj_ref[t]
+    is_dummy = dummy_ref[t] == 1
+
+    @pl.when(jnp.logical_and(first_ref[t] == 1, jnp.logical_not(is_dummy)))
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    @pl.when(jnp.logical_not(is_dummy))
+    def _compute():
+        q = q_ref[0, 0]  # [bq, D] pre-scaled
+        k = _dequant_kv_tile(
+            kq_ref, ks_ref, kz_ref, block_kv, head_dim, bits, compute_dtype
+        )
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        if has_bias:
+            s += bias_ref[0, 0].astype(jnp.float32)
+        if has_mask:
+            interior = jnp.logical_and(
+                j * block_kv >= ms_ref[i], (j + 1) * block_kv <= me_ref[i]
+            )
+
+            def _masked(s):
+                col = (
+                    jax.lax.broadcasted_iota(
+                        jnp.int32, (block_q, block_kv), 1
+                    )
+                    + j * block_kv
+                )
+                keep = jnp.logical_and(col >= rs_ref[...], col < re_ref[...])
+                return jnp.where(keep, s, mask_value)
+
+            s = jax.lax.cond(interior, lambda s: s, _masked, s)
+
+        m_prev = m_scr[...]
+        l_prev = l_scr[...]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - pltpu.repeat(m_next, block_kv // LANES, axis=1))
+        l_scr[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[...] = m_next
+
+        v = _dequant_kv_tile(
+            vq_ref, vs_ref, vz_ref, block_kv, head_dim, bits, compute_dtype
+        )
+        pv = jax.lax.dot(
+            p.astype(v.dtype), v,
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        if head_dim == LANES:
+            acc_scr[...] = acc_scr[...] * alpha + pv
+        elif head_dim % LANES == 0:
+            acc_scr[...] = (
+                acc_scr[...] * pltpu.repeat(alpha, head_dim // LANES, axis=1)
+                + pv
+            )
+        else:
+            acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+
+    @pl.when(jnp.logical_and(last_ref[t] == 1, jnp.logical_not(is_dummy)))
+    def _store():
+        lsum = l_scr[...]
+        safe = jnp.where(lsum == 0.0, 1.0, lsum)
+        if head_dim == LANES:
+            out = acc_scr[...] / safe
+        elif head_dim % LANES == 0:
+            out = acc_scr[...] / pltpu.repeat(safe, head_dim // LANES, axis=1)
+        else:
+            out = acc_scr[...] / safe[:, :1]
+        m = m_scr[...]
+        lse = jnp.where(lsum > 0.0, m + jnp.log(safe), NEG_INF)
+        if has_mask:
+            live = re_ref[...] > rs_ref[...]
+            out = jnp.where(live, out, 0.0)
+            lse = jnp.where(live, lse, NEG_INF)
+        o_ref[0, 0] = out.astype(o_ref.dtype)
+        l_ref[0, 0] = lse
+
+    @pl.when(is_dummy)
+    def _store_empty():
+        o_ref[0, 0] = jnp.zeros_like(o_ref[0, 0])
+        l_ref[0, 0] = jnp.full(l_ref.shape[2:], NEG_INF, l_ref.dtype)
+
+
+def _per_token_params(t: QuantizedTensor) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Normalize scale/zp of a [B, H, S, D] quantized tensor to per-token
+    [B, H, S, 1] float32 arrays (TENSOR broadcast; ROW pass-through)."""
+    b, h, s, _ = t.shape
+    g = t.config.granularity
+    if g == QuantGranularity.ROW:
+        scale = t.scale.reshape(b, h, s, 1).astype(jnp.float32)
+        zp = t.zero_point.reshape(b, h, s, 1).astype(jnp.float32)
+    elif g == QuantGranularity.TENSOR:
+        scale = jnp.broadcast_to(
+            t.scale.reshape(1, 1, 1, 1).astype(jnp.float32), (b, h, s, 1)
+        )
+        zp = jnp.broadcast_to(
+            t.zero_point.reshape(1, 1, 1, 1).astype(jnp.float32), (b, h, s, 1)
+        )
+    else:
+        raise NotImplementedError(
+            f"quantized attention K/V granularity {g}; use ROW or TENSOR"
+        )
+    return scale, zp
+
+
+def quantized_flash_attention_forward(
+    q: jnp.ndarray,
+    k: QuantizedTensor,
+    v: QuantizedTensor,
+    *,
+    mask: MaskSpec = FULL,
+    mask_ranges: Optional[jnp.ndarray] = None,
+    bias: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    block_sizes: BlockSizes = BlockSizes(),
+    interleaved_kv: bool = False,
+    mask_value: float = DEFAULT_MASK_VALUE,
+    out_dtype: jnp.dtype = jnp.float32,
+    interpret: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Forward with quantized K/V.  Same contract as
+    ``flash_attention_forward`` with k, v as QuantizedTensors of logical
+    shape [B, Hkv, Skv, D] (int8, or int4 with even D)."""
+    b, hq, sq, d = q.shape
+    _, hkv, skv, dk2 = k.shape
+    assert d == dk2 and tuple(v.shape) == tuple(k.shape)
+    assert hq % hkv == 0
+    assert k.config.bits == v.config.bits, "K/V must share bit width"
+    bits = k.config.bits
+    if scale is None:
+        scale = float(d) ** -0.5
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    bq = min(block_sizes.block_q, _round_up(sq, 128))
+    bkv = min(block_sizes.block_kv, _round_up(skv, 128))
+    sq_p = _round_up(sq, bq)
+    skv_p = _round_up(skv, bkv)
+
+    if scale != 1.0:
+        q = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    if sq_p != sq:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
+
+    kq, vq = k.data, v.data  # [B,Hkv,Skv,D] int8 or [B,Hkv,Skv,D/2] uint8
+    ks, kz = _per_token_params(k)
+    vs, vz = _per_token_params(v)
+    if skv_p != skv:
+        pad4 = ((0, 0), (0, 0), (0, skv_p - skv), (0, 0))
+        kq = jnp.pad(kq, pad4)
+        vq = jnp.pad(vq, pad4)
+        ks = jnp.pad(ks, pad4, constant_values=1.0)
+        kz = jnp.pad(kz, pad4)
+        vs = jnp.pad(vs, pad4, constant_values=1.0)
+        vz = jnp.pad(vz, pad4)
+    if bias is not None:
+        bias = jnp.pad(
+            bias,
+            [(0, 0), (0, 0), (0, sq_p - bias.shape[2]),
+             (0, skv_p - bias.shape[3])],
+        )
+
+    has_mask = mask.kind != MaskKind.NONE or skv_p != skv or sq_p != sq
+    row_ranges = compute_row_ranges(
+        mask, sq, skv, mask_ranges=mask_ranges,
+        seq_q_padded=sq_p, seq_kv_cap=skv,
+    )
+    table = build_step_table(row_ranges, bq, bkv)
+
+    grid = (b, hq, table.num_steps)
+    q_per_kv = hq // hkv
+
+    def kv_head(h):
+        return (h % hkv) if interleaved_kv else (h // q_per_kv)
+
+    pd = d // 2 if bits == 4 else d
+
+    in_specs = []
+    inputs = []
+    if has_mask:
+        in_specs += [
+            pl.BlockSpec((bq, 1), lambda bi, h, t, si, sj, *_: (si[t], 0)),
+            pl.BlockSpec((bq, 1), lambda bi, h, t, si, sj, *_: (si[t], 0)),
+        ]
+        inputs += [
+            jnp.asarray(row_ranges[:, 0:1]),
+            jnp.asarray(row_ranges[:, 1:2]),
+        ]
+
+    def kv_spec(width):
+        return pl.BlockSpec(
+            (1, 1, bkv, width),
+            lambda bi, h, t, si, sj, *_: (bi, kv_head(h), sj[t], 0),
+        )
+
+    in_specs += [
+        pl.BlockSpec(
+            (1, 1, bq, d), lambda bi, h, t, si, sj, *_: (bi, h, si[t], 0)
+        ),
+        kv_spec(pd), kv_spec(1), kv_spec(1),  # K payload, scale, zp
+        kv_spec(pd), kv_spec(1), kv_spec(1),  # V payload, scale, zp
+    ]
+    inputs += [q, kq, ks, kz, vq, vs, vz]
+    if bias is not None:
+        bb = bias.shape[0] == 1
+        bh = bias.shape[1] == 1
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, bq, bkv),
+                lambda bi, h, t, si, sj, *_: (
+                    0 if bb else bi, 0 if bh else h, si[t], sj[t]
+                ),
+            )
+        )
+        inputs.append(bias)
+
+    compute_dtype = jnp.float32 if q.dtype == jnp.float32 else jnp.bfloat16
+    kernel = functools.partial(
+        _qfwd_kernel,
+        block_q=bq,
+        block_kv=bkv,
+        head_dim=d,
+        has_mask=has_mask,
+        has_bias=bias is not None,
+        mask_value=mask_value,
+        bits=bits,
+        precision=(
+            jax.lax.Precision.HIGHEST
+            if q.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        ),
+        compute_dtype=compute_dtype,
+    )
+
+    out_shape = [
+        jax.ShapeDtypeStruct((b, hq, sq_p, d), out_dtype),
+        jax.ShapeDtypeStruct((b, hq, sq_p, LANES), jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec(
+            (1, 1, bq, d), lambda bi, h, t, si, sj, *_: (bi, h, si[t], 0)
+        ),
+        pl.BlockSpec(
+            (1, 1, bq, LANES), lambda bi, h, t, si, sj, *_: (bi, h, si[t], 0)
+        ),
+    ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((bq, LANES), jnp.float32),
+            pltpu.VMEM((bq, LANES), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+        ],
+    )
+
+    live_tiles = int(np.sum(table.dummy == 0))
+    o, l = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * hq * live_tiles * bq * bkv * d,
+            bytes_accessed=int(
+                q.size * q.dtype.itemsize + kq.size + vq.size
+            ),
+            transcendentals=b * hq * live_tiles * bq * bkv,
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(table.step_i),
+        jnp.asarray(table.step_j),
+        jnp.asarray(table.first),
+        jnp.asarray(table.last),
+        jnp.asarray(table.dummy),
+        jnp.asarray(table.max_start),
+        jnp.asarray(table.min_end),
+        *inputs,
+    )
+    return o[:, :, :sq, :], l[:, :, :sq, 0]
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrapper: grads flow to q (and bias); K/V payloads are data.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+def _qattn(q, kv_flat, bias,
+           kv_meta, mask, scale, block_sizes, interleaved_kv, mask_value,
+           interpret):
+    k, v = _rebuild_kv(kv_flat, kv_meta)
+    o, _ = quantized_flash_attention_forward(
+        q, k, v, bias=bias, mask=mask, scale=scale, block_sizes=block_sizes,
+        interleaved_kv=interleaved_kv, mask_value=mask_value,
+        interpret=interpret,
+    )
+    return o.astype(q.dtype)
+
+
+@dataclasses.dataclass(frozen=True)
+class _KVMeta:
+    config_k: QuantConfig
+    config_v: QuantConfig
+    shape: Tuple[int, ...]
+    has_sums_k: bool
+    has_sums_v: bool
+
+
+def _flatten_kv(k: QuantizedTensor, v: QuantizedTensor):
+    flat = (k.data, k.scale, k.zero_point, v.data, v.scale, v.zero_point)
+    meta = _KVMeta(
+        k.config, v.config, tuple(k.shape),
+        k.sums is not None, v.sums is not None,
+    )
+    return flat, meta
+
+
+def _rebuild_kv(flat, meta: _KVMeta):
+    kd, ks, kz, vd, vs, vz = flat
+    k = QuantizedTensor(
+        data=kd, scale=ks, zero_point=kz, sums=None,
+        config=meta.config_k, shape=meta.shape,
+    )
+    v = QuantizedTensor(
+        data=vd, scale=vs, zero_point=vz, sums=None,
+        config=meta.config_v, shape=meta.shape,
+    )
+    return k, v
+
+
+def _qattn_fwd(q, kv_flat, bias,
+               kv_meta, mask, scale, block_sizes, interleaved_kv, mask_value,
+               interpret):
+    k, v = _rebuild_kv(kv_flat, kv_meta)
+    o, l = quantized_flash_attention_forward(
+        q, k, v, bias=bias, mask=mask, scale=scale, block_sizes=block_sizes,
+        interleaved_kv=interleaved_kv, mask_value=mask_value,
+        interpret=interpret,
+    )
+    return o.astype(q.dtype), (q, kv_flat, bias, o, l)
+
+
+def _qattn_bwd(kv_meta, mask, scale, block_sizes, interleaved_kv, mask_value,
+               interpret, res, do):
+    from metal_flash_attention_plus_tpu.ops.flash_attention_bwd import (
+        flash_attention_backward,
+    )
+
+    q, kv_flat, bias, o, l = res
+    k_qt, v_qt = _rebuild_kv(kv_flat, kv_meta)
+    # Backward reuses the float kernels on once-dequantized K/V
+    # (QuantizedAttention.swift:1188-1228 does the in-kernel equivalent).
+    kf = k_qt.dequantize().astype(q.dtype)
+    vf = v_qt.dequantize().astype(q.dtype)
+    dq, _dk, _dv, dbias = flash_attention_backward(
+        q, kf, vf, o, l, do,
+        mask=mask, bias=bias, scale=scale, block_sizes=block_sizes,
+        interleaved_kv=interleaved_kv, interpret=interpret,
+        compute_dbias=bias is not None,
+    )
+    zero_kv = tuple(
+        np.zeros(x.shape, jax.dtypes.float0)
+        if jnp.issubdtype(x.dtype, jnp.integer)
+        else jnp.zeros_like(x)
+        for x in kv_flat
+    )
+    return (
+        dq.astype(q.dtype),
+        zero_kv,
+        None if bias is None else dbias.astype(bias.dtype),
+    )
+
+
+_qattn.defvjp(_qattn_fwd, _qattn_bwd)
+
+
+def quantized_flash_attention(
+    q: jnp.ndarray,
+    k: QuantizedTensor,
+    v: QuantizedTensor,
+    bias: Optional[jnp.ndarray] = None,
+    *,
+    mask: MaskSpec = FULL,
+    scale: Optional[float] = None,
+    block_sizes: BlockSizes = BlockSizes(),
+    interleaved_kv: bool = False,
+    mask_value: float = DEFAULT_MASK_VALUE,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Differentiable quantized-KV flash attention (grads: dq, dbias)."""
+    if scale is None:
+        scale = float(q.shape[-1]) ** -0.5
+    kv_flat, kv_meta = _flatten_kv(k, v)
+    return _qattn(
+        q, kv_flat, bias,
+        kv_meta, mask, float(scale), block_sizes, interleaved_kv, mask_value,
+        interpret,
+    )

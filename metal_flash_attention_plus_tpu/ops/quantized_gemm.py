@@ -1,0 +1,406 @@
+"""Quantized GEMM Pallas kernels.
+
+TPU-native redesign of the reference's generated quantized GEMM
+(``GEMMKernel+Multiply.swift:128-158`` — ``load_quantized_int8/int4``
+dequantizing loads; ``GEMMHeaders.swift:678-808``) and of the blockwise
+zero-point compensation contract (``BlockwiseCompensationTest.swift:10-17``,
+``GEMMQuantization.swift:690`` precomputedSums):
+
+- :func:`quantized_matmul` — A (bf16/fp32) × quantized Bᵀ, dequant-on-load:
+  int8 / packed-int4 tiles are fetched from HBM (the bandwidth win), widened
+  and scaled on the VPU, then hit the MXU at the float precision of A.
+  Supports TENSOR / ROW (per-output-channel) / BLOCK (per-K-block)
+  granularities.
+- :func:`compensated_matmul` — both operands int8: the MXU runs pure
+  int8×int8→int32 block products and the zero-point correction
+  ``s_a·s_b·(Sqq − z_b·SqA − z_a·SqB + cnt·z_a·z_b)`` is applied per K-block
+  from precomputed per-row block sums, exactly the reference's contract.
+  Requires the quant block size to be a lane-aligned multiple of 128 (one
+  grid step per quant block); smaller blocks fall back to dequant-on-load.
+
+Weights are stored TRANSPOSED ([N, K], reduction dim last) — the natural TPU
+layout (both operands contract on the lane dimension) and the layout the
+QuantizedTensor BLOCK granularity blocks over.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from metal_flash_attention_plus_tpu.quant.params import (
+    QuantConfig,
+    QuantGranularity,
+)
+from metal_flash_attention_plus_tpu.quant.tensor import (
+    QuantizedTensor,
+    unpack_int4,
+)
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _round_up(a, b):
+    return _cdiv(a, b) * b
+
+
+# ---------------------------------------------------------------------------
+# Weight-only dequant-on-load kernel
+# ---------------------------------------------------------------------------
+
+
+def unpack_int4_tile(qtile: jnp.ndarray, bk: int) -> jnp.ndarray:
+    """In-kernel group-planar int4 unpack: packed [R, bk//2] → f32 [R, bk].
+
+    Mirrors ``quant.tensor.pack_int4``: per 256-element group, the low
+    nibbles of the group's packed bytes hold its first half of columns, the
+    high nibbles the second half (a short tail group splits at its
+    midpoint).  Only static lane slices + lane concat — the ops Mosaic
+    actually supports (strided access / stack / sub-byte bitcasts are not
+    lowerable; this layout is chosen *because* of that).
+
+    ``bk`` must start at a 256-group boundary (the wrappers tile K in
+    multiples of 256, or pass a full un-tiled dimension).
+    """
+    groups = []
+    for base in range(0, bk, 256):
+        g = min(256, bk - base)
+        byte = qtile[:, base // 2 : (base + g) // 2]
+        # Nibble math widened to int32: Mosaic lowers neither 8-bit vector
+        # arithmetic (arith.subi on vector<i8>) nor uint8→f32 casts.
+        wide = byte.astype(jnp.int32)
+        groups.append(((wide & 0xF) - 8).astype(jnp.float32))
+        groups.append(((wide >> 4) & 0xF).astype(jnp.float32) - 8.0)
+    return jnp.concatenate(groups, axis=1)
+
+
+def _dequant_tile(qtile, scale_ref, zp_ref, j, k, *, cfg, bn, bk, out_dtype):
+    """Widen + scale one [bn, bk] (or packed [bn, bk//2]) weight tile."""
+    if cfg.bits == 4:
+        q = unpack_int4_tile(qtile, bk)
+    else:
+        q = qtile
+    q = q.astype(jnp.float32)
+
+    g = cfg.granularity
+    if g == QuantGranularity.TENSOR:
+        scale = scale_ref[0, 0]
+        zp = zp_ref[0, 0].astype(jnp.float32)
+        deq = (q - zp) * scale
+    elif g == QuantGranularity.ROW:
+        # Per-output-channel: one (scale, zp) per row of Bᵀ.
+        scale = scale_ref[...]  # [bn, 1]
+        zp = zp_ref[...].astype(jnp.float32)
+        deq = (q - zp) * scale
+    elif g == QuantGranularity.BLOCK:
+        # Per-K-block shared across rows.  The wrapper pre-expands the
+        # per-block scale/zp to per-ELEMENT [1, K] vectors (K floats of HBM —
+        # negligible next to the N×K payload) so the kernel needs no
+        # lane-expansion gymnastics: a [1, bk] tile broadcasts over rows.
+        scale = scale_ref[...]  # [1, bk]
+        zp = zp_ref[...].astype(jnp.float32)
+        deq = (q - zp) * scale
+    else:
+        raise NotImplementedError(g)
+    return deq.astype(out_dtype)
+
+
+def _wo_kernel(
+    a_ref, bq_ref, scale_ref, zp_ref, out_ref, acc_ref,
+    *, cfg, bm, bn, bk, precision, compute_dtype,
+):
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    b_deq = _dequant_tile(
+        bq_ref[...], scale_ref, zp_ref, pl.program_id(1), k,
+        cfg=cfg, bn=bn, bk=bk, out_dtype=compute_dtype,
+    )
+    acc_ref[...] += jax.lax.dot_general(
+        a_ref[...].astype(compute_dtype),
+        b_deq,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+
+    @pl.when(k == nk - 1)
+    def _store():
+        out_ref[...] = acc_ref[...].astype(out_ref.dtype)
+
+
+def quantized_matmul(
+    a: jnp.ndarray,
+    b_t: QuantizedTensor,
+    *,
+    block_m: int = 512,
+    block_n: int = 512,
+    block_k: int = 512,
+    out_dtype: Optional[jnp.dtype] = None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """A [M, K] (bf16/fp32) × dequant(Bᵀ [N, K]) → [M, N].
+
+    The weight payload moves HBM→VMEM at its integer width; dequantization
+    happens on tiles in VMEM (the ``load_quantized_*`` analog).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    m, kdim = a.shape
+    n, k2 = b_t.shape
+    assert kdim == k2, (kdim, k2)
+    cfg = b_t.config
+    out_dtype = out_dtype or a.dtype
+
+    bm = min(block_m, _round_up(m, 128))
+    bn = min(block_n, _round_up(n, 128))
+    bk = min(block_k, _round_up(kdim, 128))
+    if cfg.granularity == QuantGranularity.BLOCK:
+        bs = cfg.block_size
+        if bk % bs != 0:
+            bk = max(bs, (bk // bs) * bs)
+        assert kdim % bs == 0
+    if cfg.bits == 4:
+        # Group-planar packing unpacks in 256-element groups; K and the
+        # k-tile must align to them.
+        bk = _round_up(bk, 256)
+        if kdim % 256 != 0:
+            raise ValueError(
+                f"int4 kernel path requires K % 256 == 0 (got K={kdim}); "
+                "dequantize explicitly for ragged K"
+            )
+
+    m_p, n_p, k_p = _round_up(m, bm), _round_up(n, bn), _round_up(kdim, bk)
+    if (m_p, k_p) != (m, kdim):
+        a = jnp.pad(a, ((0, m_p - m), (0, k_p - kdim)))
+    payload = b_t.data  # [N, K] int8 or [N, K//2] uint8
+    pk = payload.shape[-1]
+    pk_p = k_p // 2 if cfg.bits == 4 else k_p
+    if (n_p, pk_p) != payload.shape:
+        payload = jnp.pad(payload, ((0, n_p - n), (0, pk_p - pk)))
+
+    g = cfg.granularity
+    scale, zp = b_t.scale, b_t.zero_point
+    if g == QuantGranularity.TENSOR:
+        scale_spec = pl.BlockSpec((1, 1), lambda i, j, k: (0, 0))
+        zp_spec = pl.BlockSpec((1, 1), lambda i, j, k: (0, 0))
+    elif g == QuantGranularity.ROW:
+        scale = jnp.pad(scale, ((0, n_p - n), (0, 0)))
+        zp = jnp.pad(zp, ((0, n_p - n), (0, 0)))
+        scale_spec = pl.BlockSpec((bn, 1), lambda i, j, k: (j, 0))
+        zp_spec = pl.BlockSpec((bn, 1), lambda i, j, k: (j, 0))
+    elif g == QuantGranularity.BLOCK:
+        # Expand per-block params to per-element [1, K] (see kernel comment).
+        scale = jnp.repeat(
+            scale.reshape(1, -1), cfg.block_size, axis=-1
+        ).astype(jnp.float32)
+        zp = jnp.repeat(zp.reshape(1, -1), cfg.block_size, axis=-1)
+        scale = jnp.pad(
+            scale, ((0, 0), (0, k_p - kdim)), constant_values=1.0
+        )
+        zp = jnp.pad(zp, ((0, 0), (0, k_p - kdim)))
+        scale_spec = pl.BlockSpec((1, bk), lambda i, j, k: (0, k))
+        zp_spec = pl.BlockSpec((1, bk), lambda i, j, k: (0, k))
+    else:
+        raise NotImplementedError(g)
+
+    compute_dtype = jnp.float32 if a.dtype == jnp.float32 else jnp.bfloat16
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if compute_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    payload_bk = bk // 2 if cfg.bits == 4 else bk
+
+    kernel = functools.partial(
+        _wo_kernel,
+        cfg=cfg, bm=bm, bn=bn, bk=bk,
+        precision=precision, compute_dtype=compute_dtype,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(m_p // bm, n_p // bn, k_p // bk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
+            pl.BlockSpec((bn, payload_bk), lambda i, j, k: (j, k)),
+            scale_spec,
+            zp_spec,
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m_p, n_p), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_p * n_p * k_p,
+            bytes_accessed=int(
+                a.size * a.dtype.itemsize + payload.size + m_p * n_p * 4
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(a, payload, scale, zp)
+    return out[:m, :n]
+
+
+# ---------------------------------------------------------------------------
+# Both-operands int8 with blockwise compensation (int8 MXU path)
+# ---------------------------------------------------------------------------
+
+
+def per_row_block_sums(qt: QuantizedTensor) -> jnp.ndarray:
+    """Per-row per-K-block Σq — the compensation's SqA/SqB input
+    ([M, K] payload → int32 [M, K/bs]).  Computed once per tensor (the
+    ``precomputedSums`` analog); the fused runtime quantizer also emits it."""
+    q = unpack_int4(qt.data) if qt.bits == 4 else qt.data
+    q = q.reshape(qt.shape).astype(jnp.int32)
+    m, k = qt.shape[-2], qt.shape[-1]
+    bs = qt.config.block_size
+    return q.reshape(*qt.shape[:-1], k // bs, bs).sum(axis=-1)
+
+
+def _comp_kernel(
+    aq_ref, bq_ref, sa_ref, za_ref, sb_ref, zb_ref, sqa_ref, sqb_ref,
+    out_ref, acc_ref, *, bs,
+):
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    sqq = jax.lax.dot_general(
+        aq_ref[...],
+        bq_ref[...],
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # [bm, bn] int32 — pure int8 MXU block product
+    # Scales / zero points live in SMEM ([1, nb] full arrays, scalar reads).
+    sa = sa_ref[0, k]
+    sb = sb_ref[0, k]
+    za = za_ref[0, k]
+    zb = zb_ref[0, k]
+    # Per-row block sums: full [bm, nb] VMEM tiles; select block k's column
+    # via an iota mask + row reduce (Mosaic cannot load a single dynamic
+    # lane; nb is small so the masked reduce is a handful of VPU ops).
+    def _col(ref):
+        vals = ref[...]
+        colmask = (
+            jax.lax.broadcasted_iota(jnp.int32, vals.shape, 1) == k
+        )
+        return jnp.sum(
+            jnp.where(colmask, vals, 0), axis=1, keepdims=True
+        )
+
+    sqa = _col(sqa_ref)  # [bm, 1] int32
+    sqb = _col(sqb_ref)  # [bn, 1]
+    comp = (
+        sqq
+        - zb * sqa
+        - za * jnp.transpose(sqb)
+        + (bs * za * zb)
+    ).astype(jnp.float32)
+    acc_ref[...] += (sa * sb) * comp
+
+    @pl.when(k == nk - 1)
+    def _store():
+        out_ref[...] = acc_ref[...].astype(out_ref.dtype)
+
+
+def compensated_matmul(
+    a: QuantizedTensor,
+    b_t: QuantizedTensor,
+    *,
+    block_m: int = 512,
+    block_n: int = 512,
+    out_dtype: jnp.dtype = jnp.float32,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """int8 A [M, K] × int8 Bᵀ [N, K] with per-K-block zero-point
+    compensation → fp32 [M, N].
+
+    One grid step per quant block (``bk == block_size``), so the scale /
+    zero-point factors stay out of the MXU loop — the MXU sees only
+    int8×int8→int32.  Requires ``block_size % 128 == 0`` (lane alignment);
+    use :func:`quantized_matmul`-style dequant-on-load for smaller blocks.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    assert a.bits == 8 and b_t.bits == 8, "compensated path is int8×int8"
+    cfg_a, cfg_b = a.config, b_t.config
+    assert cfg_a.granularity == QuantGranularity.BLOCK
+    assert cfg_b.granularity == QuantGranularity.BLOCK
+    bs = cfg_a.block_size
+    assert bs == cfg_b.block_size, "operand block sizes must match"
+    if bs % 128 != 0:
+        raise ValueError(
+            f"compensated_matmul needs block_size % 128 == 0, got {bs}; "
+            "use quantized_matmul (dequant-on-load) for small blocks"
+        )
+    m, kdim = a.shape
+    n, k2 = b_t.shape
+    assert kdim == k2 and kdim % bs == 0
+    nb = kdim // bs
+
+    sqa = per_row_block_sums(a)  # [M, nb] int32
+    sqb = per_row_block_sums(b_t)  # [N, nb]
+
+    bm = min(block_m, _round_up(m, 128))
+    bn = min(block_n, _round_up(n, 128))
+    m_p, n_p = _round_up(m, bm), _round_up(n, bn)
+    aq = a.data
+    bq = b_t.data
+    if m_p != m:
+        aq = jnp.pad(aq, ((0, m_p - m), (0, 0)))
+        sqa = jnp.pad(sqa, ((0, m_p - m), (0, 0)))
+    if n_p != n:
+        bq = jnp.pad(bq, ((0, n_p - n), (0, 0)))
+        sqb = jnp.pad(sqb, ((0, n_p - n), (0, 0)))
+
+    sa = a.scale.reshape(1, nb)
+    za = a.zero_point.reshape(1, nb).astype(jnp.int32)
+    sb = b_t.scale.reshape(1, nb)
+    zb = b_t.zero_point.reshape(1, nb).astype(jnp.int32)
+
+    kernel = functools.partial(_comp_kernel, bs=bs)
+    out = pl.pallas_call(
+        kernel,
+        grid=(m_p // bm, n_p // bn, nb),
+        in_specs=[
+            pl.BlockSpec((bm, bs), lambda i, j, k: (i, k)),
+            pl.BlockSpec((bn, bs), lambda i, j, k: (j, k)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # sa [1, nb]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # za
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # sb
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # zb
+            pl.BlockSpec((bm, nb), lambda i, j, k: (i, 0)),  # sqa
+            pl.BlockSpec((bn, nb), lambda i, j, k: (j, 0)),  # sqb
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m_p, n_p), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_p * n_p * kdim,
+            bytes_accessed=int(aq.size + bq.size + m_p * n_p * 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(aq, bq, sa, za, sb, zb, sqa, sqb)
+    return out[:m, :n]

@@ -35,26 +35,43 @@ from metal_flash_attention_plus_tpu.quant.params import (
 )
 
 
-def pack_int4(q: jnp.ndarray) -> jnp.ndarray:
-    """Pack int values in [-8, 7] into uint8 nibbles along the last dim.
+INT4_GROUP = 256  # element columns per planar packing group (= 2 × 128 lanes)
 
-    Element ``2i`` goes to the low nibble, ``2i+1`` to the high nibble, each
-    stored offset by +8 (``GEMMQuantization.swift`` nibble packing).
+
+def pack_int4(q: jnp.ndarray) -> jnp.ndarray:
+    """Pack int values in [-8, 7] into uint8 nibbles along the last dim,
+    GROUP-PLANAR: within each 256-element column group, the low nibbles of
+    the 128 packed bytes hold elements [0, 128) of the group and the high
+    nibbles hold elements [128, 256) (a short tail group splits at its
+    midpoint).  Values are stored offset by +8, 2 elements/byte — the same
+    density as the reference's packing (``GEMMQuantization.swift:277-558``),
+    but ordered so a TPU kernel can unpack a tile with static 128-lane
+    slices + lane concatenation only (Mosaic supports neither strided lane
+    access nor sub-byte interleaves; see ops/quantized_gemm.py).
     """
-    if q.shape[-1] % 2 != 0:
+    k = q.shape[-1]
+    if k % 2 != 0:
         raise ValueError("int4 packing requires an even last dimension")
     u = (q.astype(jnp.int32) + 8).astype(jnp.uint8)
-    lo = u[..., 0::2]
-    hi = u[..., 1::2]
-    return (lo | (hi << 4)).astype(jnp.uint8)
+    out = []
+    for base in range(0, k, INT4_GROUP):
+        g = min(INT4_GROUP, k - base)
+        lo = u[..., base : base + g // 2]
+        hi = u[..., base + g // 2 : base + g]
+        out.append(lo | (hi << 4))
+    return jnp.concatenate(out, axis=-1).astype(jnp.uint8)
 
 
 def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
     """Inverse of :func:`pack_int4`; returns int8 values in [-8, 7]."""
-    lo = (packed & 0xF).astype(jnp.int8) - 8
-    hi = (packed >> 4).astype(jnp.int8) - 8
-    out = jnp.stack([lo, hi], axis=-1)
-    return out.reshape(*packed.shape[:-1], packed.shape[-1] * 2)
+    kp = packed.shape[-1]
+    out = []
+    for base in range(0, kp, INT4_GROUP // 2):
+        g = min(INT4_GROUP // 2, kp - base)
+        byte = packed[..., base : base + g]
+        out.append((byte & 0xF).astype(jnp.int8) - 8)
+        out.append((byte >> 4).astype(jnp.int8) - 8)
+    return jnp.concatenate(out, axis=-1)
 
 
 @jax.tree_util.register_dataclass

@@ -1,0 +1,121 @@
+"""Quantized-KV flash attention vs goldens.
+
+Two-level validation mirroring the reference's quantized tests
+(``QuantizedAttentionTest.swift``): (1) the kernel must match the dense
+reference run on DEQUANTIZED K/V tightly (the kernel math itself adds no
+quantization error); (2) end-to-end relative error vs unquantized fp32
+attention within the reference's gates (INT8 < 0.25; we see ~0.01)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from metal_flash_attention_plus_tpu.attention.masking import (
+    CAUSAL,
+    FULL,
+    MaskKind,
+    MaskSpec,
+    sliding_window,
+)
+from metal_flash_attention_plus_tpu.ops.quantized_attention import (
+    quantized_flash_attention,
+    quantized_flash_attention_forward,
+)
+from metal_flash_attention_plus_tpu.quant.params import (
+    QuantConfig,
+    QuantGranularity,
+    QuantStrategy,
+)
+from metal_flash_attention_plus_tpu.quant.tensor import quantize
+from metal_flash_attention_plus_tpu.reference.attention import (
+    reference_attention,
+    reference_attention_vjp,
+)
+
+ROW8 = QuantConfig(
+    bits=8, granularity=QuantGranularity.ROW, strategy=QuantStrategy.CENTERED
+)
+TEN8 = QuantConfig(bits=8)
+ROW4 = QuantConfig(
+    bits=4, granularity=QuantGranularity.ROW, strategy=QuantStrategy.CENTERED
+)
+
+
+def _data(b=1, hq=4, hkv=2, sq=256, skv=256, d=64, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    q = jax.random.normal(ks[0], (b, hq, sq, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, hkv, skv, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, hkv, skv, d), jnp.float32)
+    return q, k, v
+
+
+@pytest.mark.parametrize("cfg", [ROW8, TEN8, ROW4], ids=["row8", "tensor8", "row4"])
+@pytest.mark.parametrize("mask", [FULL, CAUSAL], ids=["full", "causal"])
+def test_matches_dequantized_golden(cfg, mask):
+    q, k, v = _data()
+    kq, vq = quantize(k, cfg), quantize(v, cfg)
+    o, l = quantized_flash_attention_forward(q, kq, vq, mask=mask)
+    o_ref, l_ref = reference_attention(
+        q, kq.dequantize(), vq.dequantize(), mask=mask
+    )
+    np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(l), np.asarray(l_ref), atol=1e-5)
+
+
+def test_rel_error_gates_vs_fp32():
+    q, k, v = _data(seed=3)
+    o_fp, _ = reference_attention(q, k, v, mask=CAUSAL)
+
+    def rel(cfg):
+        kq, vq = quantize(k, cfg), quantize(v, cfg)
+        o, _ = quantized_flash_attention_forward(q, kq, vq, mask=CAUSAL)
+        return float(jnp.linalg.norm(o - o_fp) / jnp.linalg.norm(o_fp))
+
+    assert rel(ROW8) < 0.05  # reference gate: FP16-class < 0.05
+    assert rel(ROW4) < 0.25  # reference gate: INT8 < 0.25 (we hold INT4 to it)
+
+
+def test_sliding_window_and_ragged():
+    q, k, v = _data(sq=200, skv=200, seed=5)
+    kq, vq = quantize(k, ROW8), quantize(v, ROW8)
+    mask = sliding_window(64)
+    o, _ = quantized_flash_attention_forward(q, kq, vq, mask=mask)
+    o_ref, _ = reference_attention(
+        q, kq.dequantize(), vq.dequantize(), mask=mask
+    )
+    np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref), atol=2e-5)
+
+
+def test_bias_and_grads():
+    q, k, v = _data(seed=7)
+    kq, vq = quantize(k, ROW8), quantize(v, ROW8)
+    bias = jax.random.normal(jax.random.PRNGKey(8), (1, 1, 256, 256), jnp.float32)
+    kd, vd = kq.dequantize(), vq.dequantize()
+
+    def f(q, bias):
+        return jnp.sum(
+            quantized_flash_attention(q, kq, vq, bias, mask=CAUSAL) ** 2
+        )
+
+    def f_ref(q, bias):
+        return jnp.sum(
+            reference_attention(q, kd, vd, mask=CAUSAL, bias=bias)[0] ** 2
+        )
+
+    val, (dq, db) = jax.value_and_grad(f, argnums=(0, 1))(q, bias)
+    val_r, (dq_r, db_r) = jax.value_and_grad(f_ref, argnums=(0, 1))(q, bias)
+    np.testing.assert_allclose(float(val), float(val_r), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_r), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(db), np.asarray(db_r), atol=2e-4)
+
+
+def test_int4_head_dims():
+    for d in (64, 128):
+        q, k, v = _data(d=d, seed=d)
+        kq, vq = quantize(k, ROW4), quantize(v, ROW4)
+        o, _ = quantized_flash_attention_forward(q, kq, vq, mask=CAUSAL)
+        o_ref, _ = reference_attention(
+            q, kq.dequantize(), vq.dequantize(), mask=CAUSAL
+        )
+        np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref), atol=2e-5)

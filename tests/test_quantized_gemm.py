@@ -1,0 +1,110 @@
+"""Quantized GEMM kernels vs the jnp goldens.
+
+Mirrors the reference's quantized-GEMM test strategy: dequantize-then-matmul
+agreement (``QuantizedAttentionTest``) and the blockwise compensation
+contract (``BlockwiseCompensationTest.swift:10-17``)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from metal_flash_attention_plus_tpu.ops.quantized_gemm import (
+    compensated_matmul,
+    per_row_block_sums,
+    quantized_matmul,
+)
+from metal_flash_attention_plus_tpu.quant.compensation import (
+    compensated_gemm_reference,
+    dequantized_gemm_reference,
+)
+from metal_flash_attention_plus_tpu.quant.params import (
+    QuantConfig,
+    QuantGranularity,
+    QuantStrategy,
+    int8_blockwise,
+)
+from metal_flash_attention_plus_tpu.quant.tensor import quantize
+
+
+def _data(m=256, k=512, n=384, seed=0):
+    ka, kb = jax.random.split(jax.random.PRNGKey(seed))
+    a = jax.random.normal(ka, (m, k), jnp.float32)
+    bt = jax.random.normal(kb, (n, k), jnp.float32)
+    return a, bt
+
+
+CONFIGS = [
+    QuantConfig(bits=8),
+    QuantConfig(bits=8, granularity=QuantGranularity.ROW),
+    QuantConfig(
+        bits=8, granularity=QuantGranularity.ROW,
+        strategy=QuantStrategy.ASYMMETRIC,
+    ),
+    int8_blockwise(128),
+    int8_blockwise(64),
+    QuantConfig(bits=4),
+    QuantConfig(
+        bits=4, granularity=QuantGranularity.BLOCK,
+        strategy=QuantStrategy.CENTERED, block_size=128,
+    ),
+]
+
+
+@pytest.mark.parametrize("cfg", CONFIGS, ids=lambda c: f"{c.bits}b-{c.granularity.value}-{c.strategy.value}")
+def test_quantized_matmul_matches_dequant(cfg):
+    a, bt = _data()
+    btq = quantize(bt, cfg)
+    out = quantized_matmul(a, btq)
+    ref = jnp.matmul(a, btq.dequantize().T, precision="highest")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_quantized_matmul_ragged_shapes():
+    a, bt = _data(m=200, k=512, n=130)
+    btq = quantize(bt, QuantConfig(bits=8))
+    out = quantized_matmul(a, btq, block_m=128, block_n=128, block_k=256)
+    ref = jnp.matmul(a, btq.dequantize().T, precision="highest")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_quantized_matmul_bf16_activation():
+    a, bt = _data()
+    a16 = a.astype(jnp.bfloat16)
+    btq = quantize(bt, QuantConfig(bits=8))
+    out = quantized_matmul(a16, btq, out_dtype=jnp.float32)
+    ref = jnp.matmul(
+        a16.astype(jnp.float32), btq.dequantize().T, precision="highest"
+    )
+    rel = float(
+        jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref)
+    )
+    assert rel < 0.02, rel  # bf16 MXU noise only
+
+
+def test_compensated_matmul_matches_golden():
+    a, bt = _data()
+    cfg = int8_blockwise(128)
+    aq, btq = quantize(a, cfg), quantize(bt, cfg)
+    out = compensated_matmul(aq, btq)
+    gold = compensated_gemm_reference(aq, btq)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(gold), atol=1e-3)
+    # And the compensation identity itself: == dequantize-then-matmul.
+    deq = dequantized_gemm_reference(aq, btq)
+    np.testing.assert_allclose(np.asarray(gold), np.asarray(deq), atol=1e-3)
+
+
+def test_compensated_matmul_rejects_small_blocks():
+    a, bt = _data()
+    cfg = int8_blockwise(64)
+    with pytest.raises(ValueError, match="block_size"):
+        compensated_matmul(quantize(a, cfg), quantize(bt, cfg))
+
+
+def test_per_row_block_sums():
+    _, bt = _data()
+    cfg = int8_blockwise(128)
+    btq = quantize(bt, cfg)
+    sums = per_row_block_sums(btq)
+    q = btq.data.astype(np.int32).reshape(384, 4, 128)
+    np.testing.assert_array_equal(np.asarray(sums), q.sum(axis=-1))
