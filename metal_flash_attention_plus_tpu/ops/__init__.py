@@ -21,3 +21,12 @@ from metal_flash_attention_plus_tpu.ops.quantized_gemm import (  # noqa: F401
 from metal_flash_attention_plus_tpu.ops.runtime_quantization import (  # noqa: F401
     runtime_quantize,
 )
+from metal_flash_attention_plus_tpu.ops.mla import (  # noqa: F401
+    mla_absorbed_attention,
+    mla_decompress,
+)
+from metal_flash_attention_plus_tpu.ops.hadamard import (  # noqa: F401
+    hadamard_transform,
+    rotate_quantize,
+    dequantize_unrotate,
+)
