@@ -1,0 +1,406 @@
+// mfa_runtime implementation.  See mfa_runtime.h for the architecture notes.
+
+#include "mfa_runtime.h"
+
+#include <algorithm>
+#include <cstdio>
+#include <cstring>
+#include <deque>
+#include <fstream>
+#include <map>
+#include <mutex>
+#include <sstream>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+// ---------------------------------------------------------------------------
+// 1. Block-config resolution
+// ---------------------------------------------------------------------------
+
+namespace {
+
+int32_t round_up(int32_t a, int32_t b) { return ((a + b - 1) / b) * b; }
+
+}  // namespace
+
+extern "C" int64_t mfa_fwd_step_vmem_bytes(int32_t block_q, int32_t block_kv,
+                                           int32_t head_dim, int32_t bits) {
+  const int64_t d = std::max<int32_t>(head_dim, 128);
+  const int64_t in_bytes = bits <= 8 ? 1 : 2;  // payload width
+  // Double-buffered Q/K/V tiles + fp32 accumulator + 2 stats tiles (bq x 128)
+  // + fp32 score tile (bq x bkv) live during the step.
+  int64_t q_tile = 2LL * block_q * d * 2;         // q is bf16 at widest
+  int64_t kv_tiles = 2LL * 2 * block_kv * d * in_bytes;
+  int64_t acc = 4LL * block_q * d;
+  int64_t stats = 2LL * 4 * block_q * 128;
+  int64_t scores = 4LL * block_q * block_kv;
+  return q_tile + kv_tiles + acc + stats + scores;
+}
+
+extern "C" int mfa_resolve_blocks(int32_t head_dim, int32_t bits,
+                                  int32_t kind, int64_t vmem_budget_bytes,
+                                  MfaBlockConfig* out) {
+  if (out == nullptr || head_dim <= 0) return -1;
+  if (vmem_budget_bytes <= 0) vmem_budget_bytes = 14LL << 20;  // ~16MB - slack
+
+  // Cold-start table mirroring attention/tuning.py::default_block_sizes:
+  // larger KV traversal blocks amortize the per-block VPU softmax; the
+  // head-dim rows trade them against the fp32 accumulator footprint.
+  int32_t bq, bkv;
+  if (head_dim <= 128) {
+    bq = 512;
+    bkv = 1024;
+  } else if (head_dim <= 256) {
+    bq = 256;
+    bkv = 512;
+  } else {
+    bq = 128;
+    bkv = 256;
+  }
+  if (bits <= 8 && head_dim <= 128) bkv *= 2;
+
+  // Shrink (kv first, then q) until the VMEM model fits the budget.
+  while (mfa_fwd_step_vmem_bytes(bq, bkv, head_dim, bits) >
+             vmem_budget_bytes &&
+         (bq > 128 || bkv > 128)) {
+    if (bkv > bq && bkv > 128) {
+      bkv /= 2;
+    } else if (bq > 128) {
+      bq /= 2;
+    } else {
+      bkv /= 2;
+    }
+  }
+  bq = std::max(bq, 128);
+  bkv = std::max(bkv, 128);
+
+  out->block_q = bq;
+  out->block_kv = bkv;
+  out->block_q_dkv = std::max(128, bq / 2);
+  out->block_kv_dkv = std::max(128, bkv / 2);
+  out->block_q_dq = bq;
+  out->block_kv_dq = std::max(128, bkv / 4);
+  (void)kind;
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// 2. Calibration cache
+// ---------------------------------------------------------------------------
+
+struct MfaCalibCache {
+  std::mutex mu;
+  std::string path;
+  struct Entry {
+    MfaBlockConfig cfg;
+    double tflops;
+  };
+  std::map<std::string, Entry> entries;
+};
+
+extern "C" MfaCalibCache* mfa_calib_open(const char* path) {
+  auto* c = new MfaCalibCache();
+  c->path = path ? path : "";
+  if (!c->path.empty()) {
+    std::ifstream in(c->path);
+    std::string line;
+    while (std::getline(in, line)) {
+      std::istringstream ss(line);
+      std::string key;
+      MfaCalibCache::Entry e;
+      if (ss >> key >> e.tflops >> e.cfg.block_q >> e.cfg.block_kv >>
+          e.cfg.block_q_dkv >> e.cfg.block_kv_dkv >> e.cfg.block_q_dq >>
+          e.cfg.block_kv_dq) {
+        c->entries[key] = e;
+      }
+    }
+  }
+  return c;
+}
+
+extern "C" void mfa_calib_close(MfaCalibCache* c) { delete c; }
+
+extern "C" int mfa_calib_get(MfaCalibCache* c, const char* key,
+                             MfaBlockConfig* out, double* tflops) {
+  if (!c || !key) return 0;
+  std::lock_guard<std::mutex> lock(c->mu);
+  auto it = c->entries.find(key);
+  if (it == c->entries.end()) return 0;
+  if (out) *out = it->second.cfg;
+  if (tflops) *tflops = it->second.tflops;
+  return 1;
+}
+
+extern "C" void mfa_calib_put(MfaCalibCache* c, const char* key,
+                              const MfaBlockConfig* cfg, double tflops) {
+  if (!c || !key || !cfg) return;
+  std::lock_guard<std::mutex> lock(c->mu);
+  c->entries[key] = {*cfg, tflops};
+}
+
+extern "C" int mfa_calib_save(MfaCalibCache* c) {
+  if (!c || c->path.empty()) return -1;
+  std::lock_guard<std::mutex> lock(c->mu);
+  std::string tmp = c->path + ".tmp";
+  {
+    std::ofstream outf(tmp, std::ios::trunc);
+    if (!outf) return -1;
+    for (const auto& [key, e] : c->entries) {
+      outf << key << ' ' << e.tflops << ' ' << e.cfg.block_q << ' '
+           << e.cfg.block_kv << ' ' << e.cfg.block_q_dkv << ' '
+           << e.cfg.block_kv_dkv << ' ' << e.cfg.block_q_dq << ' '
+           << e.cfg.block_kv_dq << '\n';
+    }
+  }
+  return std::rename(tmp.c_str(), c->path.c_str()) == 0 ? 0 : -1;
+}
+
+extern "C" int mfa_calib_size(MfaCalibCache* c) {
+  if (!c) return 0;
+  std::lock_guard<std::mutex> lock(c->mu);
+  return static_cast<int>(c->entries.size());
+}
+
+// ---------------------------------------------------------------------------
+// 3. Paged KV-cache allocator
+// ---------------------------------------------------------------------------
+
+struct MfaPagePool {
+  std::mutex mu;
+  int32_t page_tokens = 0;
+  std::vector<int32_t> free_list;  // physical page ids
+  struct Seq {
+    std::vector<int32_t> pages;
+    int32_t len = 0;
+    bool live = false;
+  };
+  std::vector<Seq> seqs;
+  std::deque<int64_t> free_seq_slots;
+};
+
+extern "C" MfaPagePool* mfa_pool_create(int32_t num_pages,
+                                        int32_t page_tokens) {
+  if (num_pages <= 0 || page_tokens <= 0) return nullptr;
+  auto* p = new MfaPagePool();
+  p->page_tokens = page_tokens;
+  p->free_list.reserve(num_pages);
+  // LIFO free list: recently released pages are reused first (warm in HBM
+  // layout terms, and keeps page ids dense for compact gather indices).
+  for (int32_t i = num_pages - 1; i >= 0; --i) p->free_list.push_back(i);
+  return p;
+}
+
+extern "C" void mfa_pool_destroy(MfaPagePool* p) { delete p; }
+
+extern "C" int32_t mfa_pool_free_pages(MfaPagePool* p) {
+  if (!p) return 0;
+  std::lock_guard<std::mutex> lock(p->mu);
+  return static_cast<int32_t>(p->free_list.size());
+}
+
+extern "C" int64_t mfa_seq_create(MfaPagePool* p) {
+  if (!p) return -1;
+  std::lock_guard<std::mutex> lock(p->mu);
+  int64_t id;
+  if (!p->free_seq_slots.empty()) {
+    id = p->free_seq_slots.front();
+    p->free_seq_slots.pop_front();
+  } else {
+    id = static_cast<int64_t>(p->seqs.size());
+    p->seqs.emplace_back();
+  }
+  p->seqs[id] = MfaPagePool::Seq();
+  p->seqs[id].live = true;
+  return id;
+}
+
+extern "C" int mfa_seq_reserve(MfaPagePool* p, int64_t seq,
+                               int32_t num_tokens) {
+  if (!p || seq < 0) return -1;
+  std::lock_guard<std::mutex> lock(p->mu);
+  if (seq >= static_cast<int64_t>(p->seqs.size()) || !p->seqs[seq].live)
+    return -1;
+  auto& s = p->seqs[seq];
+  int32_t need_pages =
+      (num_tokens + p->page_tokens - 1) / p->page_tokens;
+  int32_t have = static_cast<int32_t>(s.pages.size());
+  if (need_pages <= have) return 0;
+  int32_t missing = need_pages - have;
+  if (missing > static_cast<int32_t>(p->free_list.size())) return -1;
+  for (int32_t i = 0; i < missing; ++i) {
+    s.pages.push_back(p->free_list.back());
+    p->free_list.pop_back();
+  }
+  return 0;
+}
+
+extern "C" int32_t mfa_seq_pages(MfaPagePool* p, int64_t seq, int32_t* out,
+                                 int32_t max_out) {
+  if (!p || seq < 0 || !out) return 0;
+  std::lock_guard<std::mutex> lock(p->mu);
+  if (seq >= static_cast<int64_t>(p->seqs.size()) || !p->seqs[seq].live)
+    return 0;
+  const auto& pages = p->seqs[seq].pages;
+  int32_t n = std::min<int32_t>(max_out, pages.size());
+  std::memcpy(out, pages.data(), n * sizeof(int32_t));
+  return n;
+}
+
+extern "C" int32_t mfa_seq_len(MfaPagePool* p, int64_t seq) {
+  if (!p || seq < 0) return -1;
+  std::lock_guard<std::mutex> lock(p->mu);
+  if (seq >= static_cast<int64_t>(p->seqs.size()) || !p->seqs[seq].live)
+    return -1;
+  return p->seqs[seq].len;
+}
+
+extern "C" void mfa_seq_set_len(MfaPagePool* p, int64_t seq, int32_t len) {
+  if (!p || seq < 0) return;
+  std::lock_guard<std::mutex> lock(p->mu);
+  if (seq >= static_cast<int64_t>(p->seqs.size()) || !p->seqs[seq].live)
+    return;
+  p->seqs[seq].len = len;
+}
+
+extern "C" void mfa_seq_release(MfaPagePool* p, int64_t seq) {
+  if (!p || seq < 0) return;
+  std::lock_guard<std::mutex> lock(p->mu);
+  if (seq >= static_cast<int64_t>(p->seqs.size()) || !p->seqs[seq].live)
+    return;
+  auto& s = p->seqs[seq];
+  for (int32_t page : s.pages) p->free_list.push_back(page);
+  s = MfaPagePool::Seq();
+  p->free_seq_slots.push_back(seq);
+}
+
+// ---------------------------------------------------------------------------
+// 4. Continuous-batching scheduler
+// ---------------------------------------------------------------------------
+
+struct MfaScheduler {
+  std::mutex mu;
+  MfaPagePool* pool = nullptr;
+  int32_t max_batch = 0;
+  int32_t token_budget = 0;
+
+  struct Running {
+    MfaRequest req;
+    int64_t seq = -1;
+    int32_t prefill_done = 0;  // prompt tokens already prefilled
+    int32_t generated = 0;
+  };
+  std::deque<MfaRequest> waiting;
+  std::unordered_map<int64_t, Running> running;  // by request_id
+  std::vector<int64_t> running_order;            // admission order
+};
+
+extern "C" MfaScheduler* mfa_sched_create(MfaPagePool* pool, int32_t max_batch,
+                                          int32_t token_budget) {
+  if (!pool || max_batch <= 0 || token_budget <= 0) return nullptr;
+  auto* s = new MfaScheduler();
+  s->pool = pool;
+  s->max_batch = max_batch;
+  s->token_budget = token_budget;
+  return s;
+}
+
+extern "C" void mfa_sched_destroy(MfaScheduler* s) { delete s; }
+
+extern "C" int mfa_sched_submit(MfaScheduler* s, const MfaRequest* req) {
+  if (!s || !req || req->prompt_len <= 0) return -1;
+  std::lock_guard<std::mutex> lock(s->mu);
+  s->waiting.push_back(*req);
+  return 0;
+}
+
+extern "C" int32_t mfa_sched_next_step(MfaScheduler* s, MfaScheduledItem* out,
+                                       int32_t max_out) {
+  if (!s || !out || max_out <= 0) return 0;
+  std::lock_guard<std::mutex> lock(s->mu);
+  int32_t n = 0;
+  int32_t budget = s->token_budget;
+
+  // Admit waiting requests while batch slots + pages allow (FCFS; pages
+  // reserved for the whole prompt up front so admitted prefills never
+  // deadlock mid-prompt).
+  while (!s->waiting.empty() &&
+         static_cast<int32_t>(s->running.size()) < s->max_batch) {
+    MfaRequest req = s->waiting.front();
+    int64_t seq = mfa_seq_create(s->pool);
+    if (seq < 0) break;
+    if (mfa_seq_reserve(s->pool, seq, req.prompt_len) != 0) {
+      mfa_seq_release(s->pool, seq);
+      break;  // no pages — keep waiting (completions will free some)
+    }
+    s->waiting.pop_front();
+    MfaScheduler::Running r;
+    r.req = req;
+    r.seq = seq;
+    s->running[req.request_id] = r;
+    s->running_order.push_back(req.request_id);
+  }
+
+  // Phase 1: prefill chunks (chunked so one long prompt cannot starve
+  // decodes — the standard continuous-batching shape).
+  for (int64_t id : s->running_order) {
+    if (n >= max_out || budget <= 0) break;
+    auto it = s->running.find(id);
+    if (it == s->running.end()) continue;
+    auto& r = it->second;
+    int32_t remaining = r.req.prompt_len - r.prefill_done;
+    if (remaining <= 0) continue;
+    int32_t chunk = std::min(remaining, budget);
+    out[n++] = {id, r.seq, /*kind=*/0, r.prefill_done, chunk};
+    r.prefill_done += chunk;
+    budget -= chunk;
+    mfa_seq_set_len(s->pool, r.seq, r.prefill_done);
+  }
+
+  // Phase 2: decode for every fully-prefilled sequence (one token each).
+  for (int64_t id : s->running_order) {
+    if (n >= max_out) break;
+    auto it = s->running.find(id);
+    if (it == s->running.end()) continue;
+    auto& r = it->second;
+    if (r.prefill_done < r.req.prompt_len) continue;
+    // The decode token needs one more KV slot.
+    if (mfa_seq_reserve(s->pool, r.seq,
+                        r.req.prompt_len + r.generated + 1) != 0)
+      continue;  // page pressure: skip this step (freed pages will unblock)
+    out[n++] = {id, r.seq, /*kind=*/1, 0, 0};
+  }
+  return n;
+}
+
+extern "C" int mfa_sched_token(MfaScheduler* s, int64_t request_id,
+                               int finished) {
+  if (!s) return -1;
+  std::lock_guard<std::mutex> lock(s->mu);
+  auto it = s->running.find(request_id);
+  if (it == s->running.end()) return -1;
+  auto& r = it->second;
+  r.generated += 1;
+  mfa_seq_set_len(s->pool, r.seq, r.req.prompt_len + r.generated);
+  if (finished || r.generated >= r.req.max_new_tokens) {
+    mfa_seq_release(s->pool, r.seq);
+    s->running.erase(it);
+    s->running_order.erase(
+        std::remove(s->running_order.begin(), s->running_order.end(),
+                    request_id),
+        s->running_order.end());
+  }
+  return 0;
+}
+
+extern "C" int32_t mfa_sched_num_waiting(MfaScheduler* s) {
+  if (!s) return 0;
+  std::lock_guard<std::mutex> lock(s->mu);
+  return static_cast<int32_t>(s->waiting.size());
+}
+
+extern "C" int32_t mfa_sched_num_running(MfaScheduler* s) {
+  if (!s) return 0;
+  std::lock_guard<std::mutex> lock(s->mu);
+  return static_cast<int32_t>(s->running.size());
+}

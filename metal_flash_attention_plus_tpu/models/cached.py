@@ -1,0 +1,120 @@
+"""KV-cached transformer execution: prefill into pages + paged decode.
+
+The serving-side twin of ``models/transformer.py`` (same parameters, same
+math, numerically interchangeable — tests/test_serving.py pins decode
+logits against the uncached forward).  Prefill runs the normal causal flash
+kernel and scatters K/V into the paged cache; decode runs one token per
+sequence through :func:`serving.paged_attention.paged_decode_attention`.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from metal_flash_attention_plus_tpu.attention.masking import CAUSAL
+from metal_flash_attention_plus_tpu.models.transformer import (
+    TransformerConfig,
+    _merge_heads,
+    _split_heads,
+    rms_norm,
+    rope,
+)
+from metal_flash_attention_plus_tpu.ops.flash_attention import flash_attention
+from metal_flash_attention_plus_tpu.serving.kv_cache import (
+    PagedKVCache,
+    append_tokens,
+    write_prompt,
+)
+from metal_flash_attention_plus_tpu.serving.paged_attention import (
+    paged_decode_attention,
+)
+
+
+def init_cache(
+    cfg: TransformerConfig,
+    num_pages: int,
+    page_tokens: int,
+    dtype=jnp.bfloat16,
+) -> PagedKVCache:
+    return PagedKVCache.create(
+        cfg.num_layers, cfg.num_kv_heads, num_pages, page_tokens,
+        cfg.head_dim, dtype,
+    )
+
+
+def prefill(
+    params,
+    tokens: jnp.ndarray,  # [L] one sequence's prompt
+    cache: PagedKVCache,
+    page_row: jnp.ndarray,  # [max_pages]
+    cfg: TransformerConfig,
+) -> Tuple[jnp.ndarray, PagedKVCache]:
+    """Run the prompt, fill the cache → (last-position logits [V], cache)."""
+    seq = tokens.shape[0]
+    positions = jnp.arange(seq)
+    x = params["embed"][tokens][None]  # [1, L, D]
+    hd = cfg.head_dim
+    for li, layer in enumerate(params["layers"]):
+        h = rms_norm(x, layer["ln1"])
+        q = _split_heads(h @ layer["wq"], cfg.num_heads, hd)
+        k = _split_heads(h @ layer["wk"], cfg.num_kv_heads, hd)
+        v = _split_heads(h @ layer["wv"], cfg.num_kv_heads, hd)
+        q = rope(q, positions, cfg.rope_theta)
+        k = rope(k, positions, cfg.rope_theta)
+        cache = write_prompt(cache, li, k[0], v[0], page_row)
+        o = flash_attention(q, k, v, mask=CAUSAL, block_sizes=cfg.block_sizes)
+        x = x + (_merge_heads(o.astype(x.dtype)) @ layer["wo"]).astype(x.dtype)
+        h2 = rms_norm(x, layer["ln2"])
+        y = jax.nn.silu((h2 @ layer["wg"]).astype(jnp.float32)) * (
+            h2 @ layer["wu"]
+        ).astype(jnp.float32)
+        x = x + (y.astype(x.dtype) @ layer["wd"]).astype(x.dtype)
+    hf = rms_norm(x[:, -1:], params["ln_f"])
+    logits = (hf @ params["unembed"]).astype(jnp.float32)
+    return logits[0, 0], cache
+
+
+def decode_step(
+    params,
+    tokens: jnp.ndarray,  # [B] the just-sampled token per sequence
+    lengths: jnp.ndarray,  # [B] length INCLUDING this token
+    page_tables: jnp.ndarray,  # [B, max_pages]
+    cache: PagedKVCache,
+    cfg: TransformerConfig,
+) -> Tuple[jnp.ndarray, PagedKVCache]:
+    """One decode step for a batch of sequences → (logits [B, V], cache)."""
+    positions = lengths - 1  # this token's index
+    x = params["embed"][tokens][:, None]  # [B, 1, D]
+    hd = cfg.head_dim
+    for li, layer in enumerate(params["layers"]):
+        h = rms_norm(x, layer["ln1"])
+        q = _split_heads(h @ layer["wq"], cfg.num_heads, hd)  # [B, Hq, 1, D]
+        k = _split_heads(h @ layer["wk"], cfg.num_kv_heads, hd)
+        v = _split_heads(h @ layer["wv"], cfg.num_kv_heads, hd)
+        pos2d = positions[:, None]  # [B, 1] — per-sequence RoPE position
+        q = rope(q, pos2d, cfg.rope_theta)
+        k = rope(k, pos2d, cfg.rope_theta)
+        cache = append_tokens(
+            cache, li, k[:, :, 0], v[:, :, 0], positions, page_tables
+        )
+        o = paged_decode_attention(
+            q[:, :, 0],  # [B, Hq, D]
+            cache.k_pages[li],
+            cache.v_pages[li],
+            page_tables,
+            lengths,
+        )
+        x = x + (o[:, None, :, :].reshape(x.shape[0], 1, -1) @ layer["wo"]).astype(
+            x.dtype
+        )
+        h2 = rms_norm(x, layer["ln2"])
+        y = jax.nn.silu((h2 @ layer["wg"]).astype(jnp.float32)) * (
+            h2 @ layer["wu"]
+        ).astype(jnp.float32)
+        x = x + (y.astype(x.dtype) @ layer["wd"]).astype(x.dtype)
+    hf = rms_norm(x, params["ln_f"])
+    logits = (hf @ params["unembed"]).astype(jnp.float32)
+    return logits[:, 0], cache

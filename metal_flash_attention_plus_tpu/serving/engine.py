@@ -1,0 +1,182 @@
+"""Continuous-batching serving engine.
+
+The host loop the north star asks for ("continuous batching of attention
+workloads"): the C++ scheduler (cpp/mfa_runtime.cc via runtime/native.py)
+decides WHAT runs each step — admission under batch-slot and KV-page
+budgets, prefill-before-decode ordering, completion/eviction — and this
+module executes the decisions on device: prefill fills pages, decodes run
+batched through the paged-attention kernel with padded batch slots pointing
+at the trash page.
+
+Greedy sampling; per-request EOS/max-token termination.  Single-host here —
+the multi-host extension shards the decode batch over the ``data`` mesh
+axis (each host runs one engine; the scheduler state is host-local, the
+model params are mesh-sharded), documented in docs/serving.md.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from metal_flash_attention_plus_tpu.models.cached import (
+    decode_step,
+    init_cache,
+    prefill,
+)
+from metal_flash_attention_plus_tpu.models.transformer import (
+    TransformerConfig,
+)
+from metal_flash_attention_plus_tpu.runtime.native import (
+    PagePool,
+    ScheduledItem,
+    Scheduler,
+)
+
+
+@dataclasses.dataclass
+class GenerationRequest:
+    request_id: int
+    prompt: List[int]
+    max_new_tokens: int
+    eos_token: Optional[int] = None
+
+
+class ServingEngine:
+    """Single-host continuous-batching engine over the paged KV cache."""
+
+    def __init__(
+        self,
+        params,
+        cfg: TransformerConfig,
+        *,
+        num_pages: int = 256,
+        page_tokens: int = 128,
+        max_batch: int = 8,
+        max_pages_per_seq: Optional[int] = None,
+        cache_dtype=jnp.bfloat16,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.page_tokens = page_tokens
+        self.max_batch = max_batch
+        self.max_pages_per_seq = max_pages_per_seq or min(
+            num_pages, 4096 // page_tokens
+        )
+        self.pool = PagePool(num_pages, page_tokens)
+        # token_budget: whole prompts prefill in one chunk in this engine
+        # (the scheduler supports chunking; chunked prefill execution needs
+        # the cross-chunk attention path — see docs/serving.md).
+        self.sched = Scheduler(
+            self.pool, max_batch, token_budget=self.max_pages_per_seq * page_tokens
+        )
+        self.cache = init_cache(cfg, num_pages, page_tokens, cache_dtype)
+        self.requests: Dict[int, GenerationRequest] = {}
+        self.outputs: Dict[int, List[int]] = {}
+        self._last_token: Dict[int, int] = {}
+        self._lengths: Dict[int, int] = {}
+
+        self._prefill_jit = jax.jit(
+            lambda params, tokens, cache, page_row: prefill(
+                params, tokens, cache, page_row, cfg
+            )
+        )
+        self._decode_jit = jax.jit(
+            lambda params, tokens, lengths, pts, cache: decode_step(
+                params, tokens, lengths, pts, cache, cfg
+            )
+        )
+
+    def submit(self, req: GenerationRequest):
+        self.requests[req.request_id] = req
+        self.outputs[req.request_id] = []
+        self.sched.submit(req.request_id, len(req.prompt), req.max_new_tokens)
+
+    def _page_row(self, seq_handle: int) -> np.ndarray:
+        row = np.full(self.max_pages_per_seq, self.cache.trash_page, np.int32)
+        pages = self.pool.pages(seq_handle, self.max_pages_per_seq)
+        row[: len(pages)] = pages
+        return row
+
+    def step(self) -> bool:
+        """Run one scheduler step.  Returns False when fully drained."""
+        items = self.sched.next_step()
+        if not items:
+            if self.sched.num_waiting == 0:
+                return False
+            if self.sched.num_running == 0:
+                raise RuntimeError(
+                    "scheduler stalled: waiting requests cannot be admitted "
+                    "(prompt larger than the page pool?)"
+                )
+            return True
+        self._seq_of = getattr(self, "_seq_of", {})
+
+        prefills = [i for i in items if i.kind == ScheduledItem.PREFILL]
+        decodes = [i for i in items if i.kind == ScheduledItem.DECODE]
+
+        for it in prefills:
+            req = self.requests[it.request_id]
+            if it.chunk_start != 0 or it.chunk_len != len(req.prompt):
+                raise NotImplementedError(
+                    "chunked prefill execution (engine v1 runs whole prompts; "
+                    "raise the scheduler token budget)"
+                )
+            self._seq_of[it.request_id] = it.seq_handle
+            tokens = jnp.asarray(req.prompt, jnp.int32)
+            page_row = jnp.asarray(self._page_row(it.seq_handle))
+            logits, self.cache = self._prefill_jit(
+                self.params, tokens, self.cache, page_row
+            )
+            nxt = int(jnp.argmax(logits))
+            self._emit(it.request_id, nxt)
+
+        if decodes:
+            b = self.max_batch
+            tokens = np.zeros(b, np.int32)
+            lengths = np.ones(b, np.int32)
+            pts = np.full(
+                (b, self.max_pages_per_seq), self.cache.trash_page, np.int32
+            )
+            live = []
+            for slot, it in enumerate(decodes[:b]):
+                rid = it.request_id
+                tokens[slot] = self._last_token[rid]
+                # _lengths already counts the token being decoded (it was
+                # emitted last step; its KV is appended during THIS step).
+                lengths[slot] = self._lengths[rid]
+                pts[slot] = self._page_row(it.seq_handle)
+                live.append(rid)
+            logits, self.cache = self._decode_jit(
+                self.params,
+                jnp.asarray(tokens),
+                jnp.asarray(lengths),
+                jnp.asarray(pts),
+                self.cache,
+            )
+            nxt = np.asarray(jnp.argmax(logits, axis=-1))
+            for slot, rid in enumerate(live):
+                self._emit(rid, int(nxt[slot]))
+        return True
+
+    def _emit(self, rid: int, token: int):
+        req = self.requests[rid]
+        self.outputs[rid].append(token)
+        self._last_token[rid] = token
+        self._lengths[rid] = len(req.prompt) + len(self.outputs[rid])
+        done = token == req.eos_token or len(
+            self.outputs[rid]
+        ) >= req.max_new_tokens
+        # The emitted token occupies a KV slot only once decoded; report to
+        # the scheduler which tracks lengths + completion.
+        self.sched.report_token(rid, finished=done)
+
+    def run(self, max_steps: int = 10_000) -> Dict[int, List[int]]:
+        for _ in range(max_steps):
+            if not self.step():
+                break
+        return self.outputs

@@ -1,0 +1,110 @@
+"""Paged KV cache — device-side page pools behind the native allocator.
+
+The C++ ``PagePool`` (cpp/mfa_runtime.cc) owns page *accounting* (which
+physical page belongs to which sequence); this module owns the page
+*storage*: one [L, Hkv, num_pages+1, page_tokens, D] array pair per model,
+plus the scatter ops that write prompt / decode-token KV into pages.  The
+extra last page is the TRASH page: padded batch slots in the jitted decode
+step point their page tables at it so dummy writes never corrupt live data.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PagedKVCache:
+    k_pages: jnp.ndarray  # [L, Hkv, num_pages+1, page_tokens, D]
+    v_pages: jnp.ndarray
+    page_tokens: int = dataclasses.field(metadata=dict(static=True))
+    num_pages: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def trash_page(self) -> int:
+        return self.num_pages  # the extra page
+
+    @staticmethod
+    def create(
+        num_layers: int,
+        num_kv_heads: int,
+        num_pages: int,
+        page_tokens: int,
+        head_dim: int,
+        dtype=jnp.bfloat16,
+    ) -> "PagedKVCache":
+        shape = (num_layers, num_kv_heads, num_pages + 1, page_tokens, head_dim)
+        return PagedKVCache(
+            k_pages=jnp.zeros(shape, dtype),
+            v_pages=jnp.zeros(shape, dtype),
+            page_tokens=page_tokens,
+            num_pages=num_pages,
+        )
+
+
+def write_prompt(
+    cache: PagedKVCache,
+    layer: int,
+    k: jnp.ndarray,  # [Hkv, L, D]
+    v: jnp.ndarray,
+    page_row: jnp.ndarray,  # [max_pages] physical ids for this sequence
+) -> PagedKVCache:
+    """Scatter a full prompt's KV into the sequence's pages."""
+    seq_len = k.shape[1]
+    t = jnp.arange(seq_len)
+    pidx = page_row[t // cache.page_tokens]
+    off = t % cache.page_tokens
+    # Advanced indices separated by the head slice land in front: the
+    # selected shape is [L, Hkv, D], so feed token-major values.
+    k_pages = cache.k_pages.at[layer, :, pidx, off, :].set(
+        k.transpose(1, 0, 2).astype(cache.k_pages.dtype)
+    )
+    v_pages = cache.v_pages.at[layer, :, pidx, off, :].set(
+        v.transpose(1, 0, 2).astype(cache.v_pages.dtype)
+    )
+    return dataclasses.replace(cache, k_pages=k_pages, v_pages=v_pages)
+
+
+def append_tokens(
+    cache: PagedKVCache,
+    layer: int,
+    k: jnp.ndarray,  # [B, Hkv, D] — the new token per sequence
+    v: jnp.ndarray,
+    positions: jnp.ndarray,  # [B] token index being written (0-based)
+    page_tables: jnp.ndarray,  # [B, max_pages]
+) -> PagedKVCache:
+    """Batched single-token append (decode step)."""
+    b = k.shape[0]
+    rows = jnp.arange(b)
+    pidx = page_tables[rows, positions // cache.page_tokens]  # [B]
+    off = positions % cache.page_tokens
+    # Selected shape is [B, Hkv, D] (advanced indices land in front).
+    k_pages = cache.k_pages.at[layer, :, pidx, off, :].set(
+        k.astype(cache.k_pages.dtype)
+    )
+    v_pages = cache.v_pages.at[layer, :, pidx, off, :].set(
+        v.astype(cache.v_pages.dtype)
+    )
+    return dataclasses.replace(cache, k_pages=k_pages, v_pages=v_pages)
+
+
+def gather_kv(
+    cache: PagedKVCache, layer: int, page_row: jnp.ndarray, seq_len: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Densify one sequence's KV ([Hkv, seq_len, D]) — test/debug helper."""
+    t = jnp.arange(seq_len)
+    pidx = page_row[t // cache.page_tokens]
+    off = t % cache.page_tokens
+    # [layer] is applied FIRST, so pidx/off are contiguous advanced indices
+    # and stay in place: gathered shape is [Hkv, L, D] directly.  (In the
+    # .at[layer, :, pidx, off, :] writes above, the integer layer index
+    # makes the advanced indices non-contiguous, moving them to the front.)
+    return (
+        cache.k_pages[layer][:, pidx, off, :],
+        cache.v_pages[layer][:, pidx, off, :],
+    )

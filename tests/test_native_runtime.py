@@ -1,0 +1,122 @@
+"""C++ native runtime: block resolution, calibration cache, page allocator,
+continuous-batching scheduler (cpp/mfa_runtime.cc via ctypes)."""
+
+import pytest
+
+from metal_flash_attention_plus_tpu.runtime import (
+    BlockConfig,
+    CalibCache,
+    PagePool,
+    Scheduler,
+    ScheduledItem,
+    native_available,
+    resolve_blocks,
+)
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="native runtime failed to build"
+)
+
+
+def test_resolve_blocks_matches_python_table():
+    from metal_flash_attention_plus_tpu.attention.tuning import (
+        default_block_sizes,
+    )
+
+    for d, bits in [(64, 16), (128, 16), (256, 16), (64, 8), (512, 16)]:
+        native = resolve_blocks(d, bits)
+        py = default_block_sizes(d, bits)
+        assert native.block_q == py.block_q, (d, bits)
+        assert native.block_kv == py.block_kv, (d, bits)
+
+
+def test_resolve_blocks_respects_vmem_budget():
+    big = resolve_blocks(128, 16)
+    small = resolve_blocks(128, 16, vmem_budget_bytes=2 << 20)
+    assert (small.block_q, small.block_kv) < (big.block_q, big.block_kv)
+    assert small.block_q >= 128 and small.block_kv >= 128
+
+
+def test_calib_cache_roundtrip(tmp_path):
+    path = str(tmp_path / "calib.txt")
+    c = CalibCache(path)
+    cfg = resolve_blocks(64)
+    c.put("fwd:d64:b16:s4096", cfg, 123.4)
+    assert c.save()
+    c2 = CalibCache(path)
+    got = c2.get("fwd:d64:b16:s4096")
+    assert got is not None
+    assert got[0] == cfg and abs(got[1] - 123.4) < 1e-9
+    assert c2.get("missing") is None
+    assert len(c2) == 1
+
+
+def test_page_pool():
+    pool = PagePool(num_pages=8, page_tokens=16)
+    s1 = pool.create_seq()
+    assert pool.reserve(s1, 40)  # 3 pages
+    assert pool.free_pages == 5
+    assert len(pool.pages(s1)) == 3
+    pool.set_seq_len(s1, 40)
+    assert pool.seq_len(s1) == 40
+    s2 = pool.create_seq()
+    assert not pool.reserve(s2, 16 * 6)  # needs 6, only 5 free
+    assert pool.reserve(s2, 16 * 5)
+    assert pool.free_pages == 0
+    pool.release(s1)
+    assert pool.free_pages == 3
+    pool.destroy()
+
+
+def test_scheduler_continuous_batching():
+    pool = PagePool(num_pages=64, page_tokens=16)
+    sched = Scheduler(pool, max_batch=2, token_budget=32)
+    sched.submit(1, prompt_len=48, max_new_tokens=2)
+    sched.submit(2, prompt_len=16, max_new_tokens=1)
+    sched.submit(3, prompt_len=16, max_new_tokens=1)  # beyond max_batch
+
+    # Step 1: prefill chunks for the two admitted requests, budget-capped.
+    step = sched.next_step()
+    assert sched.num_running == 2 and sched.num_waiting == 1
+    prefills = [i for i in step if i.kind == ScheduledItem.PREFILL]
+    assert sum(i.chunk_len for i in prefills) <= 32
+    assert prefills[0].request_id == 1 and prefills[0].chunk_len == 32
+
+    # Step 2: request 1 finishes its prompt; request 2 prefills + nothing
+    # decodes until prefill completes.
+    step = sched.next_step()
+    kinds = {(i.request_id, i.kind) for i in step}
+    assert (1, ScheduledItem.PREFILL) in kinds  # remaining 16 tokens
+    assert (2, ScheduledItem.PREFILL) in kinds
+
+    # Step 3: both decode now.
+    step = sched.next_step()
+    decode_ids = {i.request_id for i in step if i.kind == ScheduledItem.DECODE}
+    assert decode_ids == {1, 2}
+    sched.report_token(1)
+    sched.report_token(2)  # max_new_tokens=1 → finishes, frees a slot
+
+    assert sched.num_running == 1
+    # Step 4: request 3 gets admitted into the freed slot.
+    step = sched.next_step()
+    ids = {i.request_id for i in step}
+    assert 3 in ids and sched.num_running == 2
+    sched.destroy()
+    pool.destroy()
+
+
+def test_scheduler_page_pressure_defers_admission():
+    pool = PagePool(num_pages=2, page_tokens=16)
+    sched = Scheduler(pool, max_batch=4, token_budget=128)
+    sched.submit(1, prompt_len=32, max_new_tokens=1)  # takes both pages
+    sched.submit(2, prompt_len=16, max_new_tokens=1)  # starved
+    step = sched.next_step()
+    assert {i.request_id for i in step} == {1}
+    assert sched.num_waiting == 1
+    # Finish request 1 → pages free → request 2 admitted.
+    sched.next_step()  # decode step for 1
+    sched.report_token(1, finished=True)
+    step = sched.next_step()
+    assert {i.request_id for i in step} == {2}
+    sched.destroy()
+    pool.destroy()
