@@ -44,21 +44,20 @@ extern "C" int mfa_resolve_blocks(int32_t head_dim, int32_t bits,
   if (out == nullptr || head_dim <= 0) return -1;
   if (vmem_budget_bytes <= 0) vmem_budget_bytes = 14LL << 20;  // ~16MB - slack
 
-  // Cold-start table mirroring attention/tuning.py::default_block_sizes:
-  // larger KV traversal blocks amortize the per-block VPU softmax; the
-  // head-dim rows trade them against the fp32 accumulator footprint.
+  // Cold-start table mirroring attention/tuning.py::default_block_sizes —
+  // measured on v5e (docs/perf_notes.md): float K/V peaks at (512, 512),
+  // quantized K/V (smaller tiles) at (1024, 1024), head dim ≤ 256.
   int32_t bq, bkv;
-  if (head_dim <= 128) {
-    bq = 512;
-    bkv = 1024;
+  if (bits <= 8) {
+    bq = head_dim <= 256 ? 1024 : 512;
+    bkv = head_dim <= 256 ? 1024 : 512;
   } else if (head_dim <= 256) {
-    bq = 256;
+    bq = 512;
     bkv = 512;
   } else {
-    bq = 128;
-    bkv = 256;
+    bq = 256;
+    bkv = 512;
   }
-  if (bits <= 8 && head_dim <= 128) bkv *= 2;
 
   // Shrink (kv first, then q) until the VMEM model fits the budget.
   while (mfa_fwd_step_vmem_bytes(bq, bkv, head_dim, bits) >

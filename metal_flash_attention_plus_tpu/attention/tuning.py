@@ -50,19 +50,17 @@ def default_block_sizes(head_dim: int, bits: int = 16) -> BlockSizes:
     same reasoning as the reference's traversal-block selection, with VMEM
     in place of registers.
     """
+    # Measured on v5e (docs/perf_notes.md): float K/V peaks at (512, 512) at
+    # every head dim ≤ 256; quantized K/V tiles are 2-4× smaller in VMEM and
+    # peak at (1024, 1024) (the dequant VPU pass also amortizes better over
+    # bigger tiles).  Larger still → VMEM OOM; non-power-of-2 loses outright.
     d = max(head_dim, 128)
-    if d <= 64:
-        fwd = (512, 1024)
-    elif d <= 128:
-        fwd = (512, 1024)
+    if bits <= 8:
+        bq, bkv = (1024, 1024) if d <= 256 else (512, 512)
     elif d <= 256:
-        fwd = (256, 512)
+        bq, bkv = 512, 512
     else:
-        fwd = (128, 256)
-    # Quantized K/V tiles are 2-4× smaller; afford bigger traversal blocks.
-    if bits <= 8 and d <= 128:
-        fwd = (fwd[0], fwd[1] * 2)
-    bq, bkv = fwd
+        bq, bkv = 256, 512
     return BlockSizes(
         block_q=bq,
         block_kv=bkv,

@@ -68,7 +68,7 @@ class BlockSizes:
     wrapper clamps blocks to the (padded) problem size."""
 
     block_q: int = 512
-    block_kv: int = 1024
+    block_kv: int = 512
     # Backward tiles (used by flash_attention_bwd kernels).
     block_q_dkv: int = 256
     block_kv_dkv: int = 512

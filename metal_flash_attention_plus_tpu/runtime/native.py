@@ -88,9 +88,14 @@ def _load():
     with _lib_lock:
         if _lib is not None:
             return _lib
-        path = next((p for p in _LIB_CANDIDATES if p.exists()), None)
-        if path is None and os.environ.get("MFA_NO_NATIVE_BUILD") != "1":
+        if os.environ.get("MFA_NO_NATIVE_BUILD") != "1":
+            # make is dependency-tracked: a fresh .so is a no-op, a stale
+            # one (source newer) rebuilds.
             path = _build()
+        else:
+            path = None
+        if path is None:
+            path = next((p for p in _LIB_CANDIDATES if p.exists()), None)
         if path is None or not path.exists():
             return None
         lib = ctypes.CDLL(str(path))
