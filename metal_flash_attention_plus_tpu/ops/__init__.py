@@ -30,3 +30,7 @@ from metal_flash_attention_plus_tpu.ops.hadamard import (  # noqa: F401
     rotate_quantize,
     dequantize_unrotate,
 )
+from metal_flash_attention_plus_tpu.ops.gemm import (  # noqa: F401
+    GEMMDescriptor,
+    matmul,
+)
