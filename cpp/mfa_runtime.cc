@@ -76,10 +76,11 @@ extern "C" int mfa_resolve_blocks(int32_t head_dim, int32_t bits,
 
   out->block_q = bq;
   out->block_kv = bkv;
-  out->block_q_dkv = std::max(128, bq / 2);
-  out->block_kv_dkv = std::max(128, bkv / 2);
-  out->block_q_dq = bq;
-  out->block_kv_dq = std::max(128, bkv / 4);
+  // Backward kernels: (512, 512) measured best (docs/perf_notes.md).
+  out->block_q_dkv = std::min(bq, 512);
+  out->block_kv_dkv = std::min(bkv, 512);
+  out->block_q_dq = std::min(bq, 512);
+  out->block_kv_dq = std::min(bkv, 512);
   (void)kind;
   return 0;
 }

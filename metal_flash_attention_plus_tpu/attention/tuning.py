@@ -61,13 +61,16 @@ def default_block_sizes(head_dim: int, bits: int = 16) -> BlockSizes:
         bq, bkv = 512, 512
     else:
         bq, bkv = 256, 512
+    # Backward: (512, 512) for both kernels measured best at d=64/256
+    # (33.7 / 85.2 TF/s); d=128 marginally prefers (1024, 512)+(512, 1024)
+    # (66.2 vs 58.6) — kept uniform pending a finer sweep.
     return BlockSizes(
         block_q=bq,
         block_kv=bkv,
-        block_q_dkv=max(128, bq // 2),
-        block_kv_dkv=max(128, bkv // 2),
-        block_q_dq=bq,
-        block_kv_dq=max(128, bkv // 4),
+        block_q_dkv=min(bq, 512),
+        block_kv_dkv=min(bkv, 512),
+        block_q_dq=min(bq, 512),
+        block_kv_dq=min(bkv, 512),
     )
 
 
@@ -230,9 +233,9 @@ class AttentionTuner:
                 continue
             bs = BlockSizes(
                 block_q=bq, block_kv=bkv,
-                block_q_dkv=max(128, bq // 2),
-                block_kv_dkv=max(128, bkv // 2),
-                block_q_dq=bq, block_kv_dq=max(128, bkv // 4),
+                block_q_dkv=min(bq, 512),
+                block_kv_dkv=min(bkv, 512),
+                block_q_dq=min(bq, 512), block_kv_dq=min(bkv, 512),
             )
             f = jax.jit(
                 lambda q, k, v, bs=bs: flash_attention_forward(

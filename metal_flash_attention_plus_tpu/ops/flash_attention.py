@@ -69,11 +69,12 @@ class BlockSizes:
 
     block_q: int = 512
     block_kv: int = 512
-    # Backward tiles (used by flash_attention_bwd kernels).
-    block_q_dkv: int = 256
+    # Backward tiles (used by flash_attention_bwd kernels).  (512, 512)
+    # measured best for both bwd kernels on v5e (docs/perf_notes.md).
+    block_q_dkv: int = 512
     block_kv_dkv: int = 512
     block_q_dq: int = 512
-    block_kv_dq: int = 256
+    block_kv_dq: int = 512
 
     def __post_init__(self):
         for f in dataclasses.fields(self):
