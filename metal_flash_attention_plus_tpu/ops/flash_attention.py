@@ -215,15 +215,43 @@ def build_step_table(
     )
 
 
+# Per-step flag bits (host-computed — the kernel does NO schedule math;
+# every per-step property is one prefetched int, which measured 7-30%
+# faster than in-kernel range comparisons, see docs/perf_notes.md).
+FLAG_FIRST = 1  # step opens its q-block (init accumulators)
+FLAG_LAST = 2  # step closes its q-block (store O/L)
+FLAG_DUMMY = 4  # placeholder for a fully-masked q-block (store zeros)
+FLAG_BOUNDARY = 8  # tile crosses a range edge (apply element masking)
+
+
+def build_step_flags(
+    table: "StepTable", block_kv: int, has_mask: bool
+) -> np.ndarray:
+    """Fold every per-step schedule property into one int32 flag word
+    (first/last/dummy/boundary) ON THE HOST — the kernel must do zero
+    schedule arithmetic (measured 7-30% of runtime, docs/perf_notes.md)."""
+    flags = (
+        table.first * FLAG_FIRST
+        + table.last * FLAG_LAST
+        + table.dummy * FLAG_DUMMY
+    ).astype(np.int64)
+    if has_mask:
+        j = table.step_j.astype(np.int64)
+        interior = np.logical_and(
+            j * block_kv >= table.max_start[table.step_i],
+            (j + 1) * block_kv <= table.min_end[table.step_i],
+        )
+        flags += np.where(
+            np.logical_or(interior, table.dummy == 1), 0, FLAG_BOUNDARY
+        )
+    return flags.astype(np.int32)
+
+
 def _fwd_kernel(
     # scalar prefetch
     si_ref,
     sj_ref,
-    first_ref,
-    last_ref,
-    dummy_ref,
-    ms_ref,
-    me_ref,
+    flags_ref,
     # tensor inputs (optional ones gated by flags)
     *refs,
     block_q: int,
@@ -245,11 +273,11 @@ def _fwd_kernel(
     o_ref, l_ref, m_scr, l_scr, acc_scr = refs
 
     t = pl.program_id(2)
-    i = si_ref[t]
     j = sj_ref[t]
-    is_dummy = dummy_ref[t] == 1
+    flags = flags_ref[t]
+    is_dummy = (flags & FLAG_DUMMY) != 0
 
-    @pl.when(jnp.logical_and(first_ref[t] == 1, jnp.logical_not(is_dummy)))
+    @pl.when((flags & (FLAG_FIRST | FLAG_DUMMY)) == FLAG_FIRST)
     def _init():
         m_scr[...] = jnp.full_like(m_scr, NEG_INF)
         l_scr[...] = jnp.zeros_like(l_scr)
@@ -269,12 +297,8 @@ def _fwd_kernel(
         if has_bias:
             s += bias_ref[0, 0].astype(jnp.float32)
         if has_mask:
-            # Element masking only on boundary tiles; interior tiles
-            # (fully inside every row's range) skip the VPU mask pass.
-            interior = jnp.logical_and(
-                j * block_kv >= ms_ref[i], (j + 1) * block_kv <= me_ref[i]
-            )
-
+            # Element masking only on boundary tiles (host-flagged);
+            # interior tiles skip the VPU mask pass entirely.
             def _masked(s):
                 col = (
                     jax.lax.broadcasted_iota(
@@ -285,7 +309,9 @@ def _fwd_kernel(
                 keep = jnp.logical_and(col >= rs_ref[...], col < re_ref[...])
                 return jnp.where(keep, s, mask_value)
 
-            s = jax.lax.cond(interior, lambda s: s, _masked, s)
+            s = jax.lax.cond(
+                (flags & FLAG_BOUNDARY) != 0, _masked, lambda s: s, s
+            )
 
         m_prev = m_scr[...]  # [block_q, 128] lane-replicated
         l_prev = l_scr[...]
@@ -313,7 +339,7 @@ def _fwd_kernel(
         else:
             acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
 
-    @pl.when(jnp.logical_and(last_ref[t] == 1, jnp.logical_not(is_dummy)))
+    @pl.when((flags & (FLAG_LAST | FLAG_DUMMY)) == FLAG_LAST)
     def _store():
         lsum = l_scr[...]  # [block_q, 128]
         safe = jnp.where(lsum == 0.0, 1.0, lsum)
@@ -493,7 +519,7 @@ def flash_attention_forward(
     ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
+        num_scalar_prefetch=3,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -521,11 +547,7 @@ def flash_attention_forward(
     )(
         jnp.asarray(table.step_i),
         jnp.asarray(table.step_j),
-        jnp.asarray(table.first),
-        jnp.asarray(table.last),
-        jnp.asarray(table.dummy),
-        jnp.asarray(table.max_start),
-        jnp.asarray(table.min_end),
+        jnp.asarray(build_step_flags(table, bkv, has_mask)),
         *inputs,
     )
 

@@ -42,11 +42,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from metal_flash_attention_plus_tpu.ops.flash_attention import (
+    FLAG_BOUNDARY,
+    FLAG_DUMMY,
+    FLAG_FIRST,
+    FLAG_LAST,
     LANES,
     NEG_INF,
     BlockSizes,
     StepTable,
     _round_up,
+    build_step_flags,
     build_step_table,
     compute_row_ranges,
 )
@@ -55,6 +60,10 @@ from metal_flash_attention_plus_tpu.attention.masking import (
     MaskSpec,
     FULL,
 )
+from metal_flash_attention_plus_tpu.ops.quantized_gemm import (
+    dequant_kv_tile as _dequant_kv_tile,
+)
+from metal_flash_attention_plus_tpu.quant.tensor import QuantizedTensor
 
 
 def _precision_for(dtype):
@@ -73,11 +82,7 @@ def _precision_for(dtype):
 def _dq_kernel(
     si_ref,
     sj_ref,
-    first_ref,
-    last_ref,
-    dummy_ref,
-    ms_ref,
-    me_ref,
+    flags_ref,
     *refs,
     block_q: int,
     block_kv: int,
@@ -86,13 +91,21 @@ def _dq_kernel(
     has_mask: bool,
     has_bias: bool,
     want_dbias: bool,
+    kv_bits: Optional[int],
     precision,
 ):
     if has_mask:
         rs_ref, re_ref = refs[:2]
         refs = refs[2:]
-    q_ref, k_ref, v_ref, do_ref, l_ref, d_ref = refs[:6]
-    refs = refs[6:]
+    if kv_bits is None:
+        q_ref, k_ref, v_ref, do_ref, l_ref, d_ref = refs[:6]
+        refs = refs[6:]
+    else:
+        # Quantized K/V: payload + per-token scale/zp, dequantized on tile
+        # load (QuantizedAttention.swift:1188-1228's in-kernel equivalent).
+        (q_ref, kq_ref, ks_ref, kz_ref, vq_ref, vs_ref, vz_ref,
+         do_ref, l_ref, d_ref) = refs[:10]
+        refs = refs[10:]
     if has_bias:
         bias_ref = refs[0]
         refs = refs[1:]
@@ -103,18 +116,23 @@ def _dq_kernel(
         dq_ref, dq_acc = refs
 
     t = pl.program_id(2)
-    i = si_ref[t]
     j = sj_ref[t]
-    is_dummy = dummy_ref[t] == 1
+    flags = flags_ref[t]
+    is_dummy = (flags & FLAG_DUMMY) != 0
 
-    @pl.when(jnp.logical_and(first_ref[t] == 1, jnp.logical_not(is_dummy)))
+    @pl.when((flags & (FLAG_FIRST | FLAG_DUMMY)) == FLAG_FIRST)
     def _init():
         dq_acc[...] = jnp.zeros_like(dq_acc)
 
     @pl.when(jnp.logical_not(is_dummy))
     def _compute():
         q = q_ref[0, 0]  # [bq, D] pre-scaled
-        k = k_ref[0, 0]  # [bkv, D]
+        if kv_bits is None:
+            k = k_ref[0, 0]  # [bkv, D]
+        else:
+            k = _dequant_kv_tile(
+                kq_ref, ks_ref, kz_ref, block_kv, head_dim, kv_bits, q.dtype
+            )
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
@@ -127,10 +145,6 @@ def _dq_kernel(
         l_wide = pltpu.repeat(l, block_kv // LANES, axis=1)
         p = jnp.exp(s - l_wide)
         if has_mask:
-            interior = jnp.logical_and(
-                j * block_kv >= ms_ref[i], (j + 1) * block_kv <= me_ref[i]
-            )
-
             def _masked(p):
                 col = (
                     jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
@@ -139,10 +153,17 @@ def _dq_kernel(
                 keep = jnp.logical_and(col >= rs_ref[...], col < re_ref[...])
                 return jnp.where(keep, p, 0.0)
 
-            p = jax.lax.cond(interior, lambda p: p, _masked, p)
+            p = jax.lax.cond(
+                (flags & FLAG_BOUNDARY) != 0, _masked, lambda p: p, p
+            )
 
         do = do_ref[0, 0]  # [bq, D]
-        v = v_ref[0, 0]  # [bkv, D]
+        if kv_bits is None:
+            v = v_ref[0, 0]  # [bkv, D]
+        else:
+            v = _dequant_kv_tile(
+                vq_ref, vs_ref, vz_ref, block_kv, head_dim, kv_bits, q.dtype
+            )
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
@@ -156,7 +177,7 @@ def _dq_kernel(
             preferred_element_type=jnp.float32, precision=precision,
         )
 
-    @pl.when(jnp.logical_and(last_ref[t] == 1, jnp.logical_not(is_dummy)))
+    @pl.when((flags & (FLAG_LAST | FLAG_DUMMY)) == FLAG_LAST)
     def _store():
         dq_ref[0, 0] = (dq_acc[...] * scale).astype(dq_ref.dtype)
 
@@ -240,11 +261,7 @@ def _dkv_kernel(
     si_ref,
     sj_ref,
     sg_ref,
-    first_ref,
-    last_ref,
-    dummy_ref,
-    ms_ref,
-    me_ref,
+    flags_ref,
     *refs,
     block_q: int,
     block_kv: int,
@@ -264,11 +281,11 @@ def _dkv_kernel(
     dk_ref, dv_ref, dk_acc, dv_acc = refs
 
     t = pl.program_id(2)
-    i = si_ref[t]
     j = sj_ref[t]
-    is_dummy = dummy_ref[t] == 1
+    flags = flags_ref[t]
+    is_dummy = (flags & FLAG_DUMMY) != 0
 
-    @pl.when(jnp.logical_and(first_ref[t] == 1, jnp.logical_not(is_dummy)))
+    @pl.when((flags & (FLAG_FIRST | FLAG_DUMMY)) == FLAG_FIRST)
     def _init():
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dv_acc[...] = jnp.zeros_like(dv_acc)
@@ -288,10 +305,6 @@ def _dkv_kernel(
         d_row = d_ref[0, 0]
         pt = jnp.exp(st - l_row)
         if has_mask:
-            interior = jnp.logical_and(
-                j * block_kv >= ms_ref[i], (j + 1) * block_kv <= me_ref[i]
-            )
-
             def _masked(pt):
                 col = (
                     jax.lax.broadcasted_iota(jnp.int32, (block_kv, block_q), 0)
@@ -300,7 +313,9 @@ def _dkv_kernel(
                 keep = jnp.logical_and(col >= rs_ref[...], col < re_ref[...])
                 return jnp.where(keep, pt, 0.0)
 
-            pt = jax.lax.cond(interior, lambda pt: pt, _masked, pt)
+            pt = jax.lax.cond(
+                (flags & FLAG_BOUNDARY) != 0, _masked, lambda pt: pt, pt
+            )
 
         do = do_ref[0, 0]  # [bq, D]
         v = v_ref[0, 0]  # [bkv, D]
@@ -318,7 +333,7 @@ def _dkv_kernel(
             preferred_element_type=jnp.float32, precision=precision,
         )
 
-    @pl.when(jnp.logical_and(last_ref[t] == 1, jnp.logical_not(is_dummy)))
+    @pl.when((flags & (FLAG_LAST | FLAG_DUMMY)) == FLAG_LAST)
     def _store():
         dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
@@ -356,7 +371,21 @@ def flash_attention_backward(
     Returns (dq, dk, dv, dbias) — dbias is None unless ``compute_dbias``
     and ``bias is not None``.  dk/dv are reduced over the GQA group by the
     dKV kernel itself (the group is part of its traversal schedule).
+
+    ``k``/``v`` may be per-token/per-tensor QuantizedTensors: the dQ kernel
+    then dequantizes tiles on load (the reference's quantized backward also
+    reuses the core kernels with dequant-on-load,
+    ``QuantizedAttention.swift:1188-1228``) and the dK/dV kernel is SKIPPED
+    entirely — quantized operands are data, their cotangents are zero, so
+    the quantized backward is half the work.  Returns (dq, None, None,
+    dbias) in that case.
     """
+    kv_quant = isinstance(k, QuantizedTensor)
+    if kv_quant:
+        assert isinstance(v, QuantizedTensor) and k.config.bits == v.config.bits
+        kv_bits = k.config.bits
+    else:
+        kv_bits = None
     b, hq, sq, d = q.shape
     _, hkv, skv, _ = k.shape
     if scale is None:
@@ -386,8 +415,23 @@ def flash_attention_backward(
     qs = pad_seq(qs, sq_p)
     do_p = pad_seq(do.astype(q.dtype), sq_p)
     o_p = pad_seq(o, sq_p)
-    k_p = pad_seq(k, skv_p)
-    v_p = pad_seq(v, skv_p)
+    if kv_quant:
+        from metal_flash_attention_plus_tpu.ops.quantized_attention import (
+            _per_token_params,
+        )
+
+        ks_, kz_ = _per_token_params(k)
+        vs_, vz_ = _per_token_params(v)
+        kq_p = pad_seq(k.data, skv_p)
+        vq_p = pad_seq(v.data, skv_p)
+        ks_p = pad_seq(ks_, skv_p)
+        kz_p = pad_seq(kz_, skv_p)
+        vs_p = pad_seq(vs_, skv_p)
+        vz_p = pad_seq(vz_, skv_p)
+        pd = kq_p.shape[-1]
+    else:
+        k_p = pad_seq(k, skv_p)
+        v_p = pad_seq(v, skv_p)
     if bias is not None:
         bias = jnp.pad(
             bias,
@@ -434,29 +478,31 @@ def flash_attention_backward(
             jnp.asarray(row_ranges[:, 0:1]),
             jnp.asarray(row_ranges[:, 1:2]),
         ]
-    in_specs += [
-        pl.BlockSpec((1, 1, bq_dq, d), lambda bi, h, t, si, sj, *_: (bi, h, si[t], 0)),
-        pl.BlockSpec(
-            (1, 1, bkv_dq, d),
+    def kv_spec(width):
+        return pl.BlockSpec(
+            (1, 1, bkv_dq, width),
             lambda bi, h, t, si, sj, *_: (bi, kv_head(h), sj[t], 0),
-        ),
-        pl.BlockSpec(
-            (1, 1, bkv_dq, d),
-            lambda bi, h, t, si, sj, *_: (bi, kv_head(h), sj[t], 0),
-        ),
-        pl.BlockSpec(
-            (1, 1, bq_dq, d), lambda bi, h, t, si, sj, *_: (bi, h, si[t], 0)
-        ),
-        pl.BlockSpec(
-            (1, 1, bq_dq, LANES),
-            lambda bi, h, t, si, sj, *_: (bi, h, si[t], 0),
-        ),
-        pl.BlockSpec(
-            (1, 1, bq_dq, LANES),
-            lambda bi, h, t, si, sj, *_: (bi, h, si[t], 0),
-        ),
-    ]
-    inputs += [qs, k_p, v_p, do_p, l_col, d_col]
+        )
+
+    q_spec = pl.BlockSpec(
+        (1, 1, bq_dq, d), lambda bi, h, t, si, sj, *_: (bi, h, si[t], 0)
+    )
+    stat_spec = pl.BlockSpec(
+        (1, 1, bq_dq, LANES), lambda bi, h, t, si, sj, *_: (bi, h, si[t], 0)
+    )
+    if kv_quant:
+        in_specs += [
+            q_spec,
+            kv_spec(pd), kv_spec(1), kv_spec(1),
+            kv_spec(pd), kv_spec(1), kv_spec(1),
+            q_spec, stat_spec, stat_spec,
+        ]
+        inputs += [qs, kq_p, ks_p, kz_p, vq_p, vs_p, vz_p, do_p, l_col, d_col]
+    else:
+        in_specs += [
+            q_spec, kv_spec(d), kv_spec(d), q_spec, stat_spec, stat_spec,
+        ]
+        inputs += [qs, k_p, v_p, do_p, l_col, d_col]
     want_dbias = compute_dbias and bias is not None
     if bias is not None:
         bb = bias.shape[0] == 1
@@ -498,7 +544,7 @@ def flash_attention_backward(
             )
         )
         inputs.append(zeros)
-        n_prefetch = 7
+        n_prefetch = 3
         io_aliases = {n_prefetch + len(inputs) - 1: 1}
 
     kernel = functools.partial(
@@ -510,10 +556,11 @@ def flash_attention_backward(
         has_mask=has_mask,
         has_bias=bias is not None,
         want_dbias=want_dbias,
+        kv_bits=kv_bits,
         precision=precision,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
+        num_scalar_prefetch=3,
         grid=(b, hq, table.num_steps),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -531,11 +578,7 @@ def flash_attention_backward(
     )(
         jnp.asarray(table.step_i),
         jnp.asarray(table.step_j),
-        jnp.asarray(table.first),
-        jnp.asarray(table.last),
-        jnp.asarray(table.dummy),
-        jnp.asarray(table.max_start),
-        jnp.asarray(table.min_end),
+        jnp.asarray(build_step_flags(table, bkv_dq, has_mask)),
         *inputs,
     )
     if want_dbias:
@@ -549,6 +592,10 @@ def flash_attention_backward(
         dq = results[0] if isinstance(results, (list, tuple)) else results
         dbias = None
     dq = dq[:, :, :sq, :]
+
+    if kv_quant:
+        # Quantized operands are data: no dK/dV (see docstring).
+        return dq, None, None, dbias
 
     # ----- dKV kernel -----
     nj = skv_p // bkv_dkv
@@ -629,7 +676,7 @@ def flash_attention_backward(
         precision=precision,
     )
     grid_spec2 = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=8,
+        num_scalar_prefetch=4,
         grid=(b, hkv, kv_table.num_steps),
         in_specs=in_specs2,
         out_specs=[
@@ -662,11 +709,7 @@ def flash_attention_backward(
         jnp.asarray(kv_table.step_i),
         jnp.asarray(kv_table.step_j),
         jnp.asarray(kv_table.step_g),
-        jnp.asarray(kv_table.first),
-        jnp.asarray(kv_table.last),
-        jnp.asarray(kv_table.dummy),
-        jnp.asarray(kv_table.max_start),
-        jnp.asarray(kv_table.min_end),
+        jnp.asarray(build_step_flags(kv_table, bkv_dkv, has_mask)),
         *inputs2,
     )
     dk = dk[:, :, :skv, :]

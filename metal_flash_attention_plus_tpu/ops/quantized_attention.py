@@ -18,10 +18,11 @@ in float registers):
   rejected with a per-tensor fallback there too,
   ``QuantizedAttention.swift:588-648``).  For QAT, fake-quantize Q with
   ``quant.ste.fake_quantize``.
-- Backward reuses the float backward kernels on K/V dequantized once in
-  XLA (the reference likewise reuses the *core* flash kernels with
-  dequant-on-load for backward, ``QuantizedAttention.swift:1188-1228``);
-  gradients flow to q (and bias) only — quantized operands are data.
+- Backward runs the dQ kernel with the SAME in-kernel dequant-on-load
+  (the reference likewise reuses the core flash kernels with dequantizing
+  loads for backward, ``QuantizedAttention.swift:1188-1228``); gradients
+  flow to q (and bias) only — quantized operands are data, so the dK/dV
+  kernel is skipped entirely (half the backward work).
 
 The mask zoo / GQA / L conventions are identical to ops/flash_attention.py
 (same step-table machinery).
@@ -46,14 +47,22 @@ from metal_flash_attention_plus_tpu.attention.masking import (
     MaskSpec,
 )
 from metal_flash_attention_plus_tpu.ops.flash_attention import (
+    FLAG_BOUNDARY,
+    FLAG_DUMMY,
+    FLAG_FIRST,
+    FLAG_LAST,
     LANES,
     NEG_INF,
     BlockSizes,
     _round_up,
+    build_step_flags,
     build_step_table,
     compute_row_ranges,
 )
-from metal_flash_attention_plus_tpu.ops.quantized_gemm import unpack_int4_tile
+from metal_flash_attention_plus_tpu.ops.quantized_gemm import (
+    dequant_kv_tile as _dequant_kv_tile,
+    unpack_int4_tile,
+)
 from metal_flash_attention_plus_tpu.quant.params import (
     QuantConfig,
     QuantGranularity,
@@ -61,20 +70,9 @@ from metal_flash_attention_plus_tpu.quant.params import (
 from metal_flash_attention_plus_tpu.quant.tensor import QuantizedTensor
 
 
-def _dequant_kv_tile(q_ref, s_ref, z_ref, bkv, d, bits, compute_dtype):
-    """(payload tile, per-token scale/zp) → float [bkv, d] tile."""
-    if bits == 4:
-        w = unpack_int4_tile(q_ref[0, 0], d)  # f32 [bkv, d]
-    else:
-        w = q_ref[0, 0].astype(jnp.int32).astype(jnp.float32)
-    scale = s_ref[0, 0]  # [bkv, 1]
-    zp = z_ref[0, 0]  # [bkv, 1] f32
-    return ((w - zp) * scale).astype(compute_dtype)
-
-
 def _qfwd_kernel(
     # scalar prefetch
-    si_ref, sj_ref, first_ref, last_ref, dummy_ref, ms_ref, me_ref,
+    si_ref, sj_ref, flags_ref,
     # tensors
     *refs,
     block_q: int,
@@ -98,11 +96,11 @@ def _qfwd_kernel(
     o_ref, l_ref, m_scr, l_scr, acc_scr = refs
 
     t = pl.program_id(2)
-    i = si_ref[t]
     j = sj_ref[t]
-    is_dummy = dummy_ref[t] == 1
+    flags = flags_ref[t]
+    is_dummy = (flags & FLAG_DUMMY) != 0
 
-    @pl.when(jnp.logical_and(first_ref[t] == 1, jnp.logical_not(is_dummy)))
+    @pl.when((flags & (FLAG_FIRST | FLAG_DUMMY)) == FLAG_FIRST)
     def _init():
         m_scr[...] = jnp.full_like(m_scr, NEG_INF)
         l_scr[...] = jnp.zeros_like(l_scr)
@@ -121,10 +119,6 @@ def _qfwd_kernel(
         if has_bias:
             s += bias_ref[0, 0].astype(jnp.float32)
         if has_mask:
-            interior = jnp.logical_and(
-                j * block_kv >= ms_ref[i], (j + 1) * block_kv <= me_ref[i]
-            )
-
             def _masked(s):
                 col = (
                     jax.lax.broadcasted_iota(
@@ -135,7 +129,9 @@ def _qfwd_kernel(
                 keep = jnp.logical_and(col >= rs_ref[...], col < re_ref[...])
                 return jnp.where(keep, s, mask_value)
 
-            s = jax.lax.cond(interior, lambda s: s, _masked, s)
+            s = jax.lax.cond(
+                (flags & FLAG_BOUNDARY) != 0, _masked, lambda s: s, s
+            )
 
         m_prev = m_scr[...]
         l_prev = l_scr[...]
@@ -163,7 +159,7 @@ def _qfwd_kernel(
         else:
             acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
 
-    @pl.when(jnp.logical_and(last_ref[t] == 1, jnp.logical_not(is_dummy)))
+    @pl.when((flags & (FLAG_LAST | FLAG_DUMMY)) == FLAG_LAST)
     def _store():
         lsum = l_scr[...]
         safe = jnp.where(lsum == 0.0, 1.0, lsum)
@@ -353,7 +349,7 @@ def quantized_flash_attention_forward(
     ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
+        num_scalar_prefetch=3,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -383,11 +379,7 @@ def quantized_flash_attention_forward(
     )(
         jnp.asarray(table.step_i),
         jnp.asarray(table.step_j),
-        jnp.asarray(table.first),
-        jnp.asarray(table.last),
-        jnp.asarray(table.dummy),
-        jnp.asarray(table.max_start),
-        jnp.asarray(table.min_end),
+        jnp.asarray(build_step_flags(table, bkv, has_mask)),
         *inputs,
     )
     return o[:, :, :sq, :], l[:, :, :sq, 0]
@@ -462,12 +454,10 @@ def _qattn_bwd(kv_meta, mask, scale, block_sizes, interleaved_kv, mask_value,
 
     q, kv_flat, bias, o, l = res
     k_qt, v_qt = _rebuild_kv(kv_flat, kv_meta)
-    # Backward reuses the float kernels on once-dequantized K/V
-    # (QuantizedAttention.swift:1188-1228 does the in-kernel equivalent).
-    kf = k_qt.dequantize().astype(q.dtype)
-    vf = v_qt.dequantize().astype(q.dtype)
+    # dQ kernel with in-kernel dequant-on-load; the dK/dV kernel is skipped
+    # (quantized operands are data — flash_attention_backward docstring).
     dq, _dk, _dv, dbias = flash_attention_backward(
-        q, kf, vf, o, l, do,
+        q, k_qt, v_qt, o, l, do,
         mask=mask, bias=bias, scale=scale, block_sizes=block_sizes,
         interleaved_kv=interleaved_kv, interpret=interpret,
         compute_dbias=bias is not None,

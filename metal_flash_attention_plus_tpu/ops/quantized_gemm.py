@@ -82,6 +82,21 @@ def unpack_int4_tile(qtile: jnp.ndarray, bk: int) -> jnp.ndarray:
     return jnp.concatenate(groups, axis=1)
 
 
+def dequant_kv_tile(q_ref, s_ref, z_ref, bkv, d, bits, compute_dtype):
+    """(4D payload tile ref, per-token scale/zp refs) → float [bkv, d] tile.
+
+    Shared by the quantized attention forward and backward kernels: widen
+    the int8 / group-planar-int4 payload and apply per-token (scale, zp).
+    """
+    if bits == 4:
+        w = unpack_int4_tile(q_ref[0, 0], d)  # f32 [bkv, d]
+    else:
+        w = q_ref[0, 0].astype(jnp.int32).astype(jnp.float32)
+    scale = s_ref[0, 0]  # [bkv, 1]
+    zp = z_ref[0, 0]  # [bkv, 1] f32
+    return ((w - zp) * scale).astype(compute_dtype)
+
+
 def _dequant_tile(qtile, scale_ref, zp_ref, j, k, *, cfg, bn, bk, out_dtype):
     """Widen + scale one [bn, bk] (or packed [bn, bk//2]) weight tile."""
     if cfg.bits == 4:

@@ -22,3 +22,11 @@ from metal_flash_attention_plus_tpu.parallel.ring import (  # noqa: F401
 from metal_flash_attention_plus_tpu.parallel.ulysses import (  # noqa: F401
     ulysses_attention,
 )
+from metal_flash_attention_plus_tpu.parallel.moe import (  # noqa: F401
+    init_moe_params,
+    moe_ffn,
+)
+from metal_flash_attention_plus_tpu.parallel.pipeline import (  # noqa: F401
+    broadcast_from_last_stage,
+    pipeline_apply,
+)

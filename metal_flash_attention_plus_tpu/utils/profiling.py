@@ -29,16 +29,19 @@ def _run_train(f: Callable, args, iters: int) -> float:
     return time.perf_counter() - t0
 
 
-def measure(f: Callable, *args, iters: int = 100, warmup: int = 5) -> float:
-    """Median-of-3 seconds-per-call over long fenced dispatch trains.
+def measure(
+    f: Callable, *args, iters: int = 100, warmup: int = 5, trains: int = 5
+) -> float:
+    """Min-of-N seconds-per-call over long fenced dispatch trains.
 
     A long train amortizes the per-call dispatch overhead (~30 µs here) and
     the readback fence; short-train slope estimates proved unstable on this
-    runtime (differences between trains were dominated by queue effects and
-    produced impossible >100%-of-peak readings)."""
+    runtime.  Min (not median): queue interference only ever ADDS time, and
+    cross-run medians still showed ±20% noise — enough to swamp real 5-10%
+    kernel deltas (docs/perf_notes.md)."""
     _run_train(f, args, max(1, warmup))
-    samples = sorted(_run_train(f, args, iters) / iters for _ in range(3))
-    return max(samples[1], 1e-9)
+    best = min(_run_train(f, args, iters) / iters for _ in range(trains))
+    return max(best, 1e-9)
 
 
 def tflops(flop_count: float, seconds: float) -> float:
