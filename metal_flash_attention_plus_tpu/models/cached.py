@@ -30,6 +30,7 @@ from metal_flash_attention_plus_tpu.serving.kv_cache import (
 )
 from metal_flash_attention_plus_tpu.serving.paged_attention import (
     paged_decode_attention,
+    paged_prefill_attention,
 )
 
 
@@ -74,6 +75,63 @@ def prefill(
         x = x + (y.astype(x.dtype) @ layer["wd"]).astype(x.dtype)
     hf = rms_norm(x[:, -1:], params["ln_f"])
     logits = (hf @ params["unembed"]).astype(jnp.float32)
+    return logits[0, 0], cache
+
+
+def prefill_chunk(
+    params,
+    tokens: jnp.ndarray,  # [C] one chunk of one sequence's prompt
+    offset: jnp.ndarray,  # scalar int32: chunk's first global position
+    last_index: jnp.ndarray,  # scalar int32: row whose logits to return
+    cache: PagedKVCache,
+    page_row: jnp.ndarray,  # [max_pages]
+    cfg: TransformerConfig,
+) -> Tuple[jnp.ndarray, PagedKVCache]:
+    """Chunked prefill: attend to the cached prefix + this chunk's causal
+    triangle via the paged-prefill kernel → (logits[last_index] [V], cache).
+
+    The chunk size is static (jit once per size); the engine pads chunks to
+    its budget — pad rows write KV into positions past the sequence end
+    (unreserved page slots map to the trash page) and their outputs are
+    ignored via ``last_index``.
+    """
+    c = tokens.shape[0]
+    positions = offset + jnp.arange(c)
+    x = params["embed"][tokens][None]  # [1, C, D]
+    hd = cfg.head_dim
+    pos2d = positions[None]  # [1, C]
+    for li, layer in enumerate(params["layers"]):
+        h = rms_norm(x, layer["ln1"])
+        q = _split_heads(h @ layer["wq"], cfg.num_heads, hd)
+        k = _split_heads(h @ layer["wk"], cfg.num_kv_heads, hd)
+        v = _split_heads(h @ layer["wv"], cfg.num_kv_heads, hd)
+        q = rope(q, pos2d, cfg.rope_theta)
+        k = rope(k, pos2d, cfg.rope_theta)
+        # Scatter this chunk's KV, then attend over prefix + chunk.
+        t = jnp.arange(c)
+        pidx = page_row[(offset + t) // cache.page_tokens]
+        off_in = (offset + t) % cache.page_tokens
+        k_pages = cache.k_pages.at[li, :, pidx, off_in, :].set(
+            k[0].transpose(1, 0, 2).astype(cache.k_pages.dtype)
+        )
+        v_pages = cache.v_pages.at[li, :, pidx, off_in, :].set(
+            v[0].transpose(1, 0, 2).astype(cache.v_pages.dtype)
+        )
+        import dataclasses as _dc
+
+        cache = _dc.replace(cache, k_pages=k_pages, v_pages=v_pages)
+        o = paged_prefill_attention(
+            q[0], cache.k_pages[li], cache.v_pages[li], page_row, offset
+        )  # [Hq, C, D]
+        attn = o.transpose(1, 0, 2).reshape(1, c, -1).astype(x.dtype)
+        x = x + (attn @ layer["wo"]).astype(x.dtype)
+        h2 = rms_norm(x, layer["ln2"])
+        y = jax.nn.silu((h2 @ layer["wg"]).astype(jnp.float32)) * (
+            h2 @ layer["wu"]
+        ).astype(jnp.float32)
+        x = x + (y.astype(x.dtype) @ layer["wd"]).astype(x.dtype)
+    h_last = rms_norm(x[0, last_index][None, None], params["ln_f"])
+    logits = (h_last @ params["unembed"]).astype(jnp.float32)
     return logits[0, 0], cache
 
 

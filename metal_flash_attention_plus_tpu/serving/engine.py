@@ -26,7 +26,6 @@ import numpy as np
 from metal_flash_attention_plus_tpu.models.cached import (
     decode_step,
     init_cache,
-    prefill,
 )
 from metal_flash_attention_plus_tpu.models.transformer import (
     TransformerConfig,
@@ -59,6 +58,7 @@ class ServingEngine:
         max_batch: int = 8,
         max_pages_per_seq: Optional[int] = None,
         cache_dtype=jnp.bfloat16,
+        chunk_size: Optional[int] = None,
     ):
         self.params = params
         self.cfg = cfg
@@ -68,11 +68,11 @@ class ServingEngine:
             num_pages, 4096 // page_tokens
         )
         self.pool = PagePool(num_pages, page_tokens)
-        # token_budget: whole prompts prefill in one chunk in this engine
-        # (the scheduler supports chunking; chunked prefill execution needs
-        # the cross-chunk attention path — see docs/serving.md).
+        # Prefill chunk size: every chunk pads to this, so the chunked
+        # prefill path compiles exactly once.
+        self.chunk_size = chunk_size or max(page_tokens, 256)
         self.sched = Scheduler(
-            self.pool, max_batch, token_budget=self.max_pages_per_seq * page_tokens
+            self.pool, max_batch, token_budget=self.chunk_size
         )
         self.cache = init_cache(cfg, num_pages, page_tokens, cache_dtype)
         self.requests: Dict[int, GenerationRequest] = {}
@@ -80,9 +80,12 @@ class ServingEngine:
         self._last_token: Dict[int, int] = {}
         self._lengths: Dict[int, int] = {}
 
+        from metal_flash_attention_plus_tpu.models.cached import prefill_chunk
+
         self._prefill_jit = jax.jit(
-            lambda params, tokens, cache, page_row: prefill(
-                params, tokens, cache, page_row, cfg
+            lambda params, tokens, offset, last_index, cache, page_row:
+            prefill_chunk(
+                params, tokens, offset, last_index, cache, page_row, cfg
             )
         )
         self._decode_jit = jax.jit(
@@ -121,19 +124,26 @@ class ServingEngine:
 
         for it in prefills:
             req = self.requests[it.request_id]
-            if it.chunk_start != 0 or it.chunk_len != len(req.prompt):
-                raise NotImplementedError(
-                    "chunked prefill execution (engine v1 runs whole prompts; "
-                    "raise the scheduler token budget)"
-                )
             self._seq_of[it.request_id] = it.seq_handle
-            tokens = jnp.asarray(req.prompt, jnp.int32)
+            # Pad the chunk to the fixed compile size; pad rows scatter into
+            # unreserved slots (trash page) and are masked out of the loss
+            # path by last_index.
+            chunk = req.prompt[it.chunk_start : it.chunk_start + it.chunk_len]
+            padded = np.zeros(self.chunk_size, np.int32)
+            padded[: len(chunk)] = chunk
             page_row = jnp.asarray(self._page_row(it.seq_handle))
             logits, self.cache = self._prefill_jit(
-                self.params, tokens, self.cache, page_row
+                self.params,
+                jnp.asarray(padded),
+                jnp.asarray(it.chunk_start, jnp.int32),
+                jnp.asarray(it.chunk_len - 1, jnp.int32),
+                self.cache,
+                page_row,
             )
-            nxt = int(jnp.argmax(logits))
-            self._emit(it.request_id, nxt)
+            if it.chunk_start + it.chunk_len == len(req.prompt):
+                # Prompt complete: the last position's logits yield the
+                # first generated token.
+                self._emit(it.request_id, int(jnp.argmax(logits)))
 
         if decodes:
             b = self.max_batch

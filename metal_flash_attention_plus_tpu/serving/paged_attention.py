@@ -105,6 +105,176 @@ def _decode_kernel(
         o_ref[0, 0] = (acc_scr[...] / safe).astype(o_ref.dtype)
 
 
+def _prefill_kernel(
+    # scalar prefetch
+    pt_ref,  # [max_pages] physical page ids (one sequence)
+    off_ref,  # [1] chunk's global start position
+    # tensors
+    q_ref,  # [1, rows_pad, D]  (rows = group·chunk, group-major)
+    k_ref,  # [1, page_tokens, D]
+    v_ref,
+    o_ref,  # [1, rows_pad, D]
+    m_scr,
+    l_scr,
+    acc_scr,
+    *,
+    page_tokens: int,
+    rows_pad: int,
+    chunk: int,
+    head_dim: int,
+    precision,
+):
+    j = pl.program_id(1)
+    off = off_ref[0]
+    total = off + chunk  # KV tokens visible to the last chunk row
+    live = j * page_tokens < total
+    last = jnp.logical_and(live, (j + 1) * page_tokens >= total)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    @pl.when(live)
+    def _compute():
+        q = q_ref[0]  # [rows_pad, D] pre-scaled
+        k = k_ref[0, 0]  # [page_tokens, D]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        # Causal in GLOBAL coordinates: row r (a group-major flattening of
+        # (g, c)) is chunk position c = r mod chunk, global off + c; it sees
+        # KV columns ≤ off + c.
+        row = jax.lax.broadcasted_iota(
+            jnp.int32, (rows_pad, page_tokens), 0
+        ) % chunk
+        col = jax.lax.broadcasted_iota(
+            jnp.int32, (rows_pad, page_tokens), 1
+        ) + j * page_tokens
+        s = jnp.where(col <= off + row, s, NEG_INF)
+
+        m_prev = m_scr[...][:, :1]
+        l_prev = l_scr[...][:, :1]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.where(
+            jnp.isneginf(m_prev), 0.0, jnp.exp(m_prev - m_next)
+        )
+        p = jnp.where(
+            jnp.isneginf(s), 0.0, jnp.exp(s - m_next)
+        )
+        l_scr[...] = jnp.broadcast_to(
+            alpha * l_prev + jnp.sum(p, axis=1, keepdims=True), l_scr.shape
+        )
+        m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
+        v = v_ref[0, 0]
+        pv = jax.lax.dot(
+            p.astype(v.dtype), v,
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        acc_scr[...] = acc_scr[...] * alpha + pv
+
+    @pl.when(last)
+    def _store():
+        lsum = l_scr[...][:, :1]
+        safe = jnp.where(lsum == 0.0, 1.0, lsum)
+        o_ref[0] = (acc_scr[...] / safe).astype(o_ref.dtype)
+
+
+def paged_prefill_attention(
+    q: jnp.ndarray,
+    k_pages: jnp.ndarray,
+    v_pages: jnp.ndarray,
+    page_row: jnp.ndarray,
+    offset: jnp.ndarray,
+    *,
+    scale: Optional[float] = None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Chunked-prefill attention for ONE sequence over its paged cache.
+
+    The chunk's K/V must already be written to the pages (the caller
+    scatters before attending, exactly like the decode path).  Causal
+    masking runs in global coordinates, so the chunk attends to the whole
+    cached prefix plus its own triangle.
+
+    Args:
+      q: [Hq, chunk, D] chunk queries (chunk is trace-time static).
+      k_pages, v_pages: [Hkv, num_pages, page_tokens, D].
+      page_row: [max_pages] int32 physical page ids for this sequence.
+      offset: scalar int32 — the chunk's first global position.
+
+    Returns [Hq, chunk, D] in q.dtype.
+    """
+    hq, chunk, d = q.shape
+    hkv, _n, page_tokens, dk = k_pages.shape
+    assert dk == d and v_pages.shape == k_pages.shape and hq % hkv == 0
+    group = hq // hkv
+    max_pages = page_row.shape[0]
+    if scale is None:
+        scale = float(d) ** -0.5
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    rows = group * chunk
+    rows_pad = max(8, rows)
+    qg = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    # [Hq, chunk, D] → [Hkv, group·chunk, D] group-major rows.
+    qg = qg.reshape(hkv, rows, d)
+    if rows_pad != rows:
+        qg = jnp.pad(qg, ((0, 0), (0, rows_pad - rows), (0, 0)))
+
+    def page_index(h, j, pt, off):
+        last_page = jnp.maximum(off[0] + chunk - 1, 0) // page_tokens
+        return (h, pt[jnp.minimum(j, last_page)], 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(hkv, max_pages),
+        in_specs=[
+            pl.BlockSpec((1, rows_pad, d), lambda h, j, pt, off: (h, 0, 0)),
+            pl.BlockSpec((1, 1, page_tokens, d), page_index),
+            pl.BlockSpec((1, 1, page_tokens, d), page_index),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, rows_pad, d), lambda h, j, pt, off: (h, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows_pad, 128), jnp.float32),
+            pltpu.VMEM((rows_pad, 128), jnp.float32),
+            pltpu.VMEM((rows_pad, d), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _prefill_kernel,
+        page_tokens=page_tokens,
+        rows_pad=rows_pad,
+        chunk=chunk,
+        head_dim=d,
+        precision=(
+            jax.lax.Precision.HIGHEST
+            if q.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        ),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((hkv, rows_pad, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        page_row.astype(jnp.int32),
+        jnp.asarray(offset, jnp.int32).reshape(1),
+        qg, k_pages, v_pages,
+    )
+    return out[:, :rows, :].reshape(hq, chunk, d)
+
+
 def paged_decode_attention(
     q: jnp.ndarray,
     k_pages: jnp.ndarray,

@@ -115,7 +115,8 @@ def _uncached_greedy(params, prompt, n_tokens):
     return toks[len(prompt):]
 
 
-def test_engine_matches_uncached_greedy():
+@pytest.mark.parametrize("chunk_size", [None, 16], ids=["one-chunk", "chunked"])
+def test_engine_matches_uncached_greedy(chunk_size):
     from metal_flash_attention_plus_tpu.runtime import native_available
 
     if not native_available():
@@ -129,11 +130,11 @@ def test_engine_matches_uncached_greedy():
     prompts = {
         1: [5, 9, 17, 3, 22, 8, 1],
         2: [100, 42],
-        3: [7] * 19,
+        3: [7] * 19,  # > chunk_size=16 → exercises multi-chunk prefill
     }
     engine = ServingEngine(
         params, CFG, num_pages=32, page_tokens=16, max_batch=2,
-        cache_dtype=jnp.float32,
+        cache_dtype=jnp.float32, chunk_size=chunk_size,
     )
     for rid, p in prompts.items():
         engine.submit(GenerationRequest(rid, p, max_new_tokens=5))
@@ -142,3 +143,43 @@ def test_engine_matches_uncached_greedy():
     for rid, p in prompts.items():
         expect = _uncached_greedy(params, p, 5)
         assert out[rid] == expect, (rid, out[rid], expect)
+
+
+def test_paged_prefill_matches_reference():
+    from metal_flash_attention_plus_tpu.serving.paged_attention import (
+        paged_prefill_attention,
+    )
+
+    hq, hkv, d, pt, npages = 4, 2, 64, 32, 8
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    total, chunk = 150, 48  # chunk covers rows [102, 150)
+    offset = total - chunk
+    q = jax.random.normal(ks[0], (hq, chunk, d), jnp.float32)
+    k_full = jax.random.normal(ks[1], (hkv, total, d), jnp.float32)
+    v_full = jax.random.normal(ks[2], (hkv, total, d), jnp.float32)
+
+    k_pages = jnp.zeros((hkv, npages + 1, pt, d), jnp.float32)
+    v_pages = jnp.zeros_like(k_pages)
+    n = -(-total // pt)
+    row = np.full(n + 1, npages, np.int32)
+    row[:n] = np.arange(n)
+    for j in range(n):
+        lo, hi = j * pt, min((j + 1) * pt, total)
+        k_pages = k_pages.at[:, j, : hi - lo].set(k_full[:, lo:hi])
+        v_pages = v_pages.at[:, j, : hi - lo].set(v_full[:, lo:hi])
+
+    o = paged_prefill_attention(
+        q, k_pages, v_pages, jnp.asarray(row), jnp.asarray(offset)
+    )
+    # Dense reference: rows at global positions offset..total-1, causal.
+    from metal_flash_attention_plus_tpu.attention.masking import (
+        MaskKind, MaskSpec,
+    )
+
+    o_ref, _ = reference_attention(
+        q[None], k_full[None], v_full[None],
+        mask=MaskSpec(kind=MaskKind.CAUSAL),
+    )
+    np.testing.assert_allclose(
+        np.asarray(o), np.asarray(o_ref[0]), atol=2e-5
+    )
