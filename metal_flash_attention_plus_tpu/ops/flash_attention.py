@@ -247,22 +247,88 @@ def build_step_flags(
     return flags.astype(np.int32)
 
 
+def build_block_bounds(
+    row_ranges: np.ndarray, block_q: int, block_kv: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Per-q-block kv-block bounds for the dense (i, j) grid: int32 [ni]
+    arrays (lo, hi, max_start, min_end).  [lo, hi) is the live kv-block
+    window of q-block i; max_start/min_end are the all-rows-live bounds for
+    the interior (skip-element-masking) test.  Empty q-blocks get lo==hi."""
+    sq_pad = row_ranges.shape[0]
+    ni = sq_pad // block_q
+    start = row_ranges[:, 0].reshape(ni, block_q).astype(np.int64)
+    end = row_ranges[:, 1].reshape(ni, block_q).astype(np.int64)
+    live = end > start
+    any_live = live.any(axis=1)
+    all_live = live.all(axis=1)
+    big = np.int64(np.iinfo(np.int32).max)
+    start_masked = np.where(live, start, big)
+    lo = np.where(any_live, start_masked.min(axis=1) // block_kv, 0)
+    hi = np.where(any_live, -(-end.max(axis=1) // block_kv), 0)
+    max_start = np.where(all_live, start.max(axis=1), big)
+    min_end = np.where(all_live, end.min(axis=1), -1)
+    return (
+        lo.astype(np.int32),
+        hi.astype(np.int32),
+        max_start.astype(np.int32),
+        min_end.astype(np.int32),
+    )
+
+
+def resolve_mask_mode(mask: MaskSpec, has_mask: bool, sq: int, skv: int):
+    """Pick the kernel masking mode + affine coefficients.
+
+    Affine masks (start = max(0, row + A), end = min(cap, row + B), rows ≥
+    seq_q dead) cover NONE (padding-only) / CAUSAL / SLIDING_WINDOW exactly
+    — no per-step range-array input streams.  Data-driven masks
+    (SPARSE_RANGES / BLOCK_SPARSE) fall back to streamed rs/re tiles.
+    """
+    off = skv - sq
+    big = 1 << 30
+    if not has_mask:
+        return "none", (0, 0, 0, 0)
+    if mask.kind in (MaskKind.NONE, MaskKind.CAUSAL):
+        b_off = off + 1 if mask.kind == MaskKind.CAUSAL else big
+        return "affine", (-big, b_off, sq, skv)
+    if mask.kind == MaskKind.SLIDING_WINDOW:
+        half = max(1, mask.window_size) // 2
+        b_off = min(half, off + 1) if mask.causal else half
+        return "affine", (-half, b_off, sq, skv)
+    return "ranges", (0, 0, 0, 0)
+
+
 def _fwd_kernel(
-    # scalar prefetch
-    si_ref,
-    sj_ref,
-    flags_ref,
+    # scalar prefetch: per-q-block kv bounds
+    lo_ref,
+    hi_ref,
     # tensor inputs (optional ones gated by flags)
     *refs,
     block_q: int,
     block_kv: int,
     head_dim: int,
-    has_mask: bool,
+    mask_mode: str,  # "none" | "affine" | "ranges"
+    affine: Tuple[int, int, int, int],  # (A, B, seq_q, cap): see wrapper
     has_bias: bool,
     mask_value: float,
     precision,
 ):
-    if has_mask:
+    # Dense (i, j) schedule: grid j spans the widest live window; dead steps
+    # (j past this q-block's window) skip compute with `when` and their
+    # index maps clamp to the previous block so no fetch is issued.  This
+    # measured 1.3× faster on causal than the flattened live-tile schedule:
+    # q-block transitions there cost ~185 µs of pipeline stall each, while
+    # a dead step costs ~26 µs (docs/perf_notes.md).
+    #
+    # Builtin masks (causal / sliding window / padding) are AFFINE in the
+    # row index — start/end = row + static offset — rebuilt from iota +
+    # closure constants ("function constants"); data-driven range masks
+    # (sparse ranges / block-sparse) stream rs/re tiles.  Masking is applied
+    # UNCONDITIONALLY on every live tile: a `lax.cond` boundary-skip
+    # measured 0.56 ms/dispatch (it spills the score tile across the
+    # branch), while the fused iota/where masking itself is free
+    # (docs/perf_notes.md).
+    has_mask = mask_mode != "none"
+    if mask_mode == "ranges":
         rs_ref, re_ref = refs[0], refs[1]
         refs = refs[2:]
     q_ref, k_ref, v_ref = refs[0], refs[1], refs[2]
@@ -272,18 +338,20 @@ def _fwd_kernel(
         refs = refs[1:]
     o_ref, l_ref, m_scr, l_scr, acc_scr = refs
 
-    t = pl.program_id(2)
-    j = sj_ref[t]
-    flags = flags_ref[t]
-    is_dummy = (flags & FLAG_DUMMY) != 0
+    i = pl.program_id(2)
+    j = pl.program_id(3)
+    lo = lo_ref[i]
+    run = hi_ref[i] - lo
+    kvj = lo + j
+    live = j < run
 
-    @pl.when((flags & (FLAG_FIRST | FLAG_DUMMY)) == FLAG_FIRST)
+    @pl.when(j == 0)
     def _init():
         m_scr[...] = jnp.full_like(m_scr, NEG_INF)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    @pl.when(jnp.logical_not(is_dummy))
+    @pl.when(live)
     def _compute():
         q = q_ref[0, 0]  # [block_q, D] (pre-scaled by softmax scale)
         k = k_ref[0, 0]  # [block_kv, D]
@@ -297,21 +365,26 @@ def _fwd_kernel(
         if has_bias:
             s += bias_ref[0, 0].astype(jnp.float32)
         if has_mask:
-            # Element masking only on boundary tiles (host-flagged);
-            # interior tiles skip the VPU mask pass entirely.
-            def _masked(s):
-                col = (
-                    jax.lax.broadcasted_iota(
-                        jnp.int32, (block_q, block_kv), 1
-                    )
-                    + j * block_kv
-                )
-                keep = jnp.logical_and(col >= rs_ref[...], col < re_ref[...])
-                return jnp.where(keep, s, mask_value)
-
-            s = jax.lax.cond(
-                (flags & FLAG_BOUNDARY) != 0, _masked, lambda s: s, s
+            col = (
+                jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
+                + kvj * block_kv
             )
+            if mask_mode == "affine":
+                a_off, b_off, seq_q, cap = affine
+                row = (
+                    jax.lax.broadcasted_iota(
+                        jnp.int32, (block_q, block_kv), 0
+                    )
+                    + i * block_q
+                )
+                keep = jnp.logical_and(
+                    col >= jnp.maximum(0, row + a_off),
+                    col < jnp.minimum(cap, row + b_off),
+                )
+                keep = jnp.logical_and(keep, row < seq_q)
+            else:
+                keep = jnp.logical_and(col >= rs_ref[...], col < re_ref[...])
+            s = jnp.where(keep, s, mask_value)
 
         m_prev = m_scr[...]  # [block_q, 128] lane-replicated
         l_prev = l_scr[...]
@@ -339,7 +412,7 @@ def _fwd_kernel(
         else:
             acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
 
-    @pl.when((flags & (FLAG_LAST | FLAG_DUMMY)) == FLAG_LAST)
+    @pl.when(j == jnp.maximum(run, 1) - 1)
     def _store():
         lsum = l_scr[...]  # [block_q, 128]
         safe = jnp.where(lsum == 0.0, 1.0, lsum)
@@ -354,16 +427,25 @@ def _fwd_kernel(
         if has_mask:
             # Rows whose whole range is empty self-accumulate the uniform
             # exp(0) garbage of the sentinel trick; zero them explicitly.
-            live = re_ref[...] > rs_ref[...]  # [block_q, 1]
+            # (Fully-empty q-blocks take this path at j == 0 with zeroed
+            # scratch: lsum == 0 → out 0, lse -inf.)
+            if mask_mode == "affine":
+                a_off, b_off, seq_q, cap = affine
+                row = (
+                    jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
+                    + i * block_q
+                )
+                live = jnp.logical_and(
+                    row < seq_q,
+                    jnp.minimum(cap, row + b_off)
+                    > jnp.maximum(0, row + a_off),
+                )
+            else:
+                live = re_ref[...] > rs_ref[...]  # [block_q, 1]
             out = jnp.where(live, out, 0.0)
             lse = jnp.where(live, lse, NEG_INF)
         o_ref[0, 0] = out.astype(o_ref.dtype)
         l_ref[0, 0] = lse
-
-    @pl.when(is_dummy)
-    def _store_empty():
-        o_ref[0, 0] = jnp.zeros_like(o_ref[0, 0])
-        l_ref[0, 0] = jnp.full(l_ref.shape[2:], NEG_INF, l_ref.dtype)
 
     # L is written lane-replicated [block_q, 128] (layout [B, H, Sq, 128])
     # to avoid a sublane->lane relayout at every q-block transition; the
@@ -440,20 +522,30 @@ def flash_attention_forward(
         seq_q_padded=sq_p,
         seq_kv_cap=skv,
     )
-    table = build_step_table(row_ranges, bq, bkv)
+    lo_arr, hi_arr, _ms_arr, _me_arr = build_block_bounds(row_ranges, bq, bkv)
+    mask_mode, affine = resolve_mask_mode(mask, has_mask, sq, skv)
+    ni = sq_p // bq
+    nj_all = skv_p // bkv
+    nj_max = max(1, int((hi_arr - lo_arr).max()))
 
-    grid = (b, hq, table.num_steps)
+    grid = (b, hq, ni, nj_max)
     q_per_kv = hq // hkv
 
     def kv_head(h):
         return (h % hkv) if interleaved_kv else (h // q_per_kv)
 
+    def kv_block(i, j, lo, hi):
+        # Clamp dead steps to the window's last live block: the index map
+        # repeats, so the pipeline skips the fetch.
+        run = hi[i] - lo[i]
+        return jnp.clip(lo[i] + jnp.minimum(j, run - 1), 0, nj_all - 1)
+
     in_specs = []
     inputs = []
-    if has_mask:
+    if mask_mode == "ranges":
         in_specs += [
-            pl.BlockSpec((bq, 1), lambda bi, h, t, si, sj, *_: (si[t], 0)),
-            pl.BlockSpec((bq, 1), lambda bi, h, t, si, sj, *_: (si[t], 0)),
+            pl.BlockSpec((bq, 1), lambda bi, h, i, j, lo, hi, *_: (i, 0)),
+            pl.BlockSpec((bq, 1), lambda bi, h, i, j, lo, hi, *_: (i, 0)),
         ]
         inputs += [
             jnp.asarray(row_ranges[:, 0:1]),
@@ -461,15 +553,19 @@ def flash_attention_forward(
         ]
     in_specs += [
         pl.BlockSpec(
-            (1, 1, bq, d), lambda bi, h, t, si, sj, *_: (bi, h, si[t], 0)
+            (1, 1, bq, d), lambda bi, h, i, j, lo, hi, *_: (bi, h, i, 0)
         ),
         pl.BlockSpec(
             (1, 1, bkv, d),
-            lambda bi, h, t, si, sj, *_: (bi, kv_head(h), sj[t], 0),
+            lambda bi, h, i, j, lo, hi, *_: (
+                bi, kv_head(h), kv_block(i, j, lo, hi), 0
+            ),
         ),
         pl.BlockSpec(
             (1, 1, bkv, d),
-            lambda bi, h, t, si, sj, *_: (bi, kv_head(h), sj[t], 0),
+            lambda bi, h, i, j, lo, hi, *_: (
+                bi, kv_head(h), kv_block(i, j, lo, hi), 0
+            ),
         ),
     ]
     inputs += [q, k, v]
@@ -477,12 +573,12 @@ def flash_attention_forward(
         bias_batch_bcast = bias.shape[0] == 1
         bias_head_bcast = bias.shape[1] == 1
 
-        def bias_map(bi, h, t, si, sj, *_):
+        def bias_map(bi, h, i, j, lo, hi, *_):
             return (
                 0 if bias_batch_bcast else bi,
                 0 if bias_head_bcast else h,
-                si[t],
-                sj[t],
+                i,
+                kv_block(i, j, lo, hi),
             )
 
         in_specs.append(pl.BlockSpec((1, 1, bq, bkv), bias_map))
@@ -493,7 +589,8 @@ def flash_attention_forward(
         block_q=bq,
         block_kv=bkv,
         head_dim=d,
-        has_mask=has_mask,
+        mask_mode=mask_mode,
+        affine=affine,
         has_bias=bias is not None,
         mask_value=mask_value,
         # FP32 pipelines need true-fp32 MXU passes to hit the 2e-5 gate;
@@ -511,15 +608,15 @@ def flash_attention_forward(
     ]
     out_specs = [
         pl.BlockSpec(
-            (1, 1, bq, d), lambda bi, h, t, si, sj, *_: (bi, h, si[t], 0)
+            (1, 1, bq, d), lambda bi, h, i, j, lo, hi, *_: (bi, h, i, 0)
         ),
         pl.BlockSpec(
-            (1, 1, bq, LANES), lambda bi, h, t, si, sj, *_: (bi, h, si[t], 0)
+            (1, 1, bq, LANES), lambda bi, h, i, j, lo, hi, *_: (bi, h, i, 0)
         ),
     ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -530,13 +627,15 @@ def flash_attention_forward(
         ],
     )
 
-    live_tiles = int(np.sum(table.dummy == 0))
+    live_tiles = int((hi_arr - lo_arr).sum())
     o, l = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=(
+                "parallel", "parallel", "arbitrary", "arbitrary"
+            ),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * hq * live_tiles * bq * bkv * d,
@@ -545,9 +644,8 @@ def flash_attention_forward(
         ),
         interpret=interpret,
     )(
-        jnp.asarray(table.step_i),
-        jnp.asarray(table.step_j),
-        jnp.asarray(build_step_flags(table, bkv, has_mask)),
+        jnp.asarray(lo_arr),
+        jnp.asarray(hi_arr),
         *inputs,
     )
 

@@ -42,18 +42,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from metal_flash_attention_plus_tpu.ops.flash_attention import (
-    FLAG_BOUNDARY,
-    FLAG_DUMMY,
-    FLAG_FIRST,
-    FLAG_LAST,
     LANES,
     NEG_INF,
     BlockSizes,
-    StepTable,
     _round_up,
-    build_step_flags,
-    build_step_table,
+    build_block_bounds,
     compute_row_ranges,
+    resolve_mask_mode,
 )
 from metal_flash_attention_plus_tpu.attention.masking import (
     MaskKind,
@@ -80,21 +75,25 @@ def _precision_for(dtype):
 
 
 def _dq_kernel(
-    si_ref,
-    sj_ref,
-    flags_ref,
+    lo_ref,
+    hi_ref,
     *refs,
     block_q: int,
     block_kv: int,
     head_dim: int,
     scale: float,
-    has_mask: bool,
+    mask_mode: str,
+    affine,
     has_bias: bool,
     want_dbias: bool,
     kv_bits: Optional[int],
     precision,
 ):
-    if has_mask:
+    # Dense (i, j) schedule with unconditional masking — see the forward
+    # kernel for the measured rationale (flattened schedules stall ~185 µs
+    # per q-block transition; lax.cond boundary-skips spill the score tile).
+    has_mask = mask_mode != "none"
+    if mask_mode == "ranges":
         rs_ref, re_ref = refs[:2]
         refs = refs[2:]
     if kv_bits is None:
@@ -115,16 +114,18 @@ def _dq_kernel(
     else:
         dq_ref, dq_acc = refs
 
-    t = pl.program_id(2)
-    j = sj_ref[t]
-    flags = flags_ref[t]
-    is_dummy = (flags & FLAG_DUMMY) != 0
+    i = pl.program_id(2)
+    j = pl.program_id(3)
+    lo = lo_ref[i]
+    run = hi_ref[i] - lo
+    kvj = lo + j
+    live = j < run
 
-    @pl.when((flags & (FLAG_FIRST | FLAG_DUMMY)) == FLAG_FIRST)
+    @pl.when(j == 0)
     def _init():
         dq_acc[...] = jnp.zeros_like(dq_acc)
 
-    @pl.when(jnp.logical_not(is_dummy))
+    @pl.when(live)
     def _compute():
         q = q_ref[0, 0]  # [bq, D] pre-scaled
         if kv_bits is None:
@@ -145,17 +146,26 @@ def _dq_kernel(
         l_wide = pltpu.repeat(l, block_kv // LANES, axis=1)
         p = jnp.exp(s - l_wide)
         if has_mask:
-            def _masked(p):
-                col = (
-                    jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
-                    + j * block_kv
-                )
-                keep = jnp.logical_and(col >= rs_ref[...], col < re_ref[...])
-                return jnp.where(keep, p, 0.0)
-
-            p = jax.lax.cond(
-                (flags & FLAG_BOUNDARY) != 0, _masked, lambda p: p, p
+            col = (
+                jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
+                + kvj * block_kv
             )
+            if mask_mode == "affine":
+                a_off, b_off, seq_q, cap = affine
+                row = (
+                    jax.lax.broadcasted_iota(
+                        jnp.int32, (block_q, block_kv), 0
+                    )
+                    + i * block_q
+                )
+                keep = jnp.logical_and(
+                    col >= jnp.maximum(0, row + a_off),
+                    col < jnp.minimum(cap, row + b_off),
+                )
+                keep = jnp.logical_and(keep, row < seq_q)
+            else:
+                keep = jnp.logical_and(col >= rs_ref[...], col < re_ref[...])
+            p = jnp.where(keep, p, 0.0)
 
         do = do_ref[0, 0]  # [bq, D]
         if kv_bits is None:
@@ -177,15 +187,9 @@ def _dq_kernel(
             preferred_element_type=jnp.float32, precision=precision,
         )
 
-    @pl.when((flags & (FLAG_LAST | FLAG_DUMMY)) == FLAG_LAST)
+    @pl.when(j == jnp.maximum(run, 1) - 1)
     def _store():
         dq_ref[0, 0] = (dq_acc[...] * scale).astype(dq_ref.dtype)
-
-    @pl.when(is_dummy)
-    def _store_zero():
-        dq_ref[0, 0] = jnp.zeros_like(dq_ref[0, 0])
-        if want_dbias:
-            dbias_ref[0, 0] = jnp.zeros_like(dbias_ref[0, 0])
 
 
 # ---------------------------------------------------------------------------
@@ -193,84 +197,48 @@ def _dq_kernel(
 # ---------------------------------------------------------------------------
 
 
-@dataclasses.dataclass(frozen=True)
-class KVStepTable:
-    """Transposed schedule: steps ordered by KV block, then Q-head-in-group,
-    then Q block; plus per-(i) full-live bounds (shared with forward)."""
-
-    step_i: np.ndarray  # q block
-    step_j: np.ndarray  # kv block
-    step_g: np.ndarray  # q-head index within the GQA group
-    first: np.ndarray
-    last: np.ndarray
-    dummy: np.ndarray
-    max_start: np.ndarray
-    min_end: np.ndarray
-
-    @property
-    def num_steps(self) -> int:
-        return len(self.step_i)
-
-
-def build_kv_step_table(
+def build_kv_block_bounds(
     row_ranges: np.ndarray,
     block_q: int,
     block_kv: int,
     num_kv_blocks: int,
-    group: int,
-) -> KVStepTable:
-    fwd = build_step_table(row_ranges, block_q, block_kv)
-    ni = row_ranges.shape[0] // block_q
+):
+    """Per-KV-block live q-block bounds (ilo, ihi) int32 [nj] — the
+    transposed counterpart of build_block_bounds.  Non-contiguous live sets
+    (pathological range masks) are covered by the span [min, max+1]; the
+    kernel's unconditional masking zeroes the gaps' contributions."""
+    lo, hi, _ms, _me = build_block_bounds(row_ranges, block_q, block_kv)
+    ni = lo.shape[0]
     live = np.zeros((ni, num_kv_blocks), dtype=bool)
-    for i, j, dm in zip(fwd.step_i, fwd.step_j, fwd.dummy):
-        if not dm:
-            live[i, j] = True
-
-    si, sj, sg, first, last, dummy = [], [], [], [], [], []
-    for j in range(num_kv_blocks):
-        rows = np.nonzero(live[:, j])[0]
-        if rows.size == 0:
-            si.append(0)
-            sj.append(j)
-            sg.append(0)
-            first.append(1)
-            last.append(1)
-            dummy.append(1)
-            continue
-        steps = [(g, i) for g in range(group) for i in rows]
-        for idx, (g, i) in enumerate(steps):
-            si.append(i)
-            sj.append(j)
-            sg.append(g)
-            first.append(1 if idx == 0 else 0)
-            last.append(1 if idx == len(steps) - 1 else 0)
-            dummy.append(0)
-    return KVStepTable(
-        step_i=np.asarray(si, np.int32),
-        step_j=np.asarray(sj, np.int32),
-        step_g=np.asarray(sg, np.int32),
-        first=np.asarray(first, np.int32),
-        last=np.asarray(last, np.int32),
-        dummy=np.asarray(dummy, np.int32),
-        max_start=fwd.max_start,
-        min_end=fwd.min_end,
+    for i in range(ni):
+        live[i, lo[i] : hi[i]] = True
+    any_live = live.any(axis=0)
+    big = np.int32(ni)
+    first_i = np.where(any_live, live.argmax(axis=0), 0)
+    last_i = np.where(
+        any_live, ni - 1 - live[::-1].argmax(axis=0) + 1, 0
     )
+    return first_i.astype(np.int32), last_i.astype(np.int32)
 
 
 def _dkv_kernel(
-    si_ref,
-    sj_ref,
-    sg_ref,
-    flags_ref,
+    ilo_ref,
+    ihi_ref,
     *refs,
     block_q: int,
     block_kv: int,
     head_dim: int,
-    has_mask: bool,
+    group: int,
+    ni_max: int,
+    mask_mode: str,
+    affine,
     has_bias: bool,
     precision,
 ):
-    if has_mask:
+    # Grid (b, hkv, j, group·ni_max): the 4th dim enumerates (g, q-block)
+    # pairs; per-KV-block live q-block bounds arrive via scalar prefetch.
+    has_mask = mask_mode != "none"
+    if mask_mode == "ranges":
         rs_ref, re_ref = refs[:2]  # row vectors [1, bq]
         refs = refs[2:]
     q_ref, k_ref, v_ref, do_ref, l_ref, d_ref = refs[:6]
@@ -280,17 +248,20 @@ def _dkv_kernel(
         refs = refs[1:]
     dk_ref, dv_ref, dk_acc, dv_acc = refs
 
-    t = pl.program_id(2)
-    j = sj_ref[t]
-    flags = flags_ref[t]
-    is_dummy = (flags & FLAG_DUMMY) != 0
+    j = pl.program_id(2)
+    t = pl.program_id(3)
+    ioff = t % ni_max
+    ilo = ilo_ref[j]
+    run = ihi_ref[j] - ilo
+    iq = ilo + ioff
+    live = ioff < run
 
-    @pl.when((flags & (FLAG_FIRST | FLAG_DUMMY)) == FLAG_FIRST)
+    @pl.when(t == 0)
     def _init():
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dv_acc[...] = jnp.zeros_like(dv_acc)
 
-    @pl.when(jnp.logical_not(is_dummy))
+    @pl.when(live)
     def _compute():
         k = k_ref[0, 0]  # [bkv, D]
         q = q_ref[0, 0]  # [bq, D] pre-scaled
@@ -305,17 +276,28 @@ def _dkv_kernel(
         d_row = d_ref[0, 0]
         pt = jnp.exp(st - l_row)
         if has_mask:
-            def _masked(pt):
-                col = (
-                    jax.lax.broadcasted_iota(jnp.int32, (block_kv, block_q), 0)
-                    + j * block_kv
-                )
-                keep = jnp.logical_and(col >= rs_ref[...], col < re_ref[...])
-                return jnp.where(keep, pt, 0.0)
-
-            pt = jax.lax.cond(
-                (flags & FLAG_BOUNDARY) != 0, _masked, lambda pt: pt, pt
+            kvpos = (
+                jax.lax.broadcasted_iota(jnp.int32, (block_kv, block_q), 0)
+                + j * block_kv
             )
+            if mask_mode == "affine":
+                a_off, b_off, seq_q, cap = affine
+                qrow = (
+                    jax.lax.broadcasted_iota(
+                        jnp.int32, (block_kv, block_q), 1
+                    )
+                    + iq * block_q
+                )
+                keep = jnp.logical_and(
+                    kvpos >= jnp.maximum(0, qrow + a_off),
+                    kvpos < jnp.minimum(cap, qrow + b_off),
+                )
+                keep = jnp.logical_and(keep, qrow < seq_q)
+            else:
+                keep = jnp.logical_and(
+                    kvpos >= rs_ref[...], kvpos < re_ref[...]
+                )
+            pt = jnp.where(keep, pt, 0.0)
 
         do = do_ref[0, 0]  # [bq, D]
         v = v_ref[0, 0]  # [bkv, D]
@@ -333,15 +315,12 @@ def _dkv_kernel(
             preferred_element_type=jnp.float32, precision=precision,
         )
 
-    @pl.when((flags & (FLAG_LAST | FLAG_DUMMY)) == FLAG_LAST)
+    @pl.when(
+        t == (group - 1) * ni_max + jnp.maximum(run, 1) - 1
+    )
     def _store():
         dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
-
-    @pl.when(is_dummy)
-    def _store_zero():
-        dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
-        dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
 
 
 # ---------------------------------------------------------------------------
@@ -466,13 +445,22 @@ def flash_attention_backward(
         return (g * hkv + h) if interleaved_kv else (h * group + g)
 
     # ----- dQ kernel -----
-    table = build_step_table(row_ranges, bq_dq, bkv_dq)
+    lo_arr, hi_arr, _ms, _me = build_block_bounds(row_ranges, bq_dq, bkv_dq)
+    mask_mode, affine = resolve_mask_mode(mask, has_mask, sq, skv)
+    ni_dq = sq_p // bq_dq
+    nj_all_dq = skv_p // bkv_dq
+    nj_max_dq = max(1, int((hi_arr - lo_arr).max()))
+
+    def kv_block_dq(i, j, lo, hi):
+        run = hi[i] - lo[i]
+        return jnp.clip(lo[i] + jnp.minimum(j, run - 1), 0, nj_all_dq - 1)
+
     in_specs = []
     inputs = []
-    if has_mask:
+    if mask_mode == "ranges":
         in_specs += [
-            pl.BlockSpec((bq_dq, 1), lambda bi, h, t, si, sj, *_: (si[t], 0)),
-            pl.BlockSpec((bq_dq, 1), lambda bi, h, t, si, sj, *_: (si[t], 0)),
+            pl.BlockSpec((bq_dq, 1), lambda bi, h, i, j, lo, hi: (i, 0)),
+            pl.BlockSpec((bq_dq, 1), lambda bi, h, i, j, lo, hi: (i, 0)),
         ]
         inputs += [
             jnp.asarray(row_ranges[:, 0:1]),
@@ -481,14 +469,16 @@ def flash_attention_backward(
     def kv_spec(width):
         return pl.BlockSpec(
             (1, 1, bkv_dq, width),
-            lambda bi, h, t, si, sj, *_: (bi, kv_head(h), sj[t], 0),
+            lambda bi, h, i, j, lo, hi: (
+                bi, kv_head(h), kv_block_dq(i, j, lo, hi), 0
+            ),
         )
 
     q_spec = pl.BlockSpec(
-        (1, 1, bq_dq, d), lambda bi, h, t, si, sj, *_: (bi, h, si[t], 0)
+        (1, 1, bq_dq, d), lambda bi, h, i, j, lo, hi: (bi, h, i, 0)
     )
     stat_spec = pl.BlockSpec(
-        (1, 1, bq_dq, LANES), lambda bi, h, t, si, sj, *_: (bi, h, si[t], 0)
+        (1, 1, bq_dq, LANES), lambda bi, h, i, j, lo, hi: (bi, h, i, 0)
     )
     if kv_quant:
         in_specs += [
@@ -510,8 +500,9 @@ def flash_attention_backward(
         in_specs.append(
             pl.BlockSpec(
                 (1, 1, bq_dq, bkv_dq),
-                lambda bi, h, t, si, sj, *_: (
-                    0 if bb else bi, 0 if bh else h, si[t], sj[t]
+                lambda bi, h, i, j, lo, hi: (
+                    0 if bb else bi, 0 if bh else h, i,
+                    kv_block_dq(i, j, lo, hi),
                 ),
             )
         )
@@ -520,7 +511,7 @@ def flash_attention_backward(
     out_shape = [jax.ShapeDtypeStruct((b, hq, sq_p, d), jnp.float32)]
     out_specs = [
         pl.BlockSpec(
-            (1, 1, bq_dq, d), lambda bi, h, t, si, sj, *_: (bi, h, si[t], 0)
+            (1, 1, bq_dq, d), lambda bi, h, i, j, lo, hi: (bi, h, i, 0)
         )
     ]
     io_aliases = {}
@@ -531,7 +522,9 @@ def flash_attention_backward(
         out_specs.append(
             pl.BlockSpec(
                 (1, 1, bq_dq, bkv_dq),
-                lambda bi, h, t, si, sj, *_: (bi, h, si[t], sj[t]),
+                lambda bi, h, i, j, lo, hi: (
+                    bi, h, i, kv_block_dq(i, j, lo, hi)
+                ),
             )
         )
         # Unvisited (fully masked) tiles must read as zero: alias a zeros
@@ -540,11 +533,13 @@ def flash_attention_backward(
         in_specs.append(
             pl.BlockSpec(
                 (1, 1, bq_dq, bkv_dq),
-                lambda bi, h, t, si, sj, *_: (bi, h, si[t], sj[t]),
+                lambda bi, h, i, j, lo, hi: (
+                    bi, h, i, kv_block_dq(i, j, lo, hi)
+                ),
             )
         )
         inputs.append(zeros)
-        n_prefetch = 3
+        n_prefetch = 2
         io_aliases = {n_prefetch + len(inputs) - 1: 1}
 
     kernel = functools.partial(
@@ -553,15 +548,16 @@ def flash_attention_backward(
         block_kv=bkv_dq,
         head_dim=d,
         scale=scale,
-        has_mask=has_mask,
+        mask_mode=mask_mode,
+        affine=affine,
         has_bias=bias is not None,
         want_dbias=want_dbias,
         kv_bits=kv_bits,
         precision=precision,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(b, hq, table.num_steps),
+        num_scalar_prefetch=2,
+        grid=(b, hq, ni_dq, nj_max_dq),
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[pltpu.VMEM((bq_dq, d), jnp.float32)],
@@ -571,14 +567,15 @@ def flash_attention_backward(
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=(
+                "parallel", "parallel", "arbitrary", "arbitrary"
+            ),
         ),
         input_output_aliases=io_aliases,
         interpret=interpret,
     )(
-        jnp.asarray(table.step_i),
-        jnp.asarray(table.step_j),
-        jnp.asarray(build_step_flags(table, bkv_dq, has_mask)),
+        jnp.asarray(lo_arr),
+        jnp.asarray(hi_arr),
         *inputs,
     )
     if want_dbias:
@@ -599,54 +596,63 @@ def flash_attention_backward(
 
     # ----- dKV kernel -----
     nj = skv_p // bkv_dkv
-    kv_table = build_kv_step_table(
-        compute_row_ranges(
-            mask, sq, skv, mask_ranges=mask_ranges,
-            seq_q_padded=sq_p, seq_kv_cap=skv,
-        ),
-        bq_dkv,
-        bkv_dkv,
-        nj,
-        group,
+    rr_dkv = compute_row_ranges(
+        mask, sq, skv, mask_ranges=mask_ranges,
+        seq_q_padded=sq_p, seq_kv_cap=skv,
     )
+    ilo_arr, ihi_arr = build_kv_block_bounds(rr_dkv, bq_dkv, bkv_dkv, nj)
+    ni_all = sq_p // bq_dkv
+    ni_max = max(1, int((ihi_arr - ilo_arr).max()))
+    mask_mode2, affine2 = resolve_mask_mode(mask, has_mask, sq, skv)
+
+    def q_block(j, t, ilo, ihi):
+        run = ihi[j] - ilo[j]
+        ioff = t % ni_max
+        return jnp.clip(ilo[j] + jnp.minimum(ioff, run - 1), 0, ni_all - 1)
+
+    def g_of(t):
+        return t // ni_max
 
     in_specs2 = []
     inputs2 = []
-    if has_mask:
+    if mask_mode2 == "ranges":
         # Row-vector layout [1, Sq]: ranges enter as [1, bq] row tiles.
         in_specs2 += [
-            pl.BlockSpec((1, bq_dkv), lambda bi, h, t, si, sj, sg, *_: (0, si[t])),
-            pl.BlockSpec((1, bq_dkv), lambda bi, h, t, si, sj, sg, *_: (0, si[t])),
+            pl.BlockSpec(
+                (1, bq_dkv),
+                lambda bi, h, j, t, ilo, ihi: (0, q_block(j, t, ilo, ihi)),
+            ),
+            pl.BlockSpec(
+                (1, bq_dkv),
+                lambda bi, h, j, t, ilo, ihi: (0, q_block(j, t, ilo, ihi)),
+            ),
         ]
         inputs2 += [
             jnp.asarray(row_ranges[:, 0][None, :]),
             jnp.asarray(row_ranges[:, 1][None, :]),
         ]
+
+    def q_side(width_last):
+        if width_last:
+            return pl.BlockSpec(
+                (1, 1, 1, bq_dkv),
+                lambda bi, h, j, t, ilo, ihi: (
+                    bi, q_head(h, g_of(t)), 0, q_block(j, t, ilo, ihi)
+                ),
+            )
+        return pl.BlockSpec(
+            (1, 1, bq_dkv, d),
+            lambda bi, h, j, t, ilo, ihi: (
+                bi, q_head(h, g_of(t)), q_block(j, t, ilo, ihi), 0
+            ),
+        )
+
+    kv_side = pl.BlockSpec(
+        (1, 1, bkv_dkv, d), lambda bi, h, j, t, ilo, ihi: (bi, h, j, 0)
+    )
     in_specs2 += [
-        pl.BlockSpec(
-            (1, 1, bq_dkv, d),
-            lambda bi, h, t, si, sj, sg, *_: (bi, q_head(h, sg[t]), si[t], 0),
-        ),
-        pl.BlockSpec(
-            (1, 1, bkv_dkv, d),
-            lambda bi, h, t, si, sj, sg, *_: (bi, h, sj[t], 0),
-        ),
-        pl.BlockSpec(
-            (1, 1, bkv_dkv, d),
-            lambda bi, h, t, si, sj, sg, *_: (bi, h, sj[t], 0),
-        ),
-        pl.BlockSpec(
-            (1, 1, bq_dkv, d),
-            lambda bi, h, t, si, sj, sg, *_: (bi, q_head(h, sg[t]), si[t], 0),
-        ),
-        pl.BlockSpec(
-            (1, 1, 1, bq_dkv),
-            lambda bi, h, t, si, sj, sg, *_: (bi, q_head(h, sg[t]), 0, si[t]),
-        ),
-        pl.BlockSpec(
-            (1, 1, 1, bq_dkv),
-            lambda bi, h, t, si, sj, sg, *_: (bi, q_head(h, sg[t]), 0, si[t]),
-        ),
+        q_side(False), kv_side, kv_side, q_side(False),
+        q_side(True), q_side(True),
     ]
     inputs2 += [qs, k_p, v_p, do_p, l_row, d_row]
     if bias is not None:
@@ -656,11 +662,11 @@ def flash_attention_backward(
         in_specs2.append(
             pl.BlockSpec(
                 (1, 1, bkv_dkv, bq_dkv),
-                lambda bi, h, t, si, sj, sg, *_: (
+                lambda bi, h, j, t, ilo, ihi: (
                     0 if bb else bi,
-                    0 if bh else q_head(h, sg[t]),
-                    sj[t],
-                    si[t],
+                    0 if bh else q_head(h, g_of(t)),
+                    j,
+                    q_block(j, t, ilo, ihi),
                 ),
             )
         )
@@ -671,22 +677,25 @@ def flash_attention_backward(
         block_q=bq_dkv,
         block_kv=bkv_dkv,
         head_dim=d,
-        has_mask=has_mask,
+        group=group,
+        ni_max=ni_max,
+        mask_mode=mask_mode2,
+        affine=affine2,
         has_bias=bias is not None,
         precision=precision,
     )
     grid_spec2 = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(b, hkv, kv_table.num_steps),
+        num_scalar_prefetch=2,
+        grid=(b, hkv, nj, group * ni_max),
         in_specs=in_specs2,
         out_specs=[
             pl.BlockSpec(
                 (1, 1, bkv_dkv, d),
-                lambda bi, h, t, si, sj, sg, *_: (bi, h, sj[t], 0),
+                lambda bi, h, j, t, ilo, ihi: (bi, h, j, 0),
             ),
             pl.BlockSpec(
                 (1, 1, bkv_dkv, d),
-                lambda bi, h, t, si, sj, sg, *_: (bi, h, sj[t], 0),
+                lambda bi, h, j, t, ilo, ihi: (bi, h, j, 0),
             ),
         ],
         scratch_shapes=[
@@ -702,14 +711,14 @@ def flash_attention_backward(
             jax.ShapeDtypeStruct((b, hkv, skv_p, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=(
+                "parallel", "parallel", "arbitrary", "arbitrary"
+            ),
         ),
         interpret=interpret,
     )(
-        jnp.asarray(kv_table.step_i),
-        jnp.asarray(kv_table.step_j),
-        jnp.asarray(kv_table.step_g),
-        jnp.asarray(build_step_flags(kv_table, bkv_dkv, has_mask)),
+        jnp.asarray(ilo_arr),
+        jnp.asarray(ihi_arr),
         *inputs2,
     )
     dk = dk[:, :, :skv, :]

@@ -33,6 +33,9 @@ import jax
 import jax.numpy as jnp
 
 from metal_flash_attention_plus_tpu.attention.masking import FULL, MaskSpec
+from metal_flash_attention_plus_tpu.attention.precisions import (
+    matmul_precision,
+)
 from metal_flash_attention_plus_tpu.ops.flash_attention import (
     BlockSizes,
     flash_attention,
@@ -65,7 +68,7 @@ def mla_decompress(
             flat = quantized_matmul(latent.reshape(b * s, dc), w)
             return flat.reshape(b, s, n)
         assert w.shape[0] == dc
-        return latent @ w
+        return jnp.matmul(latent, w, precision=matmul_precision(latent.dtype))
 
     k = proj(w_uk)
     v = proj(w_uv)
@@ -116,8 +119,10 @@ def mla_absorbed_attention(
         scale = float(dh + d_r) ** -0.5
 
     # Absorb W_uk into Q: q_lat[b,h,s,c] = Σ_d q[b,h,s,d]·w_uk[h,d,c].
+    prec = matmul_precision(q.dtype)
     q_lat = jnp.einsum(
-        "bhsd,hdc->bhsc", q.astype(jnp.float32), w_uk.astype(jnp.float32)
+        "bhsd,hdc->bhsc", q.astype(jnp.float32), w_uk.astype(jnp.float32),
+        precision=prec,
     ).astype(q.dtype)
 
     if q_rope is not None:
@@ -161,5 +166,6 @@ def mla_absorbed_attention(
         "bhsc,hcd->bhsd",
         o_lat.astype(jnp.float32),
         w_uv.astype(jnp.float32),
+        precision=prec,
     )
     return o.astype(q.dtype)

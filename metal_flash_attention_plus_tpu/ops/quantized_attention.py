@@ -47,17 +47,13 @@ from metal_flash_attention_plus_tpu.attention.masking import (
     MaskSpec,
 )
 from metal_flash_attention_plus_tpu.ops.flash_attention import (
-    FLAG_BOUNDARY,
-    FLAG_DUMMY,
-    FLAG_FIRST,
-    FLAG_LAST,
     LANES,
     NEG_INF,
     BlockSizes,
     _round_up,
-    build_step_flags,
-    build_step_table,
+    build_block_bounds,
     compute_row_ranges,
+    resolve_mask_mode,
 )
 from metal_flash_attention_plus_tpu.ops.quantized_gemm import (
     dequant_kv_tile as _dequant_kv_tile,
@@ -71,21 +67,23 @@ from metal_flash_attention_plus_tpu.quant.tensor import QuantizedTensor
 
 
 def _qfwd_kernel(
-    # scalar prefetch
-    si_ref, sj_ref, flags_ref,
+    # scalar prefetch: per-q-block kv bounds
+    lo_ref, hi_ref,
     # tensors
     *refs,
     block_q: int,
     block_kv: int,
     head_dim: int,
-    has_mask: bool,
+    mask_mode: str,
+    affine,
     has_bias: bool,
     mask_value: float,
     bits: int,
     precision,
     compute_dtype,
 ):
-    if has_mask:
+    has_mask = mask_mode != "none"
+    if mask_mode == "ranges":
         rs_ref, re_ref = refs[0], refs[1]
         refs = refs[2:]
     (q_ref, kq_ref, ks_ref, kz_ref, vq_ref, vs_ref, vz_ref) = refs[:7]
@@ -95,18 +93,20 @@ def _qfwd_kernel(
         refs = refs[1:]
     o_ref, l_ref, m_scr, l_scr, acc_scr = refs
 
-    t = pl.program_id(2)
-    j = sj_ref[t]
-    flags = flags_ref[t]
-    is_dummy = (flags & FLAG_DUMMY) != 0
+    i = pl.program_id(2)
+    j = pl.program_id(3)
+    lo = lo_ref[i]
+    run = hi_ref[i] - lo
+    kvj = lo + j
+    live = j < run
 
-    @pl.when((flags & (FLAG_FIRST | FLAG_DUMMY)) == FLAG_FIRST)
+    @pl.when(j == 0)
     def _init():
         m_scr[...] = jnp.full_like(m_scr, NEG_INF)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    @pl.when(jnp.logical_not(is_dummy))
+    @pl.when(live)
     def _compute():
         q = q_ref[0, 0]  # [bq, D] pre-scaled
         k = _dequant_kv_tile(
@@ -119,19 +119,26 @@ def _qfwd_kernel(
         if has_bias:
             s += bias_ref[0, 0].astype(jnp.float32)
         if has_mask:
-            def _masked(s):
-                col = (
-                    jax.lax.broadcasted_iota(
-                        jnp.int32, (block_q, block_kv), 1
-                    )
-                    + j * block_kv
-                )
-                keep = jnp.logical_and(col >= rs_ref[...], col < re_ref[...])
-                return jnp.where(keep, s, mask_value)
-
-            s = jax.lax.cond(
-                (flags & FLAG_BOUNDARY) != 0, _masked, lambda s: s, s
+            col = (
+                jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
+                + kvj * block_kv
             )
+            if mask_mode == "affine":
+                a_off, b_off, seq_q, cap = affine
+                row = (
+                    jax.lax.broadcasted_iota(
+                        jnp.int32, (block_q, block_kv), 0
+                    )
+                    + i * block_q
+                )
+                keep = jnp.logical_and(
+                    col >= jnp.maximum(0, row + a_off),
+                    col < jnp.minimum(cap, row + b_off),
+                )
+                keep = jnp.logical_and(keep, row < seq_q)
+            else:
+                keep = jnp.logical_and(col >= rs_ref[...], col < re_ref[...])
+            s = jnp.where(keep, s, mask_value)
 
         m_prev = m_scr[...]
         l_prev = l_scr[...]
@@ -159,7 +166,7 @@ def _qfwd_kernel(
         else:
             acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
 
-    @pl.when((flags & (FLAG_LAST | FLAG_DUMMY)) == FLAG_LAST)
+    @pl.when(j == jnp.maximum(run, 1) - 1)
     def _store():
         lsum = l_scr[...]
         safe = jnp.where(lsum == 0.0, 1.0, lsum)
@@ -172,16 +179,23 @@ def _qfwd_kernel(
         m = m_scr[...]
         lse = jnp.where(lsum > 0.0, m + jnp.log(safe), NEG_INF)
         if has_mask:
-            live = re_ref[...] > rs_ref[...]
-            out = jnp.where(live, out, 0.0)
-            lse = jnp.where(live, lse, NEG_INF)
+            if mask_mode == "affine":
+                a_off, b_off, seq_q, cap = affine
+                row = (
+                    jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
+                    + i * block_q
+                )
+                live_rows = jnp.logical_and(
+                    row < seq_q,
+                    jnp.minimum(cap, row + b_off)
+                    > jnp.maximum(0, row + a_off),
+                )
+            else:
+                live_rows = re_ref[...] > rs_ref[...]
+            out = jnp.where(live_rows, out, 0.0)
+            lse = jnp.where(live_rows, lse, NEG_INF)
         o_ref[0, 0] = out.astype(o_ref.dtype)
         l_ref[0, 0] = lse
-
-    @pl.when(is_dummy)
-    def _store_empty():
-        o_ref[0, 0] = jnp.zeros_like(o_ref[0, 0])
-        l_ref[0, 0] = jnp.full(l_ref.shape[2:], NEG_INF, l_ref.dtype)
 
 
 def _per_token_params(t: QuantizedTensor) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -268,22 +282,30 @@ def quantized_flash_attention_forward(
         mask, sq, skv, mask_ranges=mask_ranges,
         seq_q_padded=sq_p, seq_kv_cap=skv,
     )
-    table = build_step_table(row_ranges, bq, bkv)
+    lo_arr, hi_arr, _ms, _me = build_block_bounds(row_ranges, bq, bkv)
+    mask_mode, affine = resolve_mask_mode(mask, has_mask, sq, skv)
+    ni = sq_p // bq
+    nj_all = skv_p // bkv
+    nj_max = max(1, int((hi_arr - lo_arr).max()))
 
-    grid = (b, hq, table.num_steps)
+    grid = (b, hq, ni, nj_max)
     q_per_kv = hq // hkv
 
     def kv_head(h):
         return (h % hkv) if interleaved_kv else (h // q_per_kv)
 
+    def kv_block(i, j, lo, hi):
+        run = hi[i] - lo[i]
+        return jnp.clip(lo[i] + jnp.minimum(j, run - 1), 0, nj_all - 1)
+
     pd = d // 2 if bits == 4 else d
 
     in_specs = []
     inputs = []
-    if has_mask:
+    if mask_mode == "ranges":
         in_specs += [
-            pl.BlockSpec((bq, 1), lambda bi, h, t, si, sj, *_: (si[t], 0)),
-            pl.BlockSpec((bq, 1), lambda bi, h, t, si, sj, *_: (si[t], 0)),
+            pl.BlockSpec((bq, 1), lambda bi, h, i, j, lo, hi: (i, 0)),
+            pl.BlockSpec((bq, 1), lambda bi, h, i, j, lo, hi: (i, 0)),
         ]
         inputs += [
             jnp.asarray(row_ranges[:, 0:1]),
@@ -293,12 +315,14 @@ def quantized_flash_attention_forward(
     def kv_spec(width):
         return pl.BlockSpec(
             (1, 1, bkv, width),
-            lambda bi, h, t, si, sj, *_: (bi, kv_head(h), sj[t], 0),
+            lambda bi, h, i, j, lo, hi: (
+                bi, kv_head(h), kv_block(i, j, lo, hi), 0
+            ),
         )
 
     in_specs += [
         pl.BlockSpec(
-            (1, 1, bq, d), lambda bi, h, t, si, sj, *_: (bi, h, si[t], 0)
+            (1, 1, bq, d), lambda bi, h, i, j, lo, hi: (bi, h, i, 0)
         ),
         kv_spec(pd), kv_spec(1), kv_spec(1),  # K payload, scale, zp
         kv_spec(pd), kv_spec(1), kv_spec(1),  # V payload, scale, zp
@@ -310,8 +334,9 @@ def quantized_flash_attention_forward(
         in_specs.append(
             pl.BlockSpec(
                 (1, 1, bq, bkv),
-                lambda bi, h, t, si, sj, *_: (
-                    0 if bb else bi, 0 if bh else h, si[t], sj[t]
+                lambda bi, h, i, j, lo, hi: (
+                    0 if bb else bi, 0 if bh else h, i,
+                    kv_block(i, j, lo, hi),
                 ),
             )
         )
@@ -323,7 +348,8 @@ def quantized_flash_attention_forward(
         block_q=bq,
         block_kv=bkv,
         head_dim=d,
-        has_mask=has_mask,
+        mask_mode=mask_mode,
+        affine=affine,
         has_bias=bias is not None,
         mask_value=mask_value,
         bits=bits,
@@ -341,15 +367,15 @@ def quantized_flash_attention_forward(
     ]
     out_specs = [
         pl.BlockSpec(
-            (1, 1, bq, d), lambda bi, h, t, si, sj, *_: (bi, h, si[t], 0)
+            (1, 1, bq, d), lambda bi, h, i, j, lo, hi: (bi, h, i, 0)
         ),
         pl.BlockSpec(
-            (1, 1, bq, LANES), lambda bi, h, t, si, sj, *_: (bi, h, si[t], 0)
+            (1, 1, bq, LANES), lambda bi, h, i, j, lo, hi: (bi, h, i, 0)
         ),
     ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -360,13 +386,15 @@ def quantized_flash_attention_forward(
         ],
     )
 
-    live_tiles = int(np.sum(table.dummy == 0))
+    live_tiles = int((hi_arr - lo_arr).sum())
     o, l = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=(
+                "parallel", "parallel", "arbitrary", "arbitrary"
+            ),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * hq * live_tiles * bq * bkv * d,
@@ -377,9 +405,8 @@ def quantized_flash_attention_forward(
         ),
         interpret=interpret,
     )(
-        jnp.asarray(table.step_i),
-        jnp.asarray(table.step_j),
-        jnp.asarray(build_step_flags(table, bkv, has_mask)),
+        jnp.asarray(lo_arr),
+        jnp.asarray(hi_arr),
         *inputs,
     )
     return o[:, :, :sq, :], l[:, :, :sq, 0]

@@ -39,8 +39,8 @@ def _setup(seed=0):
 
 def _decompressed_reference(q, latent, w_uk, w_uv, mask):
     # K_h = C·W_uk[h]ᵀ ([B,S,dc]·[dc,dh]), V_h = C·W_uv[h]
-    k = jnp.einsum("bsc,hdc->bhsd", latent, w_uk)
-    v = jnp.einsum("bsc,hcd->bhsd", latent, w_uv)
+    k = jnp.einsum("bsc,hdc->bhsd", latent, w_uk, precision="highest")
+    v = jnp.einsum("bsc,hcd->bhsd", latent, w_uv, precision="highest")
     o, _ = reference_attention(q, k, v, mask=mask, scale=DH**-0.5)
     return o
 
@@ -58,7 +58,7 @@ def test_decompress_matches_einsum():
     w_uk = jax.random.normal(jax.random.PRNGKey(9), (DC, H * DH), jnp.float32)
     w_uv = jax.random.normal(jax.random.PRNGKey(10), (DC, H * DH), jnp.float32)
     k, v = mla_decompress(latent, w_uk, w_uv, H)
-    k_ref = (latent @ w_uk).reshape(B, SKV, H, DH).transpose(0, 2, 1, 3)
+    k_ref = jnp.matmul(latent, w_uk, precision="highest").reshape(B, SKV, H, DH).transpose(0, 2, 1, 3)
     np.testing.assert_allclose(np.asarray(k), np.asarray(k_ref), atol=1e-5)
     assert v.shape == (B, H, SKV, DH)
 
@@ -68,7 +68,7 @@ def test_decompress_quantized_weights():
     w = jax.random.normal(jax.random.PRNGKey(11), (DC, H * DH), jnp.float32)
     wq = quantize(w.T, int8_blockwise(128))  # stored transposed [N, K]
     k, _ = mla_decompress(latent, wq, wq, H)
-    k_ref = (latent @ wq.dequantize().T).reshape(B, SKV, H, DH).transpose(0, 2, 1, 3)
+    k_ref = jnp.matmul(latent, wq.dequantize().T, precision="highest").reshape(B, SKV, H, DH).transpose(0, 2, 1, 3)
     np.testing.assert_allclose(np.asarray(k), np.asarray(k_ref), atol=1e-3)
 
 
@@ -82,7 +82,7 @@ def test_absorbed_with_decoupled_rope():
         q, latent, w_uk, w_uv, q_rope=q_rope, k_rope=k_rope, mask=CAUSAL
     )
     # Dense reference: scores = Q_lat·Cᵀ + Q_rope·K_ropeᵀ, scale 1/sqrt(dh+dr)
-    q_lat = jnp.einsum("bhsd,hdc->bhsc", q, w_uk)
+    q_lat = jnp.einsum("bhsd,hdc->bhsc", q, w_uk, precision="highest")
     k_full = jnp.concatenate(
         [latent, k_rope], axis=-1
     )[:, None].repeat(H, axis=1)
@@ -93,7 +93,7 @@ def test_absorbed_with_decoupled_rope():
         jnp.pad(v_lat, ((0, 0), (0, 0), (0, 0), (0, d_r))),
         mask=CAUSAL, scale=(DH + d_r) ** -0.5,
     )
-    o_ref = jnp.einsum("bhsc,hcd->bhsd", o_lat[..., :DC], w_uv)
+    o_ref = jnp.einsum("bhsc,hcd->bhsd", o_lat[..., :DC], w_uv, precision="highest")
     np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref), atol=5e-4)
 
 
