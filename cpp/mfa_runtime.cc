@@ -45,15 +45,22 @@ extern "C" int mfa_resolve_blocks(int32_t head_dim, int32_t bits,
   if (vmem_budget_bytes <= 0) vmem_budget_bytes = 14LL << 20;  // ~16MB - slack
 
   // Cold-start table mirroring attention/tuning.py::default_block_sizes —
-  // measured on v5e (docs/perf_notes.md): float K/V peaks at (512, 512),
-  // quantized K/V (smaller tiles) at (1024, 1024), head dim ≤ 256.
+  // measured on v5e after the dense-grid rewrite (docs/perf_notes.md):
+  // float peaks at (1024,1024)/(1024,512)/(512,1024) for d=64/128/256;
+  // quantized K/V at (1024,1024) everywhere ≤ 256.
   int32_t bq, bkv;
   if (bits <= 8) {
     bq = head_dim <= 256 ? 1024 : 512;
     bkv = head_dim <= 256 ? 1024 : 512;
+  } else if (head_dim <= 64) {
+    bq = 1024;
+    bkv = 1024;
+  } else if (head_dim <= 128) {
+    bq = 1024;
+    bkv = 512;
   } else if (head_dim <= 256) {
     bq = 512;
-    bkv = 512;
+    bkv = 1024;
   } else {
     bq = 256;
     bkv = 512;

@@ -50,15 +50,19 @@ def default_block_sizes(head_dim: int, bits: int = 16) -> BlockSizes:
     same reasoning as the reference's traversal-block selection, with VMEM
     in place of registers.
     """
-    # Measured on v5e (docs/perf_notes.md): float K/V peaks at (512, 512) at
-    # every head dim ≤ 256; quantized K/V tiles are 2-4× smaller in VMEM and
-    # peak at (1024, 1024) (the dequant VPU pass also amortizes better over
-    # bigger tiles).  Larger still → VMEM OOM; non-power-of-2 loses outright.
-    d = max(head_dim, 128)
+    # Measured on v5e AFTER the dense-grid kernel rewrite
+    # (docs/perf_notes.md, causal S=4K sweep): float peaks at (1024,1024) /
+    # (1024,512) / (512,1024) for d=64/128/256; quantized K/V (smaller
+    # tiles, dequant amortization) at (1024,1024) everywhere.  Larger →
+    # VMEM OOM; non-power-of-2 loses outright.
     if bits <= 8:
-        bq, bkv = (1024, 1024) if d <= 256 else (512, 512)
-    elif d <= 256:
-        bq, bkv = 512, 512
+        bq, bkv = (1024, 1024) if head_dim <= 256 else (512, 512)
+    elif head_dim <= 64:
+        bq, bkv = 1024, 1024
+    elif head_dim <= 128:
+        bq, bkv = 1024, 512
+    elif head_dim <= 256:
+        bq, bkv = 512, 1024
     else:
         bq, bkv = 256, 512
     # Backward: (512, 512) for both kernels measured best at d=64/256

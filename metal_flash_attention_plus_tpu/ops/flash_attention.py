@@ -1,23 +1,26 @@
 """Fused flash-attention forward Pallas kernel (MXU-tiled, online softmax,
-flattened sparse grid).
+dense block grid with live-window skipping).
 
 TPU-native redesign of the reference's generated forward kernel
 (``AttentionKernel+Source.swift:372-416`` — parallelize over R, traverse C,
 online softmax in registers, async-copied K/V tiles):
 
-- Metal threadgroup-over-R grid      → Pallas grid (B, Hq, T) where T
-  enumerates ONLY the live (q-block, kv-block) tile pairs.  The reference's
-  whole mask zoo (causal / sliding-window / sparse row-ranges / block-sparse,
+- Metal threadgroup-over-R grid      → Pallas grid (B, Hq, ni, nj_max): a
+  DENSE rectangular grid over (q-block, kv-block) whose j extent is the
+  widest live window.  The reference's whole mask zoo (causal /
+  sliding-window / sparse row-ranges / block-sparse,
   ``AttentionKernel+Softmax.swift:278-634``) lowers to per-row [start, end)
-  column ranges, which lower to a static step table (step_i, step_j,
-  first/last flags) delivered via scalar prefetch.  Masked-out tiles never
-  become grid steps, so they cost neither HBM bandwidth nor a pipeline
-  bubble — the splash-style, TPU-idiomatic replacement for the reference's
-  bitmask-vs-elementWise strategy machinery (and measurably better than the
-  skip-via-predicate approach, which still pays per-step overhead).
-- Element-wise range masking runs only on *boundary* tiles: a tile fully
-  inside every row's range (detected from prefetched per-row-block
-  [max_start, min_end] bounds) skips the VPU mask pass entirely.
+  column ranges → per-q-block kv-block windows [lo, hi) in scalar prefetch.
+  Dead steps skip compute via ``pl.when`` and clamp their index maps to the
+  previous block (no DMA issued), costing ~26 µs each — measured CHEAPER
+  than a flattened live-tile-only schedule, whose q-block transitions stall
+  the pipeline ~185 µs each (docs/perf_notes.md, "Sparse-schedule fix").
+- Masking is applied UNCONDITIONALLY on live tiles: builtin masks (causal /
+  sliding window / padding) are affine in the row index and rebuilt
+  in-kernel from iota + closure constants (no range-array input streams);
+  only data-driven range masks stream per-row [start, end) tiles.  The
+  fused iota/where mask pass is free; branching around it (``lax.cond``)
+  spills the score tile and costs ~70 µs per affected tile.
 - simdgroup async copies             → the Pallas pipeline double-buffers
   HBM→VMEM tile fetches automatically from the BlockSpec index maps.
 - 13 Metal function constants        → Python closure constants; one
