@@ -39,10 +39,11 @@ def init_cache(
     num_pages: int,
     page_tokens: int,
     dtype=jnp.bfloat16,
+    quantized: bool = False,
 ) -> PagedKVCache:
     return PagedKVCache.create(
         cfg.num_layers, cfg.num_kv_heads, num_pages, page_tokens,
-        cfg.head_dim, dtype,
+        cfg.head_dim, dtype, quantized=quantized,
     )
 
 
@@ -108,21 +109,44 @@ def prefill_chunk(
         q = rope(q, pos2d, cfg.rope_theta)
         k = rope(k, pos2d, cfg.rope_theta)
         # Scatter this chunk's KV, then attend over prefix + chunk.
+        import dataclasses as _dc
+
+        from metal_flash_attention_plus_tpu.serving.kv_cache import (
+            _quantize_tokens_sym,
+        )
+
         t = jnp.arange(c)
         pidx = page_row[(offset + t) // cache.page_tokens]
         off_in = (offset + t) % cache.page_tokens
-        k_pages = cache.k_pages.at[li, :, pidx, off_in, :].set(
-            k[0].transpose(1, 0, 2).astype(cache.k_pages.dtype)
-        )
-        v_pages = cache.v_pages.at[li, :, pidx, off_in, :].set(
-            v[0].transpose(1, 0, 2).astype(cache.v_pages.dtype)
-        )
-        import dataclasses as _dc
-
-        cache = _dc.replace(cache, k_pages=k_pages, v_pages=v_pages)
-        o = paged_prefill_attention(
-            q[0], cache.k_pages[li], cache.v_pages[li], page_row, offset
-        )  # [Hq, C, D]
+        kt = k[0].transpose(1, 0, 2)
+        vt = v[0].transpose(1, 0, 2)
+        if cache.quantized:
+            kq_, ks_ = _quantize_tokens_sym(kt)
+            vq_, vs_ = _quantize_tokens_sym(vt)
+            cache = _dc.replace(
+                cache,
+                k_pages=cache.k_pages.at[li, :, pidx, off_in, :].set(kq_),
+                v_pages=cache.v_pages.at[li, :, pidx, off_in, :].set(vq_),
+                k_scales=cache.k_scales.at[li, :, pidx, off_in, :].set(ks_),
+                v_scales=cache.v_scales.at[li, :, pidx, off_in, :].set(vs_),
+            )
+            o = paged_prefill_attention(
+                q[0], cache.k_pages[li], cache.v_pages[li], page_row, offset,
+                k_scales=cache.k_scales[li], v_scales=cache.v_scales[li],
+            )
+        else:
+            cache = _dc.replace(
+                cache,
+                k_pages=cache.k_pages.at[li, :, pidx, off_in, :].set(
+                    kt.astype(cache.k_pages.dtype)
+                ),
+                v_pages=cache.v_pages.at[li, :, pidx, off_in, :].set(
+                    vt.astype(cache.v_pages.dtype)
+                ),
+            )
+            o = paged_prefill_attention(
+                q[0], cache.k_pages[li], cache.v_pages[li], page_row, offset
+            )  # [Hq, C, D]
         attn = o.transpose(1, 0, 2).reshape(1, c, -1).astype(x.dtype)
         x = x + (attn @ layer["wo"]).astype(x.dtype)
         h2 = rms_norm(x, layer["ln2"])
@@ -164,6 +188,8 @@ def decode_step(
             cache.v_pages[li],
             page_tables,
             lengths,
+            k_scales=cache.k_scales[li] if cache.quantized else None,
+            v_scales=cache.v_scales[li] if cache.quantized else None,
         )
         x = x + (o[:, None, :, :].reshape(x.shape[0], 1, -1) @ layer["wo"]).astype(
             x.dtype

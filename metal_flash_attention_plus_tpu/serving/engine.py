@@ -59,6 +59,7 @@ class ServingEngine:
         max_pages_per_seq: Optional[int] = None,
         cache_dtype=jnp.bfloat16,
         chunk_size: Optional[int] = None,
+        quantized_cache: bool = False,
     ):
         self.params = params
         self.cfg = cfg
@@ -74,7 +75,10 @@ class ServingEngine:
         self.sched = Scheduler(
             self.pool, max_batch, token_budget=self.chunk_size
         )
-        self.cache = init_cache(cfg, num_pages, page_tokens, cache_dtype)
+        self.cache = init_cache(
+            cfg, num_pages, page_tokens, cache_dtype,
+            quantized=quantized_cache,
+        )
         self.requests: Dict[int, GenerationRequest] = {}
         self.outputs: Dict[int, List[int]] = {}
         self._last_token: Dict[int, int] = {}

@@ -6,6 +6,14 @@ physical page belongs to which sequence); this module owns the page
 plus the scatter ops that write prompt / decode-token KV into pages.  The
 extra last page is the TRASH page: padded batch slots in the jitted decode
 step point their page tables at it so dummy writes never corrupt live data.
+
+Quantized mode (``quantized=True``): pages store int8 payloads with
+SYMMETRIC per-token scales in parallel scale pools ([..., page_tokens, 1]
+fp32) — 2-4× cache capacity per HBM byte, the production KV-cache
+quantization (the reference's per-token path; zero points add nothing for
+zero-mean K/V and would double the parameter traffic).  Quantization
+happens at WRITE time (absmax/127 per token vector); the paged attention
+kernels dequantize on tile load.
 """
 
 from __future__ import annotations
@@ -22,8 +30,15 @@ import jax.numpy as jnp
 class PagedKVCache:
     k_pages: jnp.ndarray  # [L, Hkv, num_pages+1, page_tokens, D]
     v_pages: jnp.ndarray
+    # Per-token symmetric scales (quantized mode only; zeros-shaped [1]*5
+    # placeholders otherwise so the pytree structure is stable).
+    k_scales: jnp.ndarray
+    v_scales: jnp.ndarray
     page_tokens: int = dataclasses.field(metadata=dict(static=True))
     num_pages: int = dataclasses.field(metadata=dict(static=True))
+    quantized: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
 
     @property
     def trash_page(self) -> int:
@@ -37,14 +52,37 @@ class PagedKVCache:
         page_tokens: int,
         head_dim: int,
         dtype=jnp.bfloat16,
+        quantized: bool = False,
     ) -> "PagedKVCache":
         shape = (num_layers, num_kv_heads, num_pages + 1, page_tokens, head_dim)
+        if quantized:
+            sshape = shape[:-1] + (1,)
+            return PagedKVCache(
+                k_pages=jnp.zeros(shape, jnp.int8),
+                v_pages=jnp.zeros(shape, jnp.int8),
+                k_scales=jnp.zeros(sshape, jnp.float32),
+                v_scales=jnp.zeros(sshape, jnp.float32),
+                page_tokens=page_tokens,
+                num_pages=num_pages,
+                quantized=True,
+            )
+        placeholder = jnp.zeros((1, 1, 1, 1, 1), jnp.float32)
         return PagedKVCache(
             k_pages=jnp.zeros(shape, dtype),
             v_pages=jnp.zeros(shape, dtype),
+            k_scales=placeholder,
+            v_scales=placeholder,
             page_tokens=page_tokens,
             num_pages=num_pages,
         )
+
+
+def _quantize_tokens_sym(x: jnp.ndarray):
+    """Symmetric per-token int8: x [..., D] → (q int8, scale [..., 1])."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -128, 127)
+    return q.astype(jnp.int8), scale
 
 
 def write_prompt(
@@ -61,11 +99,23 @@ def write_prompt(
     off = t % cache.page_tokens
     # Advanced indices separated by the head slice land in front: the
     # selected shape is [L, Hkv, D], so feed token-major values.
+    kt = k.transpose(1, 0, 2)
+    vt = v.transpose(1, 0, 2)
+    if cache.quantized:
+        kq, ks = _quantize_tokens_sym(kt)
+        vq, vs = _quantize_tokens_sym(vt)
+        return dataclasses.replace(
+            cache,
+            k_pages=cache.k_pages.at[layer, :, pidx, off, :].set(kq),
+            v_pages=cache.v_pages.at[layer, :, pidx, off, :].set(vq),
+            k_scales=cache.k_scales.at[layer, :, pidx, off, :].set(ks),
+            v_scales=cache.v_scales.at[layer, :, pidx, off, :].set(vs),
+        )
     k_pages = cache.k_pages.at[layer, :, pidx, off, :].set(
-        k.transpose(1, 0, 2).astype(cache.k_pages.dtype)
+        kt.astype(cache.k_pages.dtype)
     )
     v_pages = cache.v_pages.at[layer, :, pidx, off, :].set(
-        v.transpose(1, 0, 2).astype(cache.v_pages.dtype)
+        vt.astype(cache.v_pages.dtype)
     )
     return dataclasses.replace(cache, k_pages=k_pages, v_pages=v_pages)
 
@@ -84,6 +134,16 @@ def append_tokens(
     pidx = page_tables[rows, positions // cache.page_tokens]  # [B]
     off = positions % cache.page_tokens
     # Selected shape is [B, Hkv, D] (advanced indices land in front).
+    if cache.quantized:
+        kq, ks = _quantize_tokens_sym(k)
+        vq, vs = _quantize_tokens_sym(v)
+        return dataclasses.replace(
+            cache,
+            k_pages=cache.k_pages.at[layer, :, pidx, off, :].set(kq),
+            v_pages=cache.v_pages.at[layer, :, pidx, off, :].set(vq),
+            k_scales=cache.k_scales.at[layer, :, pidx, off, :].set(ks),
+            v_scales=cache.v_scales.at[layer, :, pidx, off, :].set(vs),
+        )
     k_pages = cache.k_pages.at[layer, :, pidx, off, :].set(
         k.astype(cache.k_pages.dtype)
     )
@@ -104,7 +164,13 @@ def gather_kv(
     # and stay in place: gathered shape is [Hkv, L, D] directly.  (In the
     # .at[layer, :, pidx, off, :] writes above, the integer layer index
     # makes the advanced indices non-contiguous, moving them to the front.)
-    return (
-        cache.k_pages[layer][:, pidx, off, :],
-        cache.v_pages[layer][:, pidx, off, :],
-    )
+    k = cache.k_pages[layer][:, pidx, off, :]
+    v = cache.v_pages[layer][:, pidx, off, :]
+    if cache.quantized:
+        ks = cache.k_scales[layer][:, pidx, off, :]
+        vs = cache.v_scales[layer][:, pidx, off, :]
+        return (
+            k.astype(jnp.float32) * ks,
+            v.astype(jnp.float32) * vs,
+        )
+    return k, v

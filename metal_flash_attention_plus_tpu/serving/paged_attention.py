@@ -37,19 +37,18 @@ def _decode_kernel(
     pt_ref,  # [B, max_pages] physical page ids
     len_ref,  # [B] sequence lengths
     # tensors
-    q_ref,  # [1, 1, group_pad, D]
-    k_ref,  # [1, 1, page_tokens, D]
-    v_ref,
-    o_ref,  # [1, 1, group_pad, D]
-    m_scr,  # [group_pad, 128]
-    l_scr,
-    acc_scr,  # [group_pad, D]
-    *,
+    *refs,
     page_tokens: int,
     group_pad: int,
     head_dim: int,
+    quantized: bool,
     precision,
 ):
+    if quantized:
+        (q_ref, k_ref, ks_ref, v_ref, vs_ref,
+         o_ref, m_scr, l_scr, acc_scr) = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr = refs
     b = pl.program_id(0)
     j = pl.program_id(2)
     length = len_ref[b]
@@ -65,7 +64,13 @@ def _decode_kernel(
     @pl.when(live)
     def _compute():
         q = q_ref[0, 0]  # [group_pad, D] (pre-scaled)
-        k = k_ref[0, 0]  # [page_tokens, D]
+        if quantized:
+            k = (
+                k_ref[0, 0].astype(jnp.int32).astype(jnp.float32)
+                * ks_ref[0, 0]
+            ).astype(q.dtype)
+        else:
+            k = k_ref[0, 0]  # [page_tokens, D]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
@@ -91,7 +96,13 @@ def _decode_kernel(
         )
         m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
 
-        v = v_ref[0, 0]  # [page_tokens, D]
+        if quantized:
+            v = (
+                v_ref[0, 0].astype(jnp.int32).astype(jnp.float32)
+                * vs_ref[0, 0]
+            ).astype(q.dtype)
+        else:
+            v = v_ref[0, 0]  # [page_tokens, D]
         pv = jax.lax.dot(
             p.astype(v.dtype), v,
             preferred_element_type=jnp.float32, precision=precision,
@@ -110,20 +121,19 @@ def _prefill_kernel(
     pt_ref,  # [max_pages] physical page ids (one sequence)
     off_ref,  # [1] chunk's global start position
     # tensors
-    q_ref,  # [1, rows_pad, D]  (rows = group·chunk, group-major)
-    k_ref,  # [1, page_tokens, D]
-    v_ref,
-    o_ref,  # [1, rows_pad, D]
-    m_scr,
-    l_scr,
-    acc_scr,
-    *,
+    *refs,
     page_tokens: int,
     rows_pad: int,
     chunk: int,
     head_dim: int,
+    quantized: bool,
     precision,
 ):
+    if quantized:
+        (q_ref, k_ref, ks_ref, v_ref, vs_ref,
+         o_ref, m_scr, l_scr, acc_scr) = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr = refs
     j = pl.program_id(1)
     off = off_ref[0]
     total = off + chunk  # KV tokens visible to the last chunk row
@@ -139,7 +149,13 @@ def _prefill_kernel(
     @pl.when(live)
     def _compute():
         q = q_ref[0]  # [rows_pad, D] pre-scaled
-        k = k_ref[0, 0]  # [page_tokens, D]
+        if quantized:
+            k = (
+                k_ref[0, 0].astype(jnp.int32).astype(jnp.float32)
+                * ks_ref[0, 0]
+            ).astype(q.dtype)
+        else:
+            k = k_ref[0, 0]  # [page_tokens, D]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
@@ -169,7 +185,13 @@ def _prefill_kernel(
             alpha * l_prev + jnp.sum(p, axis=1, keepdims=True), l_scr.shape
         )
         m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
-        v = v_ref[0, 0]
+        if quantized:
+            v = (
+                v_ref[0, 0].astype(jnp.int32).astype(jnp.float32)
+                * vs_ref[0, 0]
+            ).astype(q.dtype)
+        else:
+            v = v_ref[0, 0]
         pv = jax.lax.dot(
             p.astype(v.dtype), v,
             preferred_element_type=jnp.float32, precision=precision,
@@ -190,6 +212,8 @@ def paged_prefill_attention(
     page_row: jnp.ndarray,
     offset: jnp.ndarray,
     *,
+    k_scales: Optional[jnp.ndarray] = None,
+    v_scales: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
@@ -208,6 +232,7 @@ def paged_prefill_attention(
 
     Returns [Hq, chunk, D] in q.dtype.
     """
+    quantized = k_scales is not None
     hq, chunk, d = q.shape
     hkv, _n, page_tokens, dk = k_pages.shape
     assert dk == d and v_pages.shape == k_pages.shape and hq % hkv == 0
@@ -230,14 +255,19 @@ def paged_prefill_attention(
         last_page = jnp.maximum(off[0] + chunk - 1, 0) // page_tokens
         return (h, pt[jnp.minimum(j, last_page)], 0, 0)
 
+    in_specs = [
+        pl.BlockSpec((1, rows_pad, d), lambda h, j, pt, off: (h, 0, 0)),
+        pl.BlockSpec((1, 1, page_tokens, d), page_index),
+    ]
+    if quantized:
+        in_specs.append(pl.BlockSpec((1, 1, page_tokens, 1), page_index))
+    in_specs.append(pl.BlockSpec((1, 1, page_tokens, d), page_index))
+    if quantized:
+        in_specs.append(pl.BlockSpec((1, 1, page_tokens, 1), page_index))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(hkv, max_pages),
-        in_specs=[
-            pl.BlockSpec((1, rows_pad, d), lambda h, j, pt, off: (h, 0, 0)),
-            pl.BlockSpec((1, 1, page_tokens, d), page_index),
-            pl.BlockSpec((1, 1, page_tokens, d), page_index),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, rows_pad, d), lambda h, j, pt, off: (h, 0, 0)
         ),
@@ -253,6 +283,7 @@ def paged_prefill_attention(
         rows_pad=rows_pad,
         chunk=chunk,
         head_dim=d,
+        quantized=quantized,
         precision=(
             jax.lax.Precision.HIGHEST
             if q.dtype == jnp.float32
@@ -270,7 +301,9 @@ def paged_prefill_attention(
     )(
         page_row.astype(jnp.int32),
         jnp.asarray(offset, jnp.int32).reshape(1),
-        qg, k_pages, v_pages,
+        qg,
+        *([k_pages, k_scales, v_pages, v_scales] if quantized
+          else [k_pages, v_pages]),
     )
     return out[:, :rows, :].reshape(hq, chunk, d)
 
@@ -282,6 +315,8 @@ def paged_decode_attention(
     page_table: jnp.ndarray,
     lengths: jnp.ndarray,
     *,
+    k_scales: Optional[jnp.ndarray] = None,
+    v_scales: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
@@ -295,9 +330,12 @@ def paged_decode_attention(
       lengths: [B] int32 — tokens currently in each sequence's cache
         (INCLUDING the token being decoded, which the caller has already
         appended; every length must be ≥ 1).
+      k_scales, v_scales: [Hkv, num_pages, page_tokens, 1] per-token
+        symmetric scales for int8 page pools (dequantized on tile load).
 
     Returns [B, Hq, D] in q.dtype.
     """
+    quantized = k_scales is not None
     b, hq, d = q.shape
     hkv, _num_pages, page_tokens, dk = k_pages.shape
     assert dk == d and v_pages.shape == k_pages.shape
@@ -321,16 +359,26 @@ def paged_decode_attention(
         last_page = jnp.maximum(ln[bi] - 1, 0) // page_tokens
         return (h, pt[bi, jnp.minimum(j, last_page)], 0, 0)
 
+    in_specs = [
+        pl.BlockSpec(
+            (1, 1, group_pad, d), lambda bi, h, j, pt, ln: (bi, h, 0, 0)
+        ),
+        pl.BlockSpec((1, 1, page_tokens, d), page_index),
+    ]
+    inputs = [qg, k_pages]
+    if quantized:
+        in_specs.append(pl.BlockSpec((1, 1, page_tokens, 1), page_index))
+        inputs.append(k_scales)
+    in_specs.append(pl.BlockSpec((1, 1, page_tokens, d), page_index))
+    inputs.append(v_pages)
+    if quantized:
+        in_specs.append(pl.BlockSpec((1, 1, page_tokens, 1), page_index))
+        inputs.append(v_scales)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, hkv, max_pages),
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, group_pad, d), lambda bi, h, j, pt, ln: (bi, h, 0, 0)
-            ),
-            pl.BlockSpec((1, 1, page_tokens, d), page_index),
-            pl.BlockSpec((1, 1, page_tokens, d), page_index),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, 1, group_pad, d), lambda bi, h, j, pt, ln: (bi, h, 0, 0)
         ),
@@ -345,6 +393,7 @@ def paged_decode_attention(
         page_tokens=page_tokens,
         group_pad=group_pad,
         head_dim=d,
+        quantized=quantized,
         precision=(
             jax.lax.Precision.HIGHEST
             if q.dtype == jnp.float32
@@ -359,5 +408,5 @@ def paged_decode_attention(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(page_table.astype(jnp.int32), lengths.astype(jnp.int32), qg, k_pages, v_pages)
+    )(page_table.astype(jnp.int32), lengths.astype(jnp.int32), *inputs)
     return out[:, :, :group, :].reshape(b, hq, d)
