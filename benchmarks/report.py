@@ -1,0 +1,167 @@
+"""Full benchmark report — the SURVEY.md §6 / reference-README table,
+re-measured on this framework's kernels on the live TPU.
+
+python benchmarks/report.py [--seq 4096] [--batch 4] [--quick]
+
+Prints a markdown table + writes benchmarks/report.json.  The utilization
+columns use the reference's op-count model ((2D+5)N² fwd, (9D+15)N²
+fwd+bwd, FMA=2 FLOPs, causal halved) against the chip's bf16 peak with the
+MXU-geometry cap (min(1, D/128) — a 64-deep contraction can only half-fill
+the 128-lane systolic array), so the fractions are comparable with the
+reference's ALU-utilization table (``README.md:256-264``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+
+from metal_flash_attention_plus_tpu.attention.masking import CAUSAL, FULL
+from metal_flash_attention_plus_tpu.attention.tuning import AttentionTuner
+from metal_flash_attention_plus_tpu.ops.flash_attention import (
+    flash_attention,
+    flash_attention_forward,
+)
+from metal_flash_attention_plus_tpu.ops.quantized_attention import (
+    quantized_flash_attention_forward,
+)
+from metal_flash_attention_plus_tpu.quant.params import (
+    QuantConfig,
+    QuantGranularity,
+    QuantStrategy,
+)
+from metal_flash_attention_plus_tpu.quant.tensor import quantize
+from metal_flash_attention_plus_tpu.utils.profiling import measure
+from metal_flash_attention_plus_tpu.utils.roofline import (
+    attention_ginstrs,
+    detect_chip,
+)
+
+
+def run(args):
+    chip = detect_chip()
+    tuner = AttentionTuner.shared()
+    rows = []
+    iters = 10 if args.quick else 40
+    for d, h in [(64, 8), (128, 8), (256, 4)]:
+        b, s = args.batch, args.seq
+        ks = jax.random.split(jax.random.PRNGKey(0), 4)
+        q = jax.random.normal(ks[0], (b, h, s, d), jnp.bfloat16)
+        k = jax.random.normal(ks[1], (b, h, s, d), jnp.bfloat16)
+        v = jax.random.normal(ks[2], (b, h, s, d), jnp.bfloat16)
+        do = jax.random.normal(ks[3], (b, h, s, d), jnp.bfloat16)
+        mxu_cap = min(1.0, d / 128.0)
+        peak = chip.bf16_tflops * mxu_cap
+
+        def tf(sec, phase, causal=True):
+            fl = 2.0 * attention_ginstrs(
+                s, s, d, num_heads=h, batch=b, phase=phase
+            ) / (2 if causal else 1)
+            return fl / sec / 1e12
+
+        blocks = tuner.recommend("fwd", d, s)
+
+        f_fwd = jax.jit(
+            lambda q, k, v, m=CAUSAL: flash_attention_forward(
+                q, k, v, mask=m, block_sizes=blocks, interpret=False
+            )[0]
+        )
+        t_fwd = measure(f_fwd, q, k, v, iters=iters, warmup=3)
+
+        f_full = jax.jit(
+            lambda q, k, v: flash_attention_forward(
+                q, k, v, mask=FULL, block_sizes=blocks, interpret=False
+            )[0]
+        )
+        t_full = measure(f_full, q, k, v, iters=iters, warmup=3)
+
+        f_both = jax.jit(
+            jax.grad(
+                lambda q, k, v: jnp.sum(
+                    flash_attention(
+                        q, k, v, mask=CAUSAL, block_sizes=blocks
+                    ).astype(jnp.float32)
+                    * do.astype(jnp.float32)
+                ),
+                argnums=(0, 1, 2),
+            )
+        )
+        t_both = measure(f_both, q, k, v, iters=max(5, iters // 2), warmup=3)
+
+        cfg8 = QuantConfig(
+            bits=8, granularity=QuantGranularity.ROW,
+            strategy=QuantStrategy.CENTERED,
+        )
+        kq, vq = quantize(k.astype(jnp.float32), cfg8), quantize(
+            v.astype(jnp.float32), cfg8
+        )
+        qblocks = tuner.recommend("fwd_q", d, s, bits=8)
+        f_q8 = jax.jit(
+            lambda q: quantized_flash_attention_forward(
+                q, kq, vq, mask=CAUSAL, block_sizes=qblocks, interpret=False
+            )[0]
+        )
+        t_q8 = measure(f_q8, q, iters=iters, warmup=3)
+
+        fwd_tf = tf(t_fwd, "forward")
+        full_tf = tf(t_full, "forward", causal=False)
+        both_tf = tf(t_both, "fwd_bwd")
+        q8_tf = tf(t_q8, "forward")
+        rows.append(
+            dict(
+                d=d,
+                fwd_causal_tflops=round(fwd_tf, 1),
+                fwd_causal_util=round(fwd_tf / peak, 3),
+                fwd_full_tflops=round(full_tf, 1),
+                fwd_full_util=round(full_tf / peak, 3),
+                fwd_bwd_tflops=round(both_tf, 1),
+                fwd_bwd_util=round(both_tf / peak, 3),
+                int8_kv_tflops=round(q8_tf, 1),
+                int8_kv_util=round(q8_tf / peak, 3),
+            )
+        )
+        print(
+            f"d={d}: fwd(causal) {fwd_tf:.1f} TF ({fwd_tf/peak:.0%}), "
+            f"fwd(full) {full_tf:.1f} ({full_tf/peak:.0%}), "
+            f"fwd+bwd {both_tf:.1f} ({both_tf/peak:.0%}), "
+            f"int8-KV {q8_tf:.1f} ({q8_tf/peak:.0%})",
+            flush=True,
+        )
+
+    report = dict(
+        chip=chip.name,
+        bf16_peak_tflops=chip.bf16_tflops,
+        seq=args.seq,
+        batch=args.batch,
+        note=(
+            "util = TFLOP/s / (bf16 peak × min(1, D/128)); reference "
+            "comparison rows: M1 fwd 86/85/86%, fwd+bwd 62/63/64% "
+            "(README.md:256-259)"
+        ),
+        rows=rows,
+    )
+    out = Path(__file__).parent / "report.json"
+    out.write_text(json.dumps(report, indent=1))
+    print(f"wrote {out}")
+
+    print("\n| D | fwd causal | fwd full | fwd+bwd | int8-KV |")
+    print("|---|---|---|---|---|")
+    for r in rows:
+        print(
+            f"| {r['d']} | {r['fwd_causal_tflops']} TF ({r['fwd_causal_util']:.0%}) "
+            f"| {r['fwd_full_tflops']} TF ({r['fwd_full_util']:.0%}) "
+            f"| {r['fwd_bwd_tflops']} TF ({r['fwd_bwd_util']:.0%}) "
+            f"| {r['int8_kv_tflops']} TF ({r['int8_kv_util']:.0%}) |"
+        )
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seq", type=int, default=4096)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--quick", action="store_true")
+    run(ap.parse_args())
