@@ -278,6 +278,41 @@ def build_block_bounds(
     )
 
 
+def plan_wavefront_parts(runs: np.ndarray, max_parts: int = 4):
+    """Split q-blocks into contiguous parts with similar live-window widths.
+
+    A part's grid j extent is its own max run, so ragged schedules (causal:
+    runs 1..ni) stop paying max-width dead steps on narrow q-blocks (a dead
+    step costs ~0.5 live tiles, docs/perf_notes.md).  Greedy contiguous
+    split: cut whenever the accumulated dead-step count within the current
+    part exceeds a quarter of its live steps, up to ``max_parts``.
+    Returns [(i0, i1), ...] covering [0, len(runs)).
+    """
+    ni = len(runs)
+    if ni <= 1:
+        return [(0, ni)]
+    total_live = int(runs.sum())
+    total_dead = int((runs.max() * ni) - total_live) if ni else 0
+    if total_dead <= max(1, total_live // 8):
+        return [(0, ni)]  # near-uniform runs: one dispatch
+    # Equal split by cumulative live work (balances part sizes for causal).
+    parts = []
+    csum = np.concatenate([[0], np.cumsum(runs)])
+    n_parts = min(max_parts, ni)
+    targets = [total_live * (p + 1) / n_parts for p in range(n_parts)]
+    i0 = 0
+    for tgt in targets:
+        i1 = int(np.searchsorted(csum, tgt, side="left"))
+        i1 = max(i0 + 1, min(i1, ni))
+        parts.append((i0, i1))
+        i0 = i1
+        if i0 >= ni:
+            break
+    if parts and parts[-1][1] < ni:
+        parts[-1] = (parts[-1][0], ni)
+    return parts
+
+
 def resolve_mask_mode(mask: MaskSpec, has_mask: bool, sq: int, skv: int):
     """Pick the kernel masking mode + affine coefficients.
 
@@ -311,6 +346,7 @@ def _fwd_kernel(
     head_dim: int,
     mask_mode: str,  # "none" | "affine" | "ranges"
     affine: Tuple[int, int, int, int],  # (A, B, seq_q, cap): see wrapper
+    row_base: int,  # global row of this dispatch's first q-block (wavefront)
     has_bias: bool,
     mask_value: float,
     precision,
@@ -378,7 +414,7 @@ def _fwd_kernel(
                     jax.lax.broadcasted_iota(
                         jnp.int32, (block_q, block_kv), 0
                     )
-                    + i * block_q
+                    + row_base + i * block_q
                 )
                 keep = jnp.logical_and(
                     col >= jnp.maximum(0, row + a_off),
@@ -436,7 +472,7 @@ def _fwd_kernel(
                 a_off, b_off, seq_q, cap = affine
                 row = (
                     jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
-                    + i * block_q
+                    + row_base + i * block_q
                 )
                 live = jnp.logical_and(
                     row < seq_q,
@@ -529,128 +565,160 @@ def flash_attention_forward(
     mask_mode, affine = resolve_mask_mode(mask, has_mask, sq, skv)
     ni = sq_p // bq
     nj_all = skv_p // bkv
-    nj_max = max(1, int((hi_arr - lo_arr).max()))
-
-    grid = (b, hq, ni, nj_max)
     q_per_kv = hq // hkv
 
     def kv_head(h):
         return (h % hkv) if interleaved_kv else (h // q_per_kv)
 
-    def kv_block(i, j, lo, hi):
-        # Clamp dead steps to the window's last live block: the index map
-        # repeats, so the pipeline skips the fetch.
-        run = hi[i] - lo[i]
-        return jnp.clip(lo[i] + jnp.minimum(j, run - 1), 0, nj_all - 1)
-
-    in_specs = []
-    inputs = []
-    if mask_mode == "ranges":
-        in_specs += [
-            pl.BlockSpec((bq, 1), lambda bi, h, i, j, lo, hi, *_: (i, 0)),
-            pl.BlockSpec((bq, 1), lambda bi, h, i, j, lo, hi, *_: (i, 0)),
-        ]
-        inputs += [
-            jnp.asarray(row_ranges[:, 0:1]),
-            jnp.asarray(row_ranges[:, 1:2]),
-        ]
-    in_specs += [
-        pl.BlockSpec(
-            (1, 1, bq, d), lambda bi, h, i, j, lo, hi, *_: (bi, h, i, 0)
-        ),
-        pl.BlockSpec(
-            (1, 1, bkv, d),
-            lambda bi, h, i, j, lo, hi, *_: (
-                bi, kv_head(h), kv_block(i, j, lo, hi), 0
-            ),
-        ),
-        pl.BlockSpec(
-            (1, 1, bkv, d),
-            lambda bi, h, i, j, lo, hi, *_: (
-                bi, kv_head(h), kv_block(i, j, lo, hi), 0
-            ),
-        ),
-    ]
-    inputs += [q, k, v]
-    if bias is not None:
-        bias_batch_bcast = bias.shape[0] == 1
-        bias_head_bcast = bias.shape[1] == 1
-
-        def bias_map(bi, h, i, j, lo, hi, *_):
-            return (
-                0 if bias_batch_bcast else bi,
-                0 if bias_head_bcast else h,
-                i,
-                kv_block(i, j, lo, hi),
-            )
-
-        in_specs.append(pl.BlockSpec((1, 1, bq, bkv), bias_map))
-        inputs.append(bias)
-
-    kernel = functools.partial(
-        _fwd_kernel,
-        block_q=bq,
-        block_kv=bkv,
-        head_dim=d,
-        mask_mode=mask_mode,
-        affine=affine,
-        has_bias=bias is not None,
-        mask_value=mask_value,
+    precision = (
         # FP32 pipelines need true-fp32 MXU passes to hit the 2e-5 gate;
         # bf16 inputs use the native bf16 MXU path.
-        precision=(
-            jax.lax.Precision.HIGHEST
-            if q.dtype == jnp.float32
-            else jax.lax.Precision.DEFAULT
-        ),
+        jax.lax.Precision.HIGHEST
+        if q.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
     )
 
-    out_shape = [
-        jax.ShapeDtypeStruct((b, hq, sq_p, d), out_dtype),
-        jax.ShapeDtypeStruct((b, hq, sq_p, LANES), jnp.float32),
-    ]
-    out_specs = [
-        pl.BlockSpec(
-            (1, 1, bq, d), lambda bi, h, i, j, lo, hi, *_: (bi, h, i, 0)
-        ),
-        pl.BlockSpec(
-            (1, 1, bq, LANES), lambda bi, h, i, j, lo, hi, *_: (bi, h, i, 0)
-        ),
-    ]
+    def run_part(i0: int, i1: int):
+        """One pallas dispatch over q-blocks [i0, i1) with a j extent sized
+        to THIS part's widest live window."""
+        ni_part = i1 - i0
+        lo_part = lo_arr[i0:i1]
+        hi_part = hi_arr[i0:i1]
+        nj_max = max(1, int((hi_part - lo_part).max()))
+        row0 = i0 * bq
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_specs,
-        scratch_shapes=[
-            pltpu.VMEM((bq, LANES), jnp.float32),  # m (lane-replicated)
-            pltpu.VMEM((bq, LANES), jnp.float32),  # l
-            pltpu.VMEM((bq, d), jnp.float32),  # acc
-        ],
-    )
+        def kv_block(i, j, lo, hi):
+            # Clamp dead steps to the window's last live block: the index
+            # map repeats, so the pipeline skips the fetch.
+            run = hi[i] - lo[i]
+            return jnp.clip(lo[i] + jnp.minimum(j, run - 1), 0, nj_all - 1)
 
-    live_tiles = int((hi_arr - lo_arr).sum())
-    o, l = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=out_shape,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=(
-                "parallel", "parallel", "arbitrary", "arbitrary"
+        in_specs = []
+        inputs = []
+        if mask_mode == "ranges":
+            in_specs += [
+                pl.BlockSpec(
+                    (bq, 1), lambda bi, h, i, j, lo, hi: (i0 + i, 0)
+                ),
+                pl.BlockSpec(
+                    (bq, 1), lambda bi, h, i, j, lo, hi: (i0 + i, 0)
+                ),
+            ]
+            inputs += [
+                jnp.asarray(row_ranges[:, 0:1]),
+                jnp.asarray(row_ranges[:, 1:2]),
+            ]
+        in_specs += [
+            pl.BlockSpec(
+                (1, 1, bq, d), lambda bi, h, i, j, lo, hi: (bi, h, i0 + i, 0)
             ),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * b * hq * live_tiles * bq * bkv * d,
-            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
-            transcendentals=b * hq * live_tiles * bq * bkv,
-        ),
-        interpret=interpret,
-    )(
-        jnp.asarray(lo_arr),
-        jnp.asarray(hi_arr),
-        *inputs,
-    )
+            pl.BlockSpec(
+                (1, 1, bkv, d),
+                lambda bi, h, i, j, lo, hi: (
+                    bi, kv_head(h), kv_block(i, j, lo, hi), 0
+                ),
+            ),
+            pl.BlockSpec(
+                (1, 1, bkv, d),
+                lambda bi, h, i, j, lo, hi: (
+                    bi, kv_head(h), kv_block(i, j, lo, hi), 0
+                ),
+            ),
+        ]
+        inputs += [q, k, v]
+        if bias is not None:
+            bias_batch_bcast = bias.shape[0] == 1
+            bias_head_bcast = bias.shape[1] == 1
+
+            def bias_map(bi, h, i, j, lo, hi):
+                return (
+                    0 if bias_batch_bcast else bi,
+                    0 if bias_head_bcast else h,
+                    i0 + i,
+                    kv_block(i, j, lo, hi),
+                )
+
+            in_specs.append(pl.BlockSpec((1, 1, bq, bkv), bias_map))
+            inputs.append(bias)
+
+        kernel = functools.partial(
+            _fwd_kernel,
+            block_q=bq,
+            block_kv=bkv,
+            head_dim=d,
+            mask_mode=mask_mode,
+            # Affine row offsets are absolute; shift the kernel's i by i0
+            # via the seq/row constants staying global — the kernel indexes
+            # rows as i*block_q with i local, so fold i0 into the iota by
+            # adjusting the prefetch-side row base below (row_base kwarg).
+            affine=affine,
+            row_base=row0,
+            has_bias=bias is not None,
+            mask_value=mask_value,
+            precision=precision,
+        )
+
+        out_shape = [
+            jax.ShapeDtypeStruct((b, hq, ni_part * bq, d), out_dtype),
+            jax.ShapeDtypeStruct((b, hq, ni_part * bq, LANES), jnp.float32),
+        ]
+        out_specs = [
+            pl.BlockSpec(
+                (1, 1, bq, d), lambda bi, h, i, j, lo, hi: (bi, h, i, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, bq, LANES), lambda bi, h, i, j, lo, hi: (bi, h, i, 0)
+            ),
+        ]
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, hq, ni_part, nj_max),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=[
+                pltpu.VMEM((bq, LANES), jnp.float32),  # m (lane-replicated)
+                pltpu.VMEM((bq, LANES), jnp.float32),  # l
+                pltpu.VMEM((bq, d), jnp.float32),  # acc
+            ],
+        )
+
+        live_tiles = max(1, int((hi_part - lo_part).sum()))
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=(
+                    "parallel", "parallel", "arbitrary", "arbitrary"
+                ),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * b * hq * live_tiles * bq * bkv * d,
+                bytes_accessed=(q.size + k.size + v.size)
+                * q.dtype.itemsize,
+                transcendentals=b * hq * live_tiles * bq * bkv,
+            ),
+            interpret=interpret,
+        )(
+            jnp.asarray(lo_part),
+            jnp.asarray(hi_part),
+            *inputs,
+        )
+
+    # Wavefront partitioning: one dispatch per contiguous group of q-blocks
+    # with similar live-window widths, so ragged schedules (causal) don't
+    # pay max-width dead steps everywhere (a dead step costs ~0.5 live
+    # tiles, docs/perf_notes.md).  Parts run inside one jit program —
+    # per-part overhead is a device-side kernel launch, not a host dispatch.
+    runs = (hi_arr - lo_arr).astype(np.int64)
+    parts = plan_wavefront_parts(runs)
+    outs = [run_part(i0, i1) for i0, i1 in parts]
+    if len(outs) == 1:
+        o, l = outs[0]
+    else:
+        o = jnp.concatenate([p[0] for p in outs], axis=2)
+        l = jnp.concatenate([p[1] for p in outs], axis=2)
 
     o = o[:, :, :sq, :]
     l = l[:, :, :sq, 0]
