@@ -148,108 +148,6 @@ def compute_row_ranges(
     return np.stack([start, end], axis=-1).astype(np.int32)
 
 
-@dataclasses.dataclass(frozen=True)
-class StepTable:
-    """Flattened live-tile schedule: arrays of length T (one per grid step).
-
-    step_i/step_j: q-block / kv-block coordinates of the step.
-    first/last:    1 if the step opens / closes its q-block (init / store).
-    dummy:         1 for placeholder steps of fully-masked q-blocks (store
-                   zeros; every q-block needs ≥1 step so its output tile is
-                   written).
-    max_start/min_end: per-q-block full-live bounds for the boundary-tile
-                   test, indexed by step_i.
-    """
-
-    step_i: np.ndarray
-    step_j: np.ndarray
-    first: np.ndarray
-    last: np.ndarray
-    dummy: np.ndarray
-    max_start: np.ndarray
-    min_end: np.ndarray
-
-    @property
-    def num_steps(self) -> int:
-        return len(self.step_i)
-
-
-def build_step_table(
-    row_ranges: np.ndarray, block_q: int, block_kv: int
-) -> StepTable:
-    """Lower per-row ranges to the flattened live-tile schedule."""
-    sq_pad = row_ranges.shape[0]
-    ni = sq_pad // block_q
-    start = row_ranges[:, 0].reshape(ni, block_q).astype(np.int64)
-    end = row_ranges[:, 1].reshape(ni, block_q).astype(np.int64)
-    live = end > start
-    any_live = live.any(axis=1)
-    all_live = live.all(axis=1)
-    big = np.int64(np.iinfo(np.int32).max)
-    start_masked = np.where(live, start, big)
-    lo = np.where(any_live, start_masked.min(axis=1) // block_kv, 0)
-    hi = np.where(any_live, -(-end.max(axis=1) // block_kv), 0)
-    max_start = np.where(all_live, start.max(axis=1), big)
-    min_end = np.where(all_live, end.min(axis=1), -1)
-
-    si, sj, first, last, dummy = [], [], [], [], []
-    for i in range(ni):
-        if hi[i] <= lo[i]:
-            si.append(i)
-            sj.append(0)
-            first.append(1)
-            last.append(1)
-            dummy.append(1)
-            continue
-        for j in range(lo[i], hi[i]):
-            si.append(i)
-            sj.append(j)
-            first.append(1 if j == lo[i] else 0)
-            last.append(1 if j == hi[i] - 1 else 0)
-            dummy.append(0)
-    return StepTable(
-        step_i=np.asarray(si, np.int32),
-        step_j=np.asarray(sj, np.int32),
-        first=np.asarray(first, np.int32),
-        last=np.asarray(last, np.int32),
-        dummy=np.asarray(dummy, np.int32),
-        max_start=max_start.astype(np.int32),
-        min_end=min_end.astype(np.int32),
-    )
-
-
-# Per-step flag bits (host-computed — the kernel does NO schedule math;
-# every per-step property is one prefetched int, which measured 7-30%
-# faster than in-kernel range comparisons, see docs/perf_notes.md).
-FLAG_FIRST = 1  # step opens its q-block (init accumulators)
-FLAG_LAST = 2  # step closes its q-block (store O/L)
-FLAG_DUMMY = 4  # placeholder for a fully-masked q-block (store zeros)
-FLAG_BOUNDARY = 8  # tile crosses a range edge (apply element masking)
-
-
-def build_step_flags(
-    table: "StepTable", block_kv: int, has_mask: bool
-) -> np.ndarray:
-    """Fold every per-step schedule property into one int32 flag word
-    (first/last/dummy/boundary) ON THE HOST — the kernel must do zero
-    schedule arithmetic (measured 7-30% of runtime, docs/perf_notes.md)."""
-    flags = (
-        table.first * FLAG_FIRST
-        + table.last * FLAG_LAST
-        + table.dummy * FLAG_DUMMY
-    ).astype(np.int64)
-    if has_mask:
-        j = table.step_j.astype(np.int64)
-        interior = np.logical_and(
-            j * block_kv >= table.max_start[table.step_i],
-            (j + 1) * block_kv <= table.min_end[table.step_i],
-        )
-        flags += np.where(
-            np.logical_or(interior, table.dummy == 1), 0, FLAG_BOUNDARY
-        )
-    return flags.astype(np.int32)
-
-
 def build_block_bounds(
     row_ranges: np.ndarray, block_q: int, block_kv: int
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:

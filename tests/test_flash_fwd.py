@@ -14,7 +14,7 @@ from metal_flash_attention_plus_tpu.attention import masking
 from metal_flash_attention_plus_tpu.attention.masking import MaskKind, MaskSpec
 from metal_flash_attention_plus_tpu.ops.flash_attention import (
     BlockSizes,
-    build_step_table,
+    build_block_bounds,
     compute_row_ranges,
     flash_attention_forward,
 )
@@ -116,20 +116,38 @@ def test_custom_softmax_scale():
     run_case((1, 1, 1, 128, 128, 64), masking.FULL, scale=0.35, tol=1e-5)
 
 
-def test_step_table_causal_counts():
+def test_block_bounds_causal():
     rr = compute_row_ranges(masking.CAUSAL, 4096, 4096)
-    t = build_step_table(rr, 512, 1024)
-    # live tiles = sum over i of ceil((i+1)*512/1024)
-    assert t.num_steps == sum(-(-((i + 1) * 512) // 1024) for i in range(8))
-    assert int(t.dummy.sum()) == 0
-    assert int(t.first.sum()) == 8 and int(t.last.sum()) == 8
+    lo, hi, ms, me = build_block_bounds(rr, 512, 1024)
+    assert (lo == 0).all()
+    # q-block i's widest row sees (i+1)*512 kv columns.
+    np.testing.assert_array_equal(
+        hi, [-(-((i + 1) * 512) // 1024) for i in range(8)]
+    )
+    # Live tile count drives the cost estimate.
+    assert int((hi - lo).sum()) == sum(
+        -(-((i + 1) * 512) // 1024) for i in range(8)
+    )
 
 
-def test_step_table_empty_block_dummy():
+def test_block_bounds_empty_rows():
     rr = np.zeros((256, 2), dtype=np.int32)  # everything masked
-    t = build_step_table(rr, 128, 128)
-    assert t.num_steps == 2
-    assert int(t.dummy.sum()) == 2
+    lo, hi, ms, me = build_block_bounds(rr, 128, 128)
+    assert (hi == lo).all()  # zero-width windows → store-zero path
+
+
+def test_wavefront_parts_cover_and_balance():
+    from metal_flash_attention_plus_tpu.ops.flash_attention import (
+        plan_wavefront_parts,
+    )
+
+    runs = np.arange(1, 9)  # causal
+    parts = plan_wavefront_parts(runs)
+    assert parts[0][0] == 0 and parts[-1][1] == 8
+    assert all(a < b for a, b in parts)
+    assert all(parts[k][1] == parts[k + 1][0] for k in range(len(parts) - 1))
+    # Uniform runs: single dispatch.
+    assert plan_wavefront_parts(np.full(8, 4)) == [(0, 8)]
 
 
 def test_block_size_validation():
