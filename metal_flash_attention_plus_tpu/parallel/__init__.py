@@ -18,6 +18,9 @@ from metal_flash_attention_plus_tpu.parallel.mesh import (  # noqa: F401
 )
 from metal_flash_attention_plus_tpu.parallel.ring import (  # noqa: F401
     ring_attention,
+    ring_attention_zigzag,
+    zigzag_postshard,
+    zigzag_preshard,
 )
 from metal_flash_attention_plus_tpu.parallel.ulysses import (  # noqa: F401
     ulysses_attention,

@@ -222,3 +222,224 @@ def _ring_bwd(
 
 
 ring_attention.defvjp(_ring_fwd, _ring_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Zigzag ring: causal load balancing.
+# ---------------------------------------------------------------------------
+#
+# Plain causal rings idle early devices on late steps (device i does i+1 of
+# N steps' work → worst/best = N×).  The zigzag layout gives device i TWO
+# sequence chunks — chunk i and chunk 2N−1−i of 2N — so each device's live
+# work per rotation is near-constant.  Per step, the 2×2 (q-sub, kv-sub)
+# chunk pairs each resolve to dense/diagonal/empty independently and merge
+# into per-sub online-softmax accumulators.
+
+
+def zigzag_order(num_devices: int):
+    """Chunk permutation putting (i, 2N−1−i) adjacent for device i."""
+    n = num_devices
+    order = []
+    for i in range(n):
+        order += [i, 2 * n - 1 - i]
+    return order
+
+
+def zigzag_inverse(num_devices: int):
+    order = zigzag_order(num_devices)
+    inv = [0] * len(order)
+    for pos, c in enumerate(order):
+        inv[c] = pos
+    return inv
+
+
+def _zz_apply(x, perm, seq_axis: int):
+    n2 = len(perm)
+    s = x.shape[seq_axis]
+    c = s // n2
+    parts = jnp.split(x, n2, axis=seq_axis)
+    return jnp.concatenate([parts[p] for p in perm], axis=seq_axis)
+
+
+def zigzag_preshard(x: jnp.ndarray, num_devices: int, seq_axis: int = 2):
+    """Global [.., S, ..] → zigzag chunk order (feed to shard_map P-split)."""
+    return _zz_apply(x, zigzag_order(num_devices), seq_axis)
+
+
+def zigzag_postshard(x: jnp.ndarray, num_devices: int, seq_axis: int = 2):
+    """Invert :func:`zigzag_preshard` on gathered outputs."""
+    return _zz_apply(x, zigzag_inverse(num_devices), seq_axis)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def ring_attention_zigzag(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    axis_name: str = "context",
+    scale: Optional[float] = None,
+    block_sizes: BlockSizes = BlockSizes(),
+    interleaved_kv: bool = False,
+) -> jnp.ndarray:
+    """Causal context-parallel attention, zigzag-balanced (inside shard_map).
+
+    Local operands hold chunks (i, 2N−1−i) CONCATENATED along the sequence
+    axis (use :func:`zigzag_preshard` on the global arrays first).
+    Returns the local O in the same zigzag layout.
+    """
+    o, _ = _zz_forward(q, k, v, axis_name, scale, block_sizes, interleaved_kv)
+    return o.astype(q.dtype)
+
+
+def _zz_chunk_kind(qc, kc):
+    return jnp.where(kc > qc, EMPTY, jnp.where(kc == qc, DIAG, DENSE))
+
+
+def _zz_forward(q, k, v, axis_name, scale, block_sizes, interleaved_kv):
+    n = jax.lax.psum(1, axis_name)
+    my = jax.lax.axis_index(axis_name)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    b, hq, s2, d = q.shape
+    c = s2 // 2  # per-chunk rows
+
+    def run(mask):
+        def f(q_, k_, v_):
+            return flash_attention_forward(
+                q_, k_, v_, mask=mask, scale=scale, block_sizes=block_sizes,
+                interleaved_kv=interleaved_kv, out_dtype=jnp.float32,
+            )
+
+        return f
+
+    dense_fn = run(FULL)
+    diag_fn = run(CAUSAL)
+
+    def empty_fn(q_, k_, v_):
+        return (
+            jnp.zeros(q_.shape, jnp.float32),
+            jnp.full(q_.shape[:3], NEG_INF, jnp.float32),
+        )
+
+    q_subs = (q[:, :, :c], q[:, :, c:])
+
+    def body(s, carry):
+        accs, ms, ws, k_cur, v_cur = carry
+        j = (my - s) % n
+        kv_chunks = (j, 2 * n - 1 - j)
+        q_chunks_g = (my, 2 * n - 1 - my)
+        new_accs, new_ms, new_ws = [], [], []
+        for qi in range(2):
+            acc, m, w = accs[qi], ms[qi], ws[qi]
+            for ki in range(2):
+                kind = _zz_chunk_kind(q_chunks_g[qi], kv_chunks[ki])
+                k_sub = k_cur[:, :, ki * c : (ki + 1) * c]
+                v_sub = v_cur[:, :, ki * c : (ki + 1) * c]
+                o_s, l_s = jax.lax.switch(
+                    kind, [empty_fn, diag_fn, dense_fn],
+                    q_subs[qi], k_sub, v_sub,
+                )
+                acc, m, w = _merge(acc, m, w, o_s, l_s)
+            new_accs.append(acc)
+            new_ms.append(m)
+            new_ws.append(w)
+        k_next = jax.lax.ppermute(k_cur, axis_name, perm)
+        v_next = jax.lax.ppermute(v_cur, axis_name, perm)
+        return tuple(new_accs), tuple(new_ms), tuple(new_ws), k_next, v_next
+
+    zero_acc = jnp.zeros((b, hq, c, d), jnp.float32)
+    zero_m = jnp.full((b, hq, c), NEG_INF, jnp.float32)
+    zero_w = jnp.zeros((b, hq, c), jnp.float32)
+    init = (
+        (zero_acc, zero_acc), (zero_m, zero_m), (zero_w, zero_w), k, v,
+    )
+    accs, ms, ws, _, _ = jax.lax.fori_loop(0, n, body, init)
+
+    outs, ls = [], []
+    for qi in range(2):
+        w_safe = jnp.maximum(ws[qi], jnp.finfo(jnp.float32).tiny)
+        outs.append(accs[qi] / w_safe[..., None])
+        ls.append(jnp.where(ws[qi] > 0, ms[qi] + jnp.log(w_safe), NEG_INF))
+    return (
+        jnp.concatenate(outs, axis=2),
+        jnp.concatenate(ls, axis=2),
+    )
+
+
+def _zz_fwd(q, k, v, axis_name, scale, block_sizes, interleaved_kv):
+    o, l = _zz_forward(q, k, v, axis_name, scale, block_sizes, interleaved_kv)
+    return o.astype(q.dtype), (q, k, v, o, l)
+
+
+def _zz_bwd(axis_name, scale, block_sizes, interleaved_kv, res, do):
+    q, k, v, o, l = res
+    n = jax.lax.psum(1, axis_name)
+    my = jax.lax.axis_index(axis_name)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    c = q.shape[2] // 2
+
+    def run(mask, q_, k_, v_, o_, l_, do_):
+        dq_, dk_, dv_, _ = flash_attention_backward(
+            q_, k_, v_, o_, l_, do_,
+            mask=mask, scale=scale, block_sizes=block_sizes,
+            interleaved_kv=interleaved_kv,
+        )
+        return dq_, dk_, dv_
+
+    def dense_fn(args):
+        return run(FULL, *args)
+
+    def diag_fn(args):
+        return run(CAUSAL, *args)
+
+    def empty_fn(args):
+        q_, k_, v_ = args[0], args[1], args[2]
+        return (
+            jnp.zeros(q_.shape, jnp.float32),
+            jnp.zeros(k_.shape, jnp.float32),
+            jnp.zeros(v_.shape, jnp.float32),
+        )
+
+    q_subs = (q[:, :, :c], q[:, :, c:])
+    o_subs = (o[:, :, :c], o[:, :, c:])
+    l_subs = (l[:, :, :c], l[:, :, c:])
+    do_subs = (do[:, :, :c], do[:, :, c:])
+
+    def body(s, carry):
+        dq_acc, dkv_acc, k_cur, v_cur = carry
+        j = (my - s) % n
+        kv_chunks = (j, 2 * n - 1 - j)
+        q_chunks_g = (my, 2 * n - 1 - my)
+        for qi in range(2):
+            for ki in range(2):
+                kind = _zz_chunk_kind(q_chunks_g[qi], kv_chunks[ki])
+                k_sub = k_cur[:, :, ki * c : (ki + 1) * c]
+                v_sub = v_cur[:, :, ki * c : (ki + 1) * c]
+                dq_s, dk_s, dv_s = jax.lax.switch(
+                    kind, [empty_fn, diag_fn, dense_fn],
+                    (
+                        q_subs[qi], k_sub, v_sub,
+                        o_subs[qi], l_subs[qi], do_subs[qi],
+                    ),
+                )
+                dq_acc = dq_acc.at[:, :, qi * c : (qi + 1) * c].add(dq_s)
+                dkv_acc = dkv_acc.at[:, :, ki * c : (ki + 1) * c].add(dk_s)
+                dkv_acc = dkv_acc.at[
+                    :, :, 2 * c + ki * c : 2 * c + (ki + 1) * c
+                ].add(dv_s)
+        # dK/dV partials travel with their chunk pair.
+        dkv_next = jax.lax.ppermute(dkv_acc, axis_name, perm)
+        k_next = jax.lax.ppermute(k_cur, axis_name, perm)
+        v_next = jax.lax.ppermute(v_cur, axis_name, perm)
+        return dq_acc, dkv_next, k_next, v_next
+
+    dkv0 = jnp.zeros(
+        (k.shape[0], k.shape[1], 4 * c, k.shape[3]), jnp.float32
+    )  # [dk(2c) | dv(2c)] stacked along seq
+    init = (jnp.zeros(q.shape, jnp.float32), dkv0, k, v)
+    dq, dkv, _, _ = jax.lax.fori_loop(0, n, body, init)
+    dk = dkv[:, :, : 2 * c]
+    dv = dkv[:, :, 2 * c :]
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+ring_attention_zigzag.defvjp(_zz_fwd, _zz_bwd)

@@ -134,3 +134,58 @@ def test_ulysses_grads():
     np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_r), atol=5e-5)
     np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_r), atol=5e-5)
     np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_r), atol=5e-5)
+
+
+def test_zigzag_ring_forward_and_grads():
+    from metal_flash_attention_plus_tpu.parallel.ring import (
+        ring_attention_zigzag,
+        zigzag_postshard,
+        zigzag_preshard,
+    )
+
+    mesh = _mesh(4)
+    n = 4
+    q, k, v = _data(s=512, seed=21)  # 2N=8 chunks of 64 rows
+    do = jax.random.normal(jax.random.PRNGKey(22), q.shape, jnp.float32)
+    seq_spec = P(None, None, "context", None)
+
+    qz = zigzag_preshard(q, n)
+    kz = zigzag_preshard(k, n)
+    vz = zigzag_preshard(v, n)
+    doz = zigzag_preshard(do, n)
+
+    def loss(q, k, v, do):
+        o = ring_attention_zigzag(q, k, v, "context", None, BS)
+        return jnp.sum(o * do), o
+
+    f = shard_map(
+        lambda q, k, v, do: jax.grad(
+            lambda *a: loss(*a)[0], argnums=(0, 1, 2)
+        )(q, k, v, do),
+        mesh=mesh,
+        in_specs=(seq_spec,) * 4,
+        out_specs=(seq_spec,) * 3,
+        check_vma=False,
+    )
+    g = shard_map(
+        lambda q, k, v: ring_attention_zigzag(q, k, v, "context", None, BS),
+        mesh=mesh,
+        in_specs=(seq_spec,) * 3,
+        out_specs=seq_spec,
+        check_vma=False,
+    )
+    o = zigzag_postshard(jax.jit(g)(qz, kz, vz), n)
+    o_ref, _ = reference_attention(q, k, v, mask=CAUSAL)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref), atol=2e-5)
+
+    dq, dk, dv = jax.jit(f)(qz, kz, vz, doz)
+    dq_r, dk_r, dv_r = reference_attention_vjp(q, k, v, do, mask=CAUSAL)
+    np.testing.assert_allclose(
+        np.asarray(zigzag_postshard(dq, n)), np.asarray(dq_r), atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(zigzag_postshard(dk, n)), np.asarray(dk_r), atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(zigzag_postshard(dv, n)), np.asarray(dv_r), atol=5e-5
+    )
