@@ -146,3 +146,30 @@ def test_value_and_grad_jits():
 
     val, g = step(q, k, v)
     assert np.isfinite(float(val)) and bool(jnp.isfinite(g).all())
+
+
+def test_baseline_config2_composition():
+    """BASELINE.json config 2 (reduced shapes for CPU): fwd+bwd with causal
+    + external bias, GQA with 8→4-style grouping, one composed call."""
+    from metal_flash_attention_plus_tpu.attention.masking import CAUSAL
+
+    b, hq, hkv, s, d = 1, 8, 4, 256, 64
+    ks = jax.random.split(jax.random.key(31), 5)
+    q = jax.random.normal(ks[0], (b, hq, s, d))
+    k = jax.random.normal(ks[1], (b, hkv, s, d))
+    v = jax.random.normal(ks[2], (b, hkv, s, d))
+    bias = jax.random.normal(ks[3], (1, hq, s, s)) * 0.5
+    do = jax.random.normal(ks[4], (b, hq, s, d))
+
+    f = lambda q_, k_, v_, b_: jnp.sum(
+        flash_attention(q_, k_, v_, b_, mask=CAUSAL) * do
+    )
+    fr = lambda q_, k_, v_, b_: jnp.sum(
+        reference_attention(q_, k_, v_, mask=CAUSAL, bias=b_)[0] * do
+    )
+    g = jax.jit(jax.grad(f, argnums=(0, 1, 2, 3)))(q, k, v, bias)
+    gr = jax.grad(fr, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, r, name in zip(g, gr, ["dq", "dk", "dv", "dbias"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(r), atol=2e-4, err_msg=name
+        )

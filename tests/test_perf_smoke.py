@@ -77,3 +77,33 @@ def test_calibrate_persists_and_improves(tmp_path):
     # A fresh tuner over the same store must serve the calibrated entry.
     tuner2 = AttentionTuner(store=CalibrationStore(cache_dir=str(tmp_path)))
     assert tuner2.recommend("fwd", 64, 2048) == best
+
+def test_baseline_config2_full_shape():
+    """BASELINE config 2 at full shape on hardware: fwd+bwd, causal +
+    external bias, GQA 8 KV heads, seq 2K — runs and is finite."""
+    b, hq, hkv, s, d = 2, 16, 8, 2048, 64
+    ks = jax.random.split(jax.random.PRNGKey(0), 5)
+    q = jax.random.normal(ks[0], (b, hq, s, d), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (b, hkv, s, d), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (b, hkv, s, d), jnp.bfloat16)
+    bias = jax.random.normal(ks[3], (1, hq, s, s), jnp.float32) * 0.5
+    do = jax.random.normal(ks[4], (b, hq, s, d), jnp.bfloat16)
+
+    from metal_flash_attention_plus_tpu.ops.flash_attention import (
+        flash_attention,
+    )
+
+    g = jax.jit(
+        jax.grad(
+            lambda q_, k_, v_, b_: jnp.sum(
+                flash_attention(q_, k_, v_, b_, mask=CAUSAL).astype(
+                    jnp.float32
+                )
+                * do.astype(jnp.float32)
+            ),
+            argnums=(0, 1, 2, 3),
+        )
+    )
+    grads = g(q, k, v, bias)
+    for a in grads:
+        assert bool(jnp.isfinite(a.astype(jnp.float32)).all())
