@@ -43,6 +43,11 @@ class TransformerConfig:
     rope_theta: float = 10000.0
     dtype: Any = jnp.bfloat16
     block_sizes: BlockSizes = BlockSizes()
+    # Rematerialize each layer's activations in backward (jax.checkpoint):
+    # trades one extra forward pass per layer for O(1) live activations —
+    # the VMEM/HBM lever the reference's register-spilling tricks stand in
+    # for on Metal.
+    remat: bool = False
 
     def __post_init__(self):
         assert self.num_heads % self.num_kv_heads == 0
@@ -167,9 +172,15 @@ def forward(
     if positions is None:
         positions = jnp.arange(s)
     x = params["embed"][tokens]
-    for layer in params["layers"]:
+
+    def layer_fn(layer, x):
         x = attention_block(layer, x, positions, cfg, attn_fn=attn_fn)
-        x = mlp_block(layer, x)
+        return mlp_block(layer, x)
+
+    if cfg.remat:
+        layer_fn = jax.checkpoint(layer_fn)
+    for layer in params["layers"]:
+        x = layer_fn(layer, x)
     h = rms_norm(x, params["ln_f"])
     return (h @ params["unembed"]).astype(jnp.float32)
 

@@ -31,6 +31,7 @@ def pipeline_apply(
     stage_params: jnp.ndarray,
     microbatches: jnp.ndarray,  # [n_micro, micro_size, ...] (replicated)
     axis_name: str = "pipe",
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Run ``stage_fn(params_local, x)`` as a pipeline (call inside
     shard_map).
@@ -45,6 +46,11 @@ def pipeline_apply(
     callers psum/select as needed — shard_map out_specs can pick them up
     replicated after an explicit broadcast, see tests).
     """
+    if remat:
+        # Per-(stage, microbatch) rematerialization: backward recomputes a
+        # stage's forward instead of keeping all n_micro·n_stages
+        # activations alive — the memory term GPipe needs to scale.
+        stage_fn = jax.checkpoint(stage_fn)
     n_stages = jax.lax.psum(1, axis_name)
     stage = jax.lax.axis_index(axis_name)
     n_micro = microbatches.shape[0]

@@ -214,7 +214,8 @@ def local_forward(params, tokens, cfg: TransformerConfig, sc: ShardingConfig):
 
     x = params["embed"][tokens]
     hd = cfg.head_dim
-    for layer in params["layers"]:
+
+    def layer_fn(layer, x):
         h = rms_norm(x, layer["ln1"])
         qh, kh, vh = h @ layer["wq"], h @ layer["wk"], h @ layer["wv"]
         q = _split_heads(qh, qh.shape[-1] // hd, hd)
@@ -231,7 +232,12 @@ def local_forward(params, tokens, cfg: TransformerConfig, sc: ShardingConfig):
             h2 @ layer["wu"]
         ).astype(jnp.float32)
         down = y.astype(x.dtype) @ layer["wd"]
-        x = x + psum_tp(down.astype(jnp.float32), ax.model).astype(x.dtype)
+        return x + psum_tp(down.astype(jnp.float32), ax.model).astype(x.dtype)
+
+    if cfg.remat:
+        layer_fn = jax.checkpoint(layer_fn)
+    for layer in params["layers"]:
+        x = layer_fn(layer, x)
 
     hf = rms_norm(x, params["ln_f"])
     return (hf @ params["unembed"]).astype(jnp.float32)

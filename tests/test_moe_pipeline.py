@@ -176,3 +176,56 @@ class TestPipeline:
         np.testing.assert_allclose(
             np.asarray(grads), np.asarray(ref), atol=2e-4
         )
+
+
+class TestRemat:
+    def test_pipeline_remat_grads_match(self):
+        mesh = _mesh(4, "pipe")
+        tp = TestPipeline()
+        ws, xs = tp._setup(seed=13)
+
+        def make_loss(remat):
+            def local_loss(ws_local, xs):
+                out = pipeline_apply(
+                    tp._stage_fn, ws_local[0], xs, "pipe", remat=remat
+                )
+                out = broadcast_from_last_stage(out, "pipe")
+                return jnp.sum(out * out)
+
+            return shard_map(
+                lambda w, x: jax.grad(local_loss)(w, x),
+                mesh=mesh, in_specs=(P("pipe"), P()), out_specs=P("pipe"),
+                check_vma=False,
+            )
+
+        g_plain = jax.jit(make_loss(False))(ws, xs)
+        g_remat = jax.jit(make_loss(True))(ws, xs)
+        np.testing.assert_allclose(
+            np.asarray(g_remat), np.asarray(g_plain), atol=1e-5
+        )
+
+    def test_spmd_remat_matches_golden(self):
+        import dataclasses
+
+        from metal_flash_attention_plus_tpu.models.transformer import (
+            loss_fn,
+        )
+        from tests.test_spmd import CFG, _setup
+        from metal_flash_attention_plus_tpu.parallel.spmd import (
+            ShardingConfig, make_spmd_loss_and_grad, shard_params,
+        )
+
+        mesh, params, tokens = _setup((2, 2, 2))
+        cfg_r = dataclasses.replace(CFG, remat=True)
+        sc = ShardingConfig(attn_mode="ring")
+        sharded = shard_params(params, mesh, cfg_r, sc)
+        f = jax.jit(make_spmd_loss_and_grad(cfg_r, mesh, sc))
+        loss, grads = f(sharded, tokens[:, :-1], tokens[:, 1:])
+        loss_ref, grads_ref = jax.value_and_grad(loss_fn)(params, tokens, CFG)
+        np.testing.assert_allclose(float(loss), float(loss_ref), rtol=1e-5)
+        g = jax.tree.flatten(grads)[0]
+        gr = jax.tree.flatten(grads_ref)[0]
+        for a, b in zip(g, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=3e-4, rtol=1e-3
+            )
