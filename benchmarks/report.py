@@ -13,6 +13,11 @@ reference's ALU-utilization table (``README.md:256-264``).
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 import argparse
 import json
 from pathlib import Path

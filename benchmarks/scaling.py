@@ -1,0 +1,142 @@
+"""Scaling-efficiency harness — tokens/s at 1 chip → N devices.
+
+North-star target: ≥90% tokens/s scaling efficiency at 1 chip / 1 host /
+N≥2 hosts.  This harness measures the SPMD train step over increasing mesh
+sizes and reports efficiency vs linear scaling from the 1-device run.
+
+On this environment only ONE real chip is reachable, so multi-device rows
+can only run on the virtual CPU mesh (correctness-shaped, not perf-meaningful
+— flagged in the output).  On a real slice:
+
+    python benchmarks/scaling.py --meshes 1,1,1 2,1,1 2,2,1 2,2,2
+
+Axes per mesh triple: (data, model, context).
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from metal_flash_attention_plus_tpu.models.transformer import (
+    TransformerConfig,
+    init_params,
+    make_train_step,
+)
+from metal_flash_attention_plus_tpu.parallel.mesh import make_mesh
+from metal_flash_attention_plus_tpu.parallel.spmd import (
+    ShardingConfig,
+    make_spmd_train_step,
+    shard_params,
+)
+
+
+def measure_step(step, params, opt_state, tokens, iters=10, warmup=2):
+    for _ in range(warmup):
+        params, opt_state, loss = step(params, opt_state, tokens)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, opt_state, loss = step(params, opt_state, tokens)
+    # Readback fences the dispatch train (block_until_ready does not
+    # synchronize on this runtime — see utils/profiling.py).
+    float(loss)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--meshes", nargs="+", default=["1,1,1"],
+        help="mesh triples data,model,context",
+    )
+    ap.add_argument("--batch-per-replica", type=int, default=4)
+    ap.add_argument("--seq", type=int, default=1024)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument(
+        "--cpu-virtual", type=int, default=0,
+        help="force N virtual CPU devices (correctness-shaped runs)",
+    )
+    args = ap.parse_args()
+
+    if args.cpu_virtual:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.cpu_virtual}"
+        ).strip()
+        jax.config.update("jax_platforms", "cpu")
+
+    cfg = TransformerConfig(
+        vocab_size=8192, d_model=512, num_layers=4, num_heads=8,
+        num_kv_heads=4, head_dim=64, d_ff=1536, max_seq=args.seq,
+        dtype=jnp.bfloat16,
+    )
+    opt = optax.adamw(1e-3)
+    backend = jax.default_backend()
+    rows = []
+    base_tok_s = None
+
+    for spec in args.meshes:
+        dp, tp, cp = (int(x) for x in spec.split(","))
+        n = dp * tp * cp
+        if n > len(jax.devices()):
+            print(f"skip {spec}: needs {n} devices")
+            continue
+        batch = args.batch_per_replica * dp
+        tokens = jax.random.randint(
+            jax.random.PRNGKey(0), (batch, args.seq + 1), 0, cfg.vocab_size
+        )
+        params = init_params(cfg, jax.random.PRNGKey(1))
+        if n == 1:
+            step = make_train_step(cfg, opt)
+        else:
+            mesh = make_mesh(dp, tp, cp)
+            sc = ShardingConfig(attn_mode="ring" if cp > 1 else "local")
+            params = shard_params(params, mesh, cfg, sc)
+            step = make_spmd_train_step(cfg, mesh, opt, sc)
+        opt_state = opt.init(params)
+        sec = measure_step(
+            step, params, opt_state, tokens, iters=args.iters
+        )
+        tok_s = batch * args.seq / sec
+        if base_tok_s is None:
+            base_tok_s = tok_s / n  # per-device baseline
+        eff = tok_s / (base_tok_s * n)
+        rows.append(
+            dict(mesh=spec, devices=n, tokens_per_s=round(tok_s),
+                 efficiency=round(eff, 3))
+        )
+        print(
+            f"mesh {spec} ({n} dev): {tok_s:,.0f} tok/s, "
+            f"efficiency {eff:.1%}", flush=True,
+        )
+
+    from pathlib import Path as _P
+
+    out = _P(__file__).parent / "scaling.json"
+    out.write_text(json.dumps(dict(
+        backend=backend,
+        perf_meaningful=backend != "cpu",
+        note="efficiency vs linear scaling from the 1-device row",
+        rows=rows,
+    ), indent=1))
+    print(f"wrote {out}" + (
+        " (CPU backend: correctness-shaped, not perf-meaningful)"
+        if backend == "cpu" else ""
+    ))
+
+
+if __name__ == "__main__":
+    main()

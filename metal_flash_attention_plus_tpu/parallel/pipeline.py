@@ -9,8 +9,16 @@ selects its layer shard, and activations flow stage→stage+1 with one
 Schedule: ``n_micro + n_stages − 1`` steps.  At step t, stage s processes
 microbatch ``t − s`` (when 0 ≤ t − s < n_micro).  Stage 0 injects
 microbatches; the last stage collects outputs.  Bubble fraction =
-(S−1)/(M+S−1) — the standard GPipe overhead; 1F1B is a scheduling
-refinement on the same machinery (future work).
+(S−1)/(M+S−1) — the standard GPipe overhead.
+
+Why GPipe+remat rather than 1F1B: 1F1B's benefit is bounding LIVE
+ACTIVATION memory by interleaving each microbatch's backward right after
+its forward — but under ``jax.grad`` the forward/backward interleaving is
+chosen by XLA from one traced graph, so hand-scheduling 1F1B buys nothing
+the ``remat=True`` flag (per-stage, per-microbatch recomputation) doesn't
+already provide with far less machinery.  A manual-VJP 1F1B would only
+matter with explicit per-microbatch gradient accumulation outside
+autodiff; revisit if that training loop lands.
 
 Differentiable: the unrolled schedule is a plain traced graph (``ppermute``
 transposes to reverse-direction ``ppermute``), so ``jax.grad`` through
