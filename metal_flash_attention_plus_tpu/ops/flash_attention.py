@@ -191,8 +191,12 @@ def plan_wavefront_parts(runs: np.ndarray, max_parts: int = 4):
         return [(0, ni)]
     total_live = int(runs.sum())
     total_dead = int((runs.max() * ni) - total_live) if ni else 0
-    if total_dead <= max(1, total_live // 8):
-        return [(0, ni)]  # near-uniform runs: one dispatch
+    # Engage only under EXTREME raggedness (dead > 2× live, e.g. a
+    # block-sparse mask where a few q-blocks have huge windows): part-level
+    # pipeline restarts measurably outweigh moderate dead-step counts
+    # (causal measured FASTER unsplit — docs/perf_notes.md).
+    if total_dead <= 2 * max(1, total_live):
+        return [(0, ni)]
     # Equal split by cumulative live work (balances part sizes for causal).
     parts = []
     csum = np.concatenate([[0], np.cumsum(runs)])
