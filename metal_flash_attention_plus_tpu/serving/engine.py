@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import types
+
 from metal_flash_attention_plus_tpu.models.cached import (
     decode_step,
     init_cache,
@@ -45,6 +47,39 @@ class GenerationRequest:
     eos_token: Optional[int] = None
 
 
+def _gqa_executor():
+    from metal_flash_attention_plus_tpu.models.cached import (
+        decode_step, init_cache, prefill_chunk,
+    )
+
+    return types.SimpleNamespace(
+        init_cache=init_cache,
+        prefill_chunk=prefill_chunk,
+        decode_step=decode_step,
+    )
+
+
+def mla_executor():
+    """Executor for MLA models: latent-cache pages ([c | k_rope], Hkv=1)."""
+    from metal_flash_attention_plus_tpu.models.cached_mla import (
+        init_mla_cache, mla_decode_step, mla_prefill_chunk,
+    )
+
+    def init(cfg, num_pages, page_tokens, dtype, quantized=False):
+        if quantized:
+            raise NotImplementedError(
+                "quantized latent pages: quantize [c | k_rope] per token — "
+                "planned"
+            )
+        return init_mla_cache(cfg, num_pages, page_tokens, dtype)
+
+    return types.SimpleNamespace(
+        init_cache=init,
+        prefill_chunk=mla_prefill_chunk,
+        decode_step=mla_decode_step,
+    )
+
+
 class ServingEngine:
     """Single-host continuous-batching engine over the paged KV cache."""
 
@@ -60,6 +95,7 @@ class ServingEngine:
         cache_dtype=jnp.bfloat16,
         chunk_size: Optional[int] = None,
         quantized_cache: bool = False,
+        executor=None,
     ):
         self.params = params
         self.cfg = cfg
@@ -75,7 +111,8 @@ class ServingEngine:
         self.sched = Scheduler(
             self.pool, max_batch, token_budget=self.chunk_size
         )
-        self.cache = init_cache(
+        self.ex = executor or _gqa_executor()
+        self.cache = self.ex.init_cache(
             cfg, num_pages, page_tokens, cache_dtype,
             quantized=quantized_cache,
         )
@@ -84,16 +121,14 @@ class ServingEngine:
         self._last_token: Dict[int, int] = {}
         self._lengths: Dict[int, int] = {}
 
-        from metal_flash_attention_plus_tpu.models.cached import prefill_chunk
-
         self._prefill_jit = jax.jit(
             lambda params, tokens, offset, last_index, cache, page_row:
-            prefill_chunk(
+            self.ex.prefill_chunk(
                 params, tokens, offset, last_index, cache, page_row, cfg
             )
         )
         self._decode_jit = jax.jit(
-            lambda params, tokens, lengths, pts, cache: decode_step(
+            lambda params, tokens, lengths, pts, cache: self.ex.decode_step(
                 params, tokens, lengths, pts, cache, cfg
             )
         )

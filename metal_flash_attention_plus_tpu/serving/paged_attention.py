@@ -42,6 +42,7 @@ def _decode_kernel(
     group_pad: int,
     head_dim: int,
     quantized: bool,
+    v_tail_zero: int,
     precision,
 ):
     if quantized:
@@ -103,6 +104,13 @@ def _decode_kernel(
             ).astype(q.dtype)
         else:
             v = v_ref[0, 0]  # [page_tokens, D]
+        if v_tail_zero:
+            # MLA latent pages: K carries [c | k_rope] but V is the bare
+            # latent — zero the rope tail so one page pool serves both.
+            lane = jax.lax.broadcasted_iota(
+                jnp.int32, (page_tokens, head_dim), 1
+            )
+            v = jnp.where(lane < head_dim - v_tail_zero, v, 0)
         pv = jax.lax.dot(
             p.astype(v.dtype), v,
             preferred_element_type=jnp.float32, precision=precision,
@@ -127,6 +135,7 @@ def _prefill_kernel(
     chunk: int,
     head_dim: int,
     quantized: bool,
+    v_tail_zero: int,
     precision,
 ):
     if quantized:
@@ -192,6 +201,11 @@ def _prefill_kernel(
             ).astype(q.dtype)
         else:
             v = v_ref[0, 0]
+        if v_tail_zero:
+            lane = jax.lax.broadcasted_iota(
+                jnp.int32, (page_tokens, head_dim), 1
+            )
+            v = jnp.where(lane < head_dim - v_tail_zero, v, 0)
         pv = jax.lax.dot(
             p.astype(v.dtype), v,
             preferred_element_type=jnp.float32, precision=precision,
@@ -215,6 +229,7 @@ def paged_prefill_attention(
     k_scales: Optional[jnp.ndarray] = None,
     v_scales: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
+    v_tail_zero: int = 0,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Chunked-prefill attention for ONE sequence over its paged cache.
@@ -284,6 +299,7 @@ def paged_prefill_attention(
         chunk=chunk,
         head_dim=d,
         quantized=quantized,
+        v_tail_zero=v_tail_zero,
         precision=(
             jax.lax.Precision.HIGHEST
             if q.dtype == jnp.float32
@@ -318,6 +334,7 @@ def paged_decode_attention(
     k_scales: Optional[jnp.ndarray] = None,
     v_scales: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
+    v_tail_zero: int = 0,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Single-token decode attention over a paged KV cache.
@@ -394,6 +411,7 @@ def paged_decode_attention(
         group_pad=group_pad,
         head_dim=d,
         quantized=quantized,
+        v_tail_zero=v_tail_zero,
         precision=(
             jax.lax.Precision.HIGHEST
             if q.dtype == jnp.float32
