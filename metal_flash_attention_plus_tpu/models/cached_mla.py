@@ -33,21 +33,59 @@ from metal_flash_attention_plus_tpu.serving.paged_attention import (
 
 
 def init_mla_cache(
-    cfg: MLAConfig, num_pages: int, page_tokens: int, dtype=jnp.bfloat16
+    cfg: MLAConfig, num_pages: int, page_tokens: int, dtype=jnp.bfloat16,
+    quantized: bool = False,
 ) -> PagedKVCache:
     """One pool of [c | k_rope] vectors; v_pages aliases are unused (the
     kernels read k_pages for both sides with the V rope-tail zeroed), so a
-    1-wide placeholder keeps the pytree small."""
+    1-wide placeholder keeps the pytree small.  ``quantized``: int8 payload
+    + per-token symmetric scales — the compressed+quantized cache is
+    d_c + d_r BYTES per token."""
     shape = (cfg.num_layers, 1, num_pages + 1, page_tokens, cfg.cache_width)
     placeholder = jnp.zeros((1, 1, 1, 1, 1), jnp.float32)
     return PagedKVCache(
-        k_pages=jnp.zeros(shape, dtype),
+        k_pages=jnp.zeros(shape, jnp.int8 if quantized else dtype),
         v_pages=placeholder,
-        k_scales=placeholder,
+        k_scales=(
+            jnp.zeros(shape[:-1] + (1,), jnp.float32)
+            if quantized else placeholder
+        ),
         v_scales=placeholder,
         page_tokens=page_tokens,
         num_pages=num_pages,
+        quantized=quantized,
     )
+
+
+def _write_state(cache, li, pidx, off, state):
+    """Scatter [T?, dc+dr] per-token states (quantizing if configured)."""
+    if cache.quantized:
+        from metal_flash_attention_plus_tpu.serving.kv_cache import (
+            _quantize_tokens_sym,
+        )
+
+        q, scale = _quantize_tokens_sym(state)
+        return _dc.replace(
+            cache,
+            k_pages=cache.k_pages.at[li, :, pidx, off, :].set(q[:, None]),
+            k_scales=cache.k_scales.at[li, :, pidx, off, :].set(
+                scale[:, None]
+            ),
+        )
+    return _dc.replace(
+        cache,
+        k_pages=cache.k_pages.at[li, :, pidx, off, :].set(
+            state[:, None].astype(cache.k_pages.dtype)
+        ),
+    )
+
+
+def _kv_scale_args(cache, li):
+    if cache.quantized:
+        return dict(
+            k_scales=cache.k_scales[li], v_scales=cache.k_scales[li]
+        )
+    return {}
 
 
 def _attn_scale(cfg: MLAConfig) -> float:
@@ -88,18 +126,12 @@ def mla_prefill_chunk(
         t = jnp.arange(c)
         pidx = page_row[(offset + t) // cache.page_tokens]
         off_in = (offset + t) % cache.page_tokens
-        cache = _dc.replace(
-            cache,
-            k_pages=cache.k_pages.at[li, :, pidx, off_in, :].set(
-                state[:, None].astype(cache.k_pages.dtype)
-            ),
-        )
-        q_lat = _q_latent(layer, q, qr, cfg)[0].astype(
-            cache.k_pages.dtype
-        )  # [H, C, dc+dr]
+        cache = _write_state(cache, li, pidx, off_in, state)
+        q_lat = _q_latent(layer, q, qr, cfg)[0].astype(x.dtype)
         o_lat = paged_prefill_attention(
             q_lat, cache.k_pages[li], cache.k_pages[li], page_row, offset,
             scale=_attn_scale(cfg), v_tail_zero=cfg.rope_dim,
+            **_kv_scale_args(cache, li),
         )  # [H, C, dc+dr]
         o = jnp.einsum(
             "hsc,hcd->hsd",
@@ -138,19 +170,13 @@ def mla_decode_step(
         state = jnp.concatenate([c_kv, k_rope], axis=-1)[:, 0]  # [B, dc+dr]
         pidx = page_tables[rows, positions // cache.page_tokens]
         off = positions % cache.page_tokens
-        cache = _dc.replace(
-            cache,
-            k_pages=cache.k_pages.at[li, :, pidx, off, :].set(
-                state[:, None].astype(cache.k_pages.dtype)
-            ),
-        )
-        q_lat = _q_latent(layer, q, qr, cfg)[:, :, 0].astype(
-            cache.k_pages.dtype
-        )  # [B, H, dc+dr]
+        cache = _write_state(cache, li, pidx, off, state)
+        q_lat = _q_latent(layer, q, qr, cfg)[:, :, 0].astype(x.dtype)
         o_lat = paged_decode_attention(
             q_lat, cache.k_pages[li], cache.k_pages[li],
             page_tables, lengths,
             scale=_attn_scale(cfg), v_tail_zero=cfg.rope_dim,
+            **_kv_scale_args(cache, li),
         )  # [B, H, dc+dr]
         o = jnp.einsum(
             "bhc,hcd->bhd",

@@ -66,12 +66,9 @@ def mla_executor():
     )
 
     def init(cfg, num_pages, page_tokens, dtype, quantized=False):
-        if quantized:
-            raise NotImplementedError(
-                "quantized latent pages: quantize [c | k_rope] per token — "
-                "planned"
-            )
-        return init_mla_cache(cfg, num_pages, page_tokens, dtype)
+        return init_mla_cache(
+            cfg, num_pages, page_tokens, dtype, quantized=quantized
+        )
 
     return types.SimpleNamespace(
         init_cache=init,

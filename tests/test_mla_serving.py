@@ -91,3 +91,37 @@ def test_mla_cache_width_advantage():
     assert CFG.cache_width == 80
     gqa_equiv = 2 * CFG.num_heads * CFG.head_dim
     assert CFG.cache_width < gqa_equiv / 1.5
+
+
+def test_mla_engine_quantized_latent_cache():
+    """Compressed + quantized: int8 latent pages (d_c + d_r BYTES/token).
+    Greedy tokens should agree closely with the float-cache engine."""
+    from metal_flash_attention_plus_tpu.runtime import native_available
+
+    if not native_available():
+        pytest.skip("native runtime unavailable")
+    from metal_flash_attention_plus_tpu.serving.engine import (
+        GenerationRequest,
+        ServingEngine,
+        mla_executor,
+    )
+
+    params = init_mla_params(CFG, jax.random.PRNGKey(0))
+    prompts = {1: [5, 9, 17, 3, 22, 8, 1], 2: [7] * 19}
+    outs = {}
+    for quant in (False, True):
+        engine = ServingEngine(
+            params, CFG, num_pages=32, page_tokens=16, max_batch=2,
+            cache_dtype=jnp.float32, executor=mla_executor(),
+            quantized_cache=quant,
+        )
+        for rid, p in prompts.items():
+            engine.submit(GenerationRequest(rid, p, max_new_tokens=5))
+        outs[quant] = engine.run()
+    agree = sum(
+        a == b
+        for rid in prompts
+        for a, b in zip(outs[False][rid], outs[True][rid])
+    )
+    total = sum(len(outs[False][rid]) for rid in prompts)
+    assert agree / total >= 0.8, (outs[False], outs[True])
