@@ -31,9 +31,8 @@ dQ accumulates dS·K and multiplies by scale once at store.
 
 from __future__ import annotations
 
-import dataclasses
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -43,7 +42,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from metal_flash_attention_plus_tpu.ops.flash_attention import (
     LANES,
-    NEG_INF,
     BlockSizes,
     _round_up,
     build_block_bounds,

@@ -57,7 +57,6 @@ from metal_flash_attention_plus_tpu.ops.flash_attention import (
 )
 from metal_flash_attention_plus_tpu.ops.quantized_gemm import (
     dequant_kv_tile as _dequant_kv_tile,
-    unpack_int4_tile,
 )
 from metal_flash_attention_plus_tpu.quant.params import (
     QuantConfig,

@@ -35,7 +35,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from metal_flash_attention_plus_tpu.quant.params import (
-    QuantConfig,
     QuantGranularity,
 )
 from metal_flash_attention_plus_tpu.quant.tensor import (

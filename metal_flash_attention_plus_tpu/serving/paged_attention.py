@@ -22,7 +22,7 @@ prefill kernel — one numerics convention across the engine.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
