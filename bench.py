@@ -54,6 +54,9 @@ def run_config(d: int, h: int, bits: int, chip) -> dict:
     q = jax.random.normal(ks[0], (b, h, SEQ, d), jnp.bfloat16)
     k = jax.random.normal(ks[1], (b, h, SEQ, d), jnp.float32)
     v = jax.random.normal(ks[2], (b, h, SEQ, d), jnp.float32)
+    # quantize_q (int8 MXU scores) is a wash-to-loss at d=64 (the per-tile
+    # scale reconstruction outweighs the small S matmul; +8% only at d=256,
+    # docs/perf_notes.md) — the headline keeps the float-Q dequant path.
     cfg = QuantConfig(
         bits=bits, granularity=QuantGranularity.ROW,
         strategy=QuantStrategy.CENTERED,

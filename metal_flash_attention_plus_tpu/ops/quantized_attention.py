@@ -14,10 +14,14 @@ in float registers):
   head, negligible).  The reference's blockwise-K path maps to per-token
   here; 2D-block K/V scales are intentionally not supported in-kernel (a
   per-element scale expansion would cancel the bandwidth win).
-- Q stays float, as in the reference's production path (blockwise-Q is
-  rejected with a per-tensor fallback there too,
+- Q stays float by default, as in the reference's production path
+  (blockwise-Q is rejected with a per-tensor fallback there too,
   ``QuantizedAttention.swift:588-648``).  For QAT, fake-quantize Q with
-  ``quant.ste.fake_quantize``.
+  ``quant.ste.fake_quantize``.  ``quantize_q=True`` additionally
+  quantizes Q per token (int8 symmetric, softmax scale folded into the
+  scales exactly) so scores run int8×int8→int32 on the MXU — measured
+  +8% at d=256, a slight loss at d=64 (docs/perf_notes.md); requires
+  zero-point-free (SYMMETRIC) int8 K.
 - Backward runs the dQ kernel with the SAME in-kernel dequant-on-load
   (the reference likewise reuses the core flash kernels with dequantizing
   loads for backward, ``QuantizedAttention.swift:1188-1228``); gradients
@@ -61,6 +65,7 @@ from metal_flash_attention_plus_tpu.ops.quantized_gemm import (
 from metal_flash_attention_plus_tpu.quant.params import (
     QuantConfig,
     QuantGranularity,
+    QuantStrategy,
 )
 from metal_flash_attention_plus_tpu.quant.tensor import QuantizedTensor
 
@@ -78,6 +83,7 @@ def _qfwd_kernel(
     has_bias: bool,
     mask_value: float,
     bits: int,
+    quantize_q: bool,
     precision,
     compute_dtype,
 ):
@@ -85,8 +91,19 @@ def _qfwd_kernel(
     if mask_mode == "ranges":
         rs_ref, re_ref = refs[0], refs[1]
         refs = refs[2:]
-    (q_ref, kq_ref, ks_ref, kz_ref, vq_ref, vs_ref, vz_ref) = refs[:7]
-    refs = refs[7:]
+    if quantize_q:
+        # Activation quantization: Q arrives int8 with per-token scales
+        # (softmax scale folded into them) and K stays int8 — the S matmul
+        # runs int8×int8→int32 on the MXU at 2× the bf16 rate; per-row ×
+        # per-col scales reconstruct the float scores exactly afterwards.
+        # K scales arrive TRANSPOSED ([1, bkv] row tiles) so no in-kernel
+        # relayout is needed for the column broadcast.
+        (q_ref, qs_ref, kq_ref, ksr_ref,
+         vq_ref, vs_ref, vz_ref) = refs[:7]
+        refs = refs[7:]
+    else:
+        (q_ref, kq_ref, ks_ref, kz_ref, vq_ref, vs_ref, vz_ref) = refs[:7]
+        refs = refs[7:]
     if has_bias:
         bias_ref = refs[0]
         refs = refs[1:]
@@ -107,14 +124,24 @@ def _qfwd_kernel(
 
     @pl.when(live)
     def _compute():
-        q = q_ref[0, 0]  # [bq, D] pre-scaled
-        k = _dequant_kv_tile(
-            kq_ref, ks_ref, kz_ref, block_kv, head_dim, bits, compute_dtype
-        )
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        )
+        if quantize_q:
+            s_int = jax.lax.dot_general(
+                q_ref[0, 0], kq_ref[0, 0], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # pure int8 MXU
+            # scores = s_int · q_scale[row] · k_scale[col]  (zp-free:
+            # activation quant is per-token symmetric).
+            s = s_int.astype(jnp.float32) * qs_ref[0, 0] * ksr_ref[0, 0]
+        else:
+            q = q_ref[0, 0]  # [bq, D] pre-scaled
+            k = _dequant_kv_tile(
+                kq_ref, ks_ref, kz_ref, block_kv, head_dim, bits,
+                compute_dtype,
+            )
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )
         if has_bias:
             s += bias_ref[0, 0].astype(jnp.float32)
         if has_mask:
@@ -232,11 +259,18 @@ def quantized_flash_attention_forward(
     interleaved_kv: bool = False,
     mask_value: float = DEFAULT_MASK_VALUE,
     out_dtype: jnp.dtype = jnp.float32,
+    quantize_q: bool = False,
     interpret: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Forward with quantized K/V.  Same contract as
     ``flash_attention_forward`` with k, v as QuantizedTensors of logical
-    shape [B, Hkv, Skv, D] (int8, or int4 with even D)."""
+    shape [B, Hkv, Skv, D] (int8, or int4 with even D).
+
+    ``quantize_q``: also quantize Q per token (int8 symmetric, activation
+    quantization) so the score matmul runs int8×int8→int32 on the MXU at
+    2× the bf16 rate.  Requires int8 K with a SYMMETRIC (zero-point-free)
+    strategy; the softmax scale folds into the Q scales exactly.
+    """
     b, hq, sq, d = q.shape
     _, hkv, skv, dk2 = k.shape
     assert d == dk2 and tuple(v.shape) == tuple(k.shape)
@@ -247,16 +281,40 @@ def quantized_flash_attention_forward(
         scale = float(d) ** -0.5
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if quantize_q:
+        if bits != 8 or k.config.strategy != QuantStrategy.SYMMETRIC:
+            raise ValueError(
+                "quantize_q needs int8 K with the SYMMETRIC strategy "
+                "(the zero-point-free int8 MXU score path)"
+            )
 
+    in_dtype = q.dtype  # pre-quantization dtype drives compute precision
     bq = min(block_sizes.block_q, _round_up(sq, 128))
     bkv = min(block_sizes.block_kv, _round_up(skv, 128))
     sq_p = _round_up(sq, bq)
     skv_p = _round_up(skv, bkv)
 
-    if scale != 1.0:
+    if quantize_q:
+        # Per-token symmetric Q; fold the softmax scale into the scales
+        # (exact — no rounding of Q by the scale).
+        absmax = jnp.max(
+            jnp.abs(q.astype(jnp.float32)), axis=-1, keepdims=True
+        )
+        q_scale = jnp.maximum(absmax, 1e-12) / 127.0
+        qq = jnp.clip(
+            jnp.round(q.astype(jnp.float32) / q_scale), -128, 127
+        ).astype(jnp.int8)
+        qs_arr = (q_scale * scale).astype(jnp.float32)  # [B,Hq,Sq,1]
+        q = qq
+    elif scale != 1.0:
         q = (q.astype(jnp.float32) * scale).astype(q.dtype)
     if sq_p != sq:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
+        if quantize_q:
+            qs_arr = jnp.pad(
+                qs_arr, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)),
+                constant_values=1.0,
+            )
 
     kq, vq = k.data, v.data  # [B,Hkv,Skv,D] int8 or [B,Hkv,Skv,D/2] uint8
     ks, kz = _per_token_params(k)
@@ -269,6 +327,8 @@ def quantized_flash_attention_forward(
         kz = jnp.pad(kz, pad4)
         vs = jnp.pad(vs, pad4, constant_values=1.0)
         vz = jnp.pad(vz, pad4)
+    if quantize_q:
+        ks_t = jnp.swapaxes(ks, 2, 3)  # [B,Hkv,1,Skv_p] row-vector scales
     if bias is not None:
         bias = jnp.pad(
             bias,
@@ -319,14 +379,32 @@ def quantized_flash_attention_forward(
             ),
         )
 
-    in_specs += [
-        pl.BlockSpec(
-            (1, 1, bq, d), lambda bi, h, i, j, lo, hi: (bi, h, i, 0)
-        ),
-        kv_spec(pd), kv_spec(1), kv_spec(1),  # K payload, scale, zp
-        kv_spec(pd), kv_spec(1), kv_spec(1),  # V payload, scale, zp
-    ]
-    inputs += [q, kq, ks, kz, vq, vs, vz]
+    q_spec = pl.BlockSpec(
+        (1, 1, bq, d), lambda bi, h, i, j, lo, hi: (bi, h, i, 0)
+    )
+    if quantize_q:
+        in_specs += [
+            q_spec,
+            pl.BlockSpec(
+                (1, 1, bq, 1), lambda bi, h, i, j, lo, hi: (bi, h, i, 0)
+            ),
+            kv_spec(pd),
+            pl.BlockSpec(
+                (1, 1, 1, bkv),
+                lambda bi, h, i, j, lo, hi: (
+                    bi, kv_head(h), 0, kv_block(i, j, lo, hi)
+                ),
+            ),
+            kv_spec(pd), kv_spec(1), kv_spec(1),  # V payload, scale, zp
+        ]
+        inputs += [q, qs_arr, kq, ks_t, vq, vs, vz]
+    else:
+        in_specs += [
+            q_spec,
+            kv_spec(pd), kv_spec(1), kv_spec(1),  # K payload, scale, zp
+            kv_spec(pd), kv_spec(1), kv_spec(1),  # V payload, scale, zp
+        ]
+        inputs += [q, kq, ks, kz, vq, vs, vz]
     if bias is not None:
         bb = bias.shape[0] == 1
         bh = bias.shape[1] == 1
@@ -341,7 +419,7 @@ def quantized_flash_attention_forward(
         )
         inputs.append(bias)
 
-    compute_dtype = jnp.float32 if q.dtype == jnp.float32 else jnp.bfloat16
+    compute_dtype = jnp.float32 if in_dtype == jnp.float32 else jnp.bfloat16
     kernel = functools.partial(
         _qfwd_kernel,
         block_q=bq,
@@ -352,9 +430,10 @@ def quantized_flash_attention_forward(
         has_bias=bias is not None,
         mask_value=mask_value,
         bits=bits,
+        quantize_q=quantize_q,
         precision=(
             jax.lax.Precision.HIGHEST
-            if q.dtype == jnp.float32
+            if in_dtype == jnp.float32
             else jax.lax.Precision.DEFAULT
         ),
         compute_dtype=compute_dtype,

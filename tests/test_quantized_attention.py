@@ -119,3 +119,40 @@ def test_int4_head_dims():
             q, kq.dequantize(), vq.dequantize(), mask=CAUSAL
         )
         np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref), atol=2e-5)
+
+
+def test_activation_quantized_scores():
+    """quantize_q: int8 Q×K scores via the int8 MXU path — must match the
+    dense reference on (fake-quantized Q, dequantized K/V) exactly, and
+    stay within the int8 gate vs fp32."""
+    q, k, v = _data(seed=13)
+    sym8 = QuantConfig(
+        bits=8, granularity=QuantGranularity.ROW,
+        strategy=QuantStrategy.SYMMETRIC,
+    )
+    kq, vq = quantize(k, sym8), quantize(v, sym8)
+    o, l = quantized_flash_attention_forward(
+        q, kq, vq, mask=CAUSAL, quantize_q=True
+    )
+    # Golden: quantize q the same way on the host, then dense attention.
+    absmax = jnp.max(jnp.abs(q), axis=-1, keepdims=True)
+    qsc = jnp.maximum(absmax, 1e-12) / 127.0
+    q_fake = jnp.clip(jnp.round(q / qsc), -128, 127) * qsc
+    o_ref, l_ref = reference_attention(
+        q_fake, kq.dequantize(), vq.dequantize(), mask=CAUSAL
+    )
+    np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(l), np.asarray(l_ref), atol=1e-4)
+
+    o_fp, _ = reference_attention(q, k, v, mask=CAUSAL)
+    rel = float(jnp.linalg.norm(o - o_fp) / jnp.linalg.norm(o_fp))
+    assert rel < 0.05, rel
+
+
+def test_activation_quantization_requires_symmetric():
+    q, k, v = _data(seed=14)
+    kq, vq = quantize(k, ROW8), quantize(v, ROW8)  # CENTERED → zp != 0
+    with pytest.raises(ValueError, match="SYMMETRIC"):
+        quantized_flash_attention_forward(
+            q, kq, vq, mask=CAUSAL, quantize_q=True
+        )
