@@ -176,6 +176,46 @@ def build_block_bounds(
     )
 
 
+def build_packed_schedule(lo: np.ndarray, hi: np.ndarray):
+    """Fold ragged live windows into a dense grid by pairing q-blocks.
+
+    For triangular schedules (causal) half the dense (i, j) grid steps are
+    dead.  Pair the widest window with the narrowest (run sums are ~constant
+    for causal: i+1 with ni-i), giving each grid row TWO contiguous
+    segments — q-block q0 for the first n0 steps, q1 for the next — so one
+    accumulator serves both (store + re-init at the segment boundary).
+    Grid shrinks from ni × max(run) to ceil(ni/2) × max(pair sum): for
+    causal exactly the live tiles, no dead steps.
+
+    Returns int32 arrays (q0, q1, n0, t) of length R plus (R, W):
+    q0/q1 = q-block ids of the row's segments (q1 == q0 when unpaired),
+    n0 = steps of segment 0, t = total valid steps (t == n0 if unpaired),
+    W = grid width.  Empty q-blocks still get one step (their store writes
+    zeros / -inf L).
+    """
+    ni = len(lo)
+    steps = np.maximum((hi - lo).astype(np.int64), 1)
+    order = np.argsort(-steps, kind="stable")
+    nrows = (ni + 1) // 2
+    q0 = np.zeros(nrows, np.int32)
+    q1 = np.zeros(nrows, np.int32)
+    n0 = np.zeros(nrows, np.int32)
+    t = np.zeros(nrows, np.int32)
+    for r in range(nrows):
+        a = int(order[r])
+        q0[r] = a
+        n0[r] = steps[a]
+        bpos = ni - 1 - r
+        if bpos > r:
+            bidx = int(order[bpos])
+            q1[r] = bidx
+            t[r] = steps[a] + steps[bidx]
+        else:
+            q1[r] = a
+            t[r] = steps[a]
+    return q0, q1, n0, t, nrows, int(t.max())
+
+
 def plan_wavefront_parts(runs: np.ndarray, max_parts: int = 4):
     """Split q-blocks into contiguous parts with similar live-window widths.
 
@@ -238,11 +278,8 @@ def resolve_mask_mode(mask: MaskSpec, has_mask: bool, sq: int, skv: int):
 
 
 def _fwd_kernel(
-    # scalar prefetch: per-q-block kv bounds
-    lo_ref,
-    hi_ref,
-    # tensor inputs (optional ones gated by flags)
-    *refs,
+    # scalar prefetch: (lo, hi) per q-block; packed adds (q0, q1, n0, t)
+    *all_refs,
     block_q: int,
     block_kv: int,
     head_dim: int,
@@ -252,6 +289,7 @@ def _fwd_kernel(
     has_bias: bool,
     mask_value: float,
     precision,
+    packed: bool = False,
 ):
     # Dense (i, j) schedule: grid j spans the widest live window; dead steps
     # (j past this q-block's window) skip compute with `when` and their
@@ -269,6 +307,38 @@ def _fwd_kernel(
     # branch), while the fused iota/where masking itself is free
     # (docs/perf_notes.md).
     has_mask = mask_mode != "none"
+    if packed:
+        # Packed-pair schedule: grid row r = two contiguous segments
+        # (q-blocks q0, q1).  Steps past t are padding: index maps clamp,
+        # nothing initializes/computes/stores.
+        q0_ref, q1_ref, n0_ref, t_ref, lo_ref, hi_ref = all_refs[:6]
+        refs = all_refs[6:]
+        r = pl.program_id(2)
+        j = pl.program_id(3)
+        n0 = n0_ref[r]
+        seg1 = j >= n0
+        row_block = jnp.where(seg1, q1_ref[r], q0_ref[r])
+        jj = j - jnp.where(seg1, n0, 0)
+        lo = lo_ref[row_block]
+        run = hi_ref[row_block] - lo
+        valid = j < t_ref[r]
+        live = jnp.logical_and(valid, jj < run)
+        init_cond = jnp.logical_or(
+            j == 0,
+            jnp.logical_and(seg1, jnp.logical_and(jj == 0, valid)),
+        )
+        store_cond = jnp.logical_and(valid, jj == jnp.maximum(run, 1) - 1)
+    else:
+        lo_ref, hi_ref = all_refs[:2]
+        refs = all_refs[2:]
+        row_block = pl.program_id(2)
+        j = pl.program_id(3)
+        jj = j
+        lo = lo_ref[row_block]
+        run = hi_ref[row_block] - lo
+        live = j < run
+        init_cond = j == 0
+        store_cond = j == jnp.maximum(run, 1) - 1
     if mask_mode == "ranges":
         rs_ref, re_ref = refs[0], refs[1]
         refs = refs[2:]
@@ -279,14 +349,9 @@ def _fwd_kernel(
         refs = refs[1:]
     o_ref, l_ref, m_scr, l_scr, acc_scr = refs
 
-    i = pl.program_id(2)
-    j = pl.program_id(3)
-    lo = lo_ref[i]
-    run = hi_ref[i] - lo
-    kvj = lo + j
-    live = j < run
+    kvj = lo + jj
 
-    @pl.when(j == 0)
+    @pl.when(init_cond)
     def _init():
         m_scr[...] = jnp.full_like(m_scr, NEG_INF)
         l_scr[...] = jnp.zeros_like(l_scr)
@@ -316,7 +381,7 @@ def _fwd_kernel(
                     jax.lax.broadcasted_iota(
                         jnp.int32, (block_q, block_kv), 0
                     )
-                    + row_base + i * block_q
+                    + row_base + row_block * block_q
                 )
                 keep = jnp.logical_and(
                     col >= jnp.maximum(0, row + a_off),
@@ -353,7 +418,7 @@ def _fwd_kernel(
         else:
             acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
 
-    @pl.when(j == jnp.maximum(run, 1) - 1)
+    @pl.when(store_cond)
     def _store():
         lsum = l_scr[...]  # [block_q, 128]
         safe = jnp.where(lsum == 0.0, 1.0, lsum)
@@ -374,7 +439,7 @@ def _fwd_kernel(
                 a_off, b_off, seq_q, cap = affine
                 row = (
                     jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
-                    + row_base + i * block_q
+                    + row_base + row_block * block_q
                 )
                 live = jnp.logical_and(
                     row < seq_q,
@@ -608,12 +673,140 @@ def flash_attention_forward(
             *inputs,
         )
 
-    # Wavefront partitioning: one dispatch per contiguous group of q-blocks
-    # with similar live-window widths, so ragged schedules (causal) don't
-    # pay max-width dead steps everywhere (a dead step costs ~0.5 live
-    # tiles, docs/perf_notes.md).  Parts run inside one jit program —
-    # per-part overhead is a device-side kernel launch, not a host dispatch.
+    def run_packed():
+        """Single dispatch over the packed-pair schedule: grid
+        (B, Hq, R, W) where each row holds two contiguous q-block segments
+        — zero dead steps for causal (build_packed_schedule)."""
+        q0a, q1a, n0a, ta, nrows, width = build_packed_schedule(
+            lo_arr, hi_arr
+        )
+
+        def qi_of(r, j, q0, q1, n0):
+            return jnp.where(j >= n0[r], q1[r], q0[r])
+
+        def kv_block_p(r, j, q0, q1, n0, lo, hi):
+            qi = qi_of(r, j, q0, q1, n0)
+            jj = j - jnp.where(j >= n0[r], n0[r], 0)
+            run = hi[qi] - lo[qi]
+            return jnp.clip(lo[qi] + jnp.minimum(jj, run - 1), 0, nj_all - 1)
+
+        in_specs = []
+        inputs = []
+        if mask_mode == "ranges":
+            rspec = pl.BlockSpec(
+                (bq, 1),
+                lambda bi, h, r, j, q0, q1, n0, t, lo, hi: (
+                    qi_of(r, j, q0, q1, n0), 0
+                ),
+            )
+            in_specs += [rspec, rspec]
+            inputs += [
+                jnp.asarray(row_ranges[:, 0:1]),
+                jnp.asarray(row_ranges[:, 1:2]),
+            ]
+        q_map = lambda bi, h, r, j, q0, q1, n0, t, lo, hi: (
+            bi, h, qi_of(r, j, q0, q1, n0), 0
+        )
+        in_specs += [
+            pl.BlockSpec((1, 1, bq, d), q_map),
+            pl.BlockSpec(
+                (1, 1, bkv, d),
+                lambda bi, h, r, j, q0, q1, n0, t, lo, hi: (
+                    bi, kv_head(h), kv_block_p(r, j, q0, q1, n0, lo, hi), 0
+                ),
+            ),
+            pl.BlockSpec(
+                (1, 1, bkv, d),
+                lambda bi, h, r, j, q0, q1, n0, t, lo, hi: (
+                    bi, kv_head(h), kv_block_p(r, j, q0, q1, n0, lo, hi), 0
+                ),
+            ),
+        ]
+        inputs += [q, k, v]
+        if bias is not None:
+            bb = bias.shape[0] == 1
+            bh = bias.shape[1] == 1
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, 1, bq, bkv),
+                    lambda bi, h, r, j, q0, q1, n0, t, lo, hi: (
+                        0 if bb else bi,
+                        0 if bh else h,
+                        qi_of(r, j, q0, q1, n0),
+                        kv_block_p(r, j, q0, q1, n0, lo, hi),
+                    ),
+                )
+            )
+            inputs.append(bias)
+
+        kernel = functools.partial(
+            _fwd_kernel,
+            block_q=bq, block_kv=bkv, head_dim=d,
+            mask_mode=mask_mode, affine=affine, row_base=0,
+            has_bias=bias is not None, mask_value=mask_value,
+            precision=precision, packed=True,
+        )
+        out_shape = [
+            jax.ShapeDtypeStruct((b, hq, sq_p, d), out_dtype),
+            jax.ShapeDtypeStruct((b, hq, sq_p, LANES), jnp.float32),
+        ]
+        out_specs = [
+            pl.BlockSpec((1, 1, bq, d), q_map),
+            pl.BlockSpec(
+                (1, 1, bq, LANES),
+                lambda bi, h, r, j, q0, q1, n0, t, lo, hi: (
+                    bi, h, qi_of(r, j, q0, q1, n0), 0
+                ),
+            ),
+        ]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=6,
+            grid=(b, hq, nrows, width),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=[
+                pltpu.VMEM((bq, LANES), jnp.float32),
+                pltpu.VMEM((bq, LANES), jnp.float32),
+                pltpu.VMEM((bq, d), jnp.float32),
+            ],
+        )
+        live_tiles = max(1, int((hi_arr - lo_arr).sum()))
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=(
+                    "parallel", "parallel", "arbitrary", "arbitrary"
+                ),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * b * hq * live_tiles * bq * bkv * d,
+                bytes_accessed=(q.size + k.size + v.size)
+                * q.dtype.itemsize,
+                transcendentals=b * hq * live_tiles * bq * bkv,
+            ),
+            interpret=interpret,
+        )(
+            jnp.asarray(q0a), jnp.asarray(q1a), jnp.asarray(n0a),
+            jnp.asarray(ta), jnp.asarray(lo_arr), jnp.asarray(hi_arr),
+            *inputs,
+        )
+
+    # Schedule choice for ragged live windows (causal: runs 1..ni):
+    # 1. Packed-pair grid when it removes ≥10% of grid steps (causal: ~2×
+    #    fewer; measured ~+20-30% — docs/perf_notes.md).
+    # 2. Otherwise the dense grid, with wavefront partitioning only under
+    #    extreme raggedness (dead > 2× live).
     runs = (hi_arr - lo_arr).astype(np.int64)
+    nj_dense = max(1, int(runs.max()))
+    _q0, _q1, _n0, _t, _R, _W = build_packed_schedule(lo_arr, hi_arr)
+    if ni > 1 and _R * _W < 0.9 * ni * nj_dense:
+        o, l = run_packed()
+        o = o[:, :, :sq, :]
+        l = l[:, :, :sq, 0]
+        return o, l
+
     parts = plan_wavefront_parts(runs)
     outs = [run_part(i0, i1) for i0, i1 in parts]
     if len(outs) == 1:

@@ -56,6 +56,7 @@ from metal_flash_attention_plus_tpu.ops.flash_attention import (
     BlockSizes,
     _round_up,
     build_block_bounds,
+    build_packed_schedule,
     compute_row_ranges,
     resolve_mask_mode,
 )
@@ -71,10 +72,8 @@ from metal_flash_attention_plus_tpu.quant.tensor import QuantizedTensor
 
 
 def _qfwd_kernel(
-    # scalar prefetch: per-q-block kv bounds
-    lo_ref, hi_ref,
-    # tensors
-    *refs,
+    # scalar prefetch: (lo, hi) per q-block; packed adds (q0, q1, n0, t)
+    *all_refs,
     block_q: int,
     block_kv: int,
     head_dim: int,
@@ -86,8 +85,42 @@ def _qfwd_kernel(
     quantize_q: bool,
     precision,
     compute_dtype,
+    packed: bool = False,
 ):
     has_mask = mask_mode != "none"
+    if packed:
+        # Packed-pair schedule (see flash_attention.build_packed_schedule):
+        # two contiguous q-block segments per grid row, zero dead steps for
+        # causal.
+        q0_ref, q1_ref, n0_ref, t_ref, lo_ref, hi_ref = all_refs[:6]
+        refs = all_refs[6:]
+        r = pl.program_id(2)
+        j = pl.program_id(3)
+        n0 = n0_ref[r]
+        seg1 = j >= n0
+        row_block = jnp.where(seg1, q1_ref[r], q0_ref[r])
+        jj = j - jnp.where(seg1, n0, 0)
+        lo = lo_ref[row_block]
+        run = hi_ref[row_block] - lo
+        valid = j < t_ref[r]
+        live = jnp.logical_and(valid, jj < run)
+        init_cond = jnp.logical_or(
+            j == 0,
+            jnp.logical_and(seg1, jnp.logical_and(jj == 0, valid)),
+        )
+        store_cond = jnp.logical_and(valid, jj == jnp.maximum(run, 1) - 1)
+    else:
+        lo_ref, hi_ref = all_refs[:2]
+        refs = all_refs[2:]
+        row_block = pl.program_id(2)
+        j = pl.program_id(3)
+        jj = j
+        lo = lo_ref[row_block]
+        run = hi_ref[row_block] - lo
+        live = j < run
+        init_cond = j == 0
+        store_cond = j == jnp.maximum(run, 1) - 1
+    kvj = lo + jj
     if mask_mode == "ranges":
         rs_ref, re_ref = refs[0], refs[1]
         refs = refs[2:]
@@ -109,14 +142,7 @@ def _qfwd_kernel(
         refs = refs[1:]
     o_ref, l_ref, m_scr, l_scr, acc_scr = refs
 
-    i = pl.program_id(2)
-    j = pl.program_id(3)
-    lo = lo_ref[i]
-    run = hi_ref[i] - lo
-    kvj = lo + j
-    live = j < run
-
-    @pl.when(j == 0)
+    @pl.when(init_cond)
     def _init():
         m_scr[...] = jnp.full_like(m_scr, NEG_INF)
         l_scr[...] = jnp.zeros_like(l_scr)
@@ -155,7 +181,7 @@ def _qfwd_kernel(
                     jax.lax.broadcasted_iota(
                         jnp.int32, (block_q, block_kv), 0
                     )
-                    + i * block_q
+                    + row_block * block_q
                 )
                 keep = jnp.logical_and(
                     col >= jnp.maximum(0, row + a_off),
@@ -192,7 +218,7 @@ def _qfwd_kernel(
         else:
             acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
 
-    @pl.when(j == jnp.maximum(run, 1) - 1)
+    @pl.when(store_cond)
     def _store():
         lsum = l_scr[...]
         safe = jnp.where(lsum == 0.0, 1.0, lsum)
@@ -209,7 +235,7 @@ def _qfwd_kernel(
                 a_off, b_off, seq_q, cap = affine
                 row = (
                     jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
-                    + i * block_q
+                    + row_block * block_q
                 )
                 live_rows = jnp.logical_and(
                     row < seq_q,
@@ -346,54 +372,77 @@ def quantized_flash_attention_forward(
     ni = sq_p // bq
     nj_all = skv_p // bkv
     nj_max = max(1, int((hi_arr - lo_arr).max()))
-
-    grid = (b, hq, ni, nj_max)
     q_per_kv = hq // hkv
+
+    # Packed-pair schedule (zero dead steps for causal) when it removes
+    # ≥10% of grid steps; otherwise the dense (i, j) grid.  Same policy and
+    # machinery as flash_attention_forward.
+    q0a, q1a, n0a, ta, nrows, width = build_packed_schedule(lo_arr, hi_arr)
+    packed = ni > 1 and nrows * width < 0.9 * ni * nj_max
 
     def kv_head(h):
         return (h % hkv) if interleaved_kv else (h // q_per_kv)
 
-    def kv_block(i, j, lo, hi):
-        run = hi[i] - lo[i]
-        return jnp.clip(lo[i] + jnp.minimum(j, run - 1), 0, nj_all - 1)
+    if packed:
+        grid = (b, hq, nrows, width)
+        scalars = (
+            jnp.asarray(q0a), jnp.asarray(q1a), jnp.asarray(n0a),
+            jnp.asarray(ta), jnp.asarray(lo_arr), jnp.asarray(hi_arr),
+        )
+
+        def q_block(args):
+            _, _, r, j, q0, q1, n0, t, lo, hi = args
+            return jnp.where(j >= n0[r], q1[r], q0[r])
+
+        def kv_block(args):
+            _, _, r, j, q0, q1, n0, t, lo, hi = args
+            qi = q_block(args)
+            jj = j - jnp.where(j >= n0[r], n0[r], 0)
+            run = hi[qi] - lo[qi]
+            return jnp.clip(lo[qi] + jnp.minimum(jj, run - 1), 0, nj_all - 1)
+    else:
+        grid = (b, hq, ni, nj_max)
+        scalars = (jnp.asarray(lo_arr), jnp.asarray(hi_arr))
+
+        def q_block(args):
+            return args[2]
+
+        def kv_block(args):
+            _, _, i, j, lo, hi = args
+            run = hi[i] - lo[i]
+            return jnp.clip(lo[i] + jnp.minimum(j, run - 1), 0, nj_all - 1)
 
     pd = d // 2 if bits == 4 else d
 
     in_specs = []
     inputs = []
     if mask_mode == "ranges":
-        in_specs += [
-            pl.BlockSpec((bq, 1), lambda bi, h, i, j, lo, hi: (i, 0)),
-            pl.BlockSpec((bq, 1), lambda bi, h, i, j, lo, hi: (i, 0)),
-        ]
+        rspec = pl.BlockSpec((bq, 1), lambda *a: (q_block(a), 0))
+        in_specs += [rspec, rspec]
         inputs += [
             jnp.asarray(row_ranges[:, 0:1]),
             jnp.asarray(row_ranges[:, 1:2]),
         ]
 
-    def kv_spec(width):
+    def kv_spec(width_):
         return pl.BlockSpec(
-            (1, 1, bkv, width),
-            lambda bi, h, i, j, lo, hi: (
-                bi, kv_head(h), kv_block(i, j, lo, hi), 0
-            ),
+            (1, 1, bkv, width_),
+            lambda *a: (a[0], kv_head(a[1]), kv_block(a), 0),
         )
 
     q_spec = pl.BlockSpec(
-        (1, 1, bq, d), lambda bi, h, i, j, lo, hi: (bi, h, i, 0)
+        (1, 1, bq, d), lambda *a: (a[0], a[1], q_block(a), 0)
     )
     if quantize_q:
         in_specs += [
             q_spec,
             pl.BlockSpec(
-                (1, 1, bq, 1), lambda bi, h, i, j, lo, hi: (bi, h, i, 0)
+                (1, 1, bq, 1), lambda *a: (a[0], a[1], q_block(a), 0)
             ),
             kv_spec(pd),
             pl.BlockSpec(
                 (1, 1, 1, bkv),
-                lambda bi, h, i, j, lo, hi: (
-                    bi, kv_head(h), 0, kv_block(i, j, lo, hi)
-                ),
+                lambda *a: (a[0], kv_head(a[1]), 0, kv_block(a)),
             ),
             kv_spec(pd), kv_spec(1), kv_spec(1),  # V payload, scale, zp
         ]
@@ -411,9 +460,9 @@ def quantized_flash_attention_forward(
         in_specs.append(
             pl.BlockSpec(
                 (1, 1, bq, bkv),
-                lambda bi, h, i, j, lo, hi: (
-                    0 if bb else bi, 0 if bh else h, i,
-                    kv_block(i, j, lo, hi),
+                lambda *a: (
+                    0 if bb else a[0], 0 if bh else a[1], q_block(a),
+                    kv_block(a),
                 ),
             )
         )
@@ -437,6 +486,7 @@ def quantized_flash_attention_forward(
             else jax.lax.Precision.DEFAULT
         ),
         compute_dtype=compute_dtype,
+        packed=packed,
     )
 
     out_shape = [
@@ -444,16 +494,14 @@ def quantized_flash_attention_forward(
         jax.ShapeDtypeStruct((b, hq, sq_p, LANES), jnp.float32),
     ]
     out_specs = [
+        pl.BlockSpec((1, 1, bq, d), lambda *a: (a[0], a[1], q_block(a), 0)),
         pl.BlockSpec(
-            (1, 1, bq, d), lambda bi, h, i, j, lo, hi: (bi, h, i, 0)
-        ),
-        pl.BlockSpec(
-            (1, 1, bq, LANES), lambda bi, h, i, j, lo, hi: (bi, h, i, 0)
+            (1, 1, bq, LANES), lambda *a: (a[0], a[1], q_block(a), 0)
         ),
     ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=len(scalars),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -483,8 +531,7 @@ def quantized_flash_attention_forward(
         ),
         interpret=interpret,
     )(
-        jnp.asarray(lo_arr),
-        jnp.asarray(hi_arr),
+        *scalars,
         *inputs,
     )
     return o[:, :, :sq, :], l[:, :, :sq, 0]
