@@ -45,6 +45,7 @@ from metal_flash_attention_plus_tpu.ops.flash_attention import (
     BlockSizes,
     _round_up,
     build_block_bounds,
+    build_packed_schedule,
     compute_row_ranges,
     resolve_mask_mode,
 )
@@ -73,9 +74,7 @@ def _precision_for(dtype):
 
 
 def _dq_kernel(
-    lo_ref,
-    hi_ref,
-    *refs,
+    *all_refs,
     block_q: int,
     block_kv: int,
     head_dim: int,
@@ -86,11 +85,45 @@ def _dq_kernel(
     want_dbias: bool,
     kv_bits: Optional[int],
     precision,
+    packed: bool = False,
 ):
     # Dense (i, j) schedule with unconditional masking — see the forward
     # kernel for the measured rationale (flattened schedules stall ~185 µs
     # per q-block transition; lax.cond boundary-skips spill the score tile).
+    # ``packed``: the packed-pair schedule of
+    # flash_attention.build_packed_schedule — two contiguous q-block
+    # segments per grid row, zero dead steps for causal.
     has_mask = mask_mode != "none"
+    if packed:
+        q0_ref, q1_ref, n0_ref, t_ref, lo_ref, hi_ref = all_refs[:6]
+        refs = all_refs[6:]
+        r = pl.program_id(2)
+        j = pl.program_id(3)
+        n0 = n0_ref[r]
+        seg1 = j >= n0
+        row_block = jnp.where(seg1, q1_ref[r], q0_ref[r])
+        jj = j - jnp.where(seg1, n0, 0)
+        lo = lo_ref[row_block]
+        run = hi_ref[row_block] - lo
+        valid = j < t_ref[r]
+        live = jnp.logical_and(valid, jj < run)
+        init_cond = jnp.logical_or(
+            j == 0,
+            jnp.logical_and(seg1, jnp.logical_and(jj == 0, valid)),
+        )
+        store_cond = jnp.logical_and(valid, jj == jnp.maximum(run, 1) - 1)
+    else:
+        lo_ref, hi_ref = all_refs[:2]
+        refs = all_refs[2:]
+        row_block = pl.program_id(2)
+        j = pl.program_id(3)
+        jj = j
+        lo = lo_ref[row_block]
+        run = hi_ref[row_block] - lo
+        live = j < run
+        init_cond = j == 0
+        store_cond = j == jnp.maximum(run, 1) - 1
+    kvj = lo + jj
     if mask_mode == "ranges":
         rs_ref, re_ref = refs[:2]
         refs = refs[2:]
@@ -112,14 +145,7 @@ def _dq_kernel(
     else:
         dq_ref, dq_acc = refs
 
-    i = pl.program_id(2)
-    j = pl.program_id(3)
-    lo = lo_ref[i]
-    run = hi_ref[i] - lo
-    kvj = lo + j
-    live = j < run
-
-    @pl.when(j == 0)
+    @pl.when(init_cond)
     def _init():
         dq_acc[...] = jnp.zeros_like(dq_acc)
 
@@ -154,7 +180,7 @@ def _dq_kernel(
                     jax.lax.broadcasted_iota(
                         jnp.int32, (block_q, block_kv), 0
                     )
-                    + i * block_q
+                    + row_block * block_q
                 )
                 keep = jnp.logical_and(
                     col >= jnp.maximum(0, row + a_off),
@@ -185,7 +211,7 @@ def _dq_kernel(
             preferred_element_type=jnp.float32, precision=precision,
         )
 
-    @pl.when(j == jnp.maximum(run, 1) - 1)
+    @pl.when(store_cond)
     def _store():
         dq_ref[0, 0] = (dq_acc[...] * scale).astype(dq_ref.dtype)
 
@@ -220,9 +246,7 @@ def build_kv_block_bounds(
 
 
 def _dkv_kernel(
-    ilo_ref,
-    ihi_ref,
-    *refs,
+    *all_refs,
     block_q: int,
     block_kv: int,
     head_dim: int,
@@ -232,10 +256,47 @@ def _dkv_kernel(
     affine,
     has_bias: bool,
     precision,
+    packed: bool = False,
 ):
     # Grid (b, hkv, j, group·ni_max): the 4th dim enumerates (g, q-block)
     # pairs; per-KV-block live q-block bounds arrive via scalar prefetch.
+    # ``packed``: the packed-pair schedule over KV blocks — two contiguous
+    # segments per grid row, each segment enumerating (q-step × group)
+    # (group-minor so divisions stay static); zero dead steps for causal.
     has_mask = mask_mode != "none"
+    if packed:
+        j0_ref, j1_ref, n0_ref, t_ref, ilo_ref, ihi_ref = all_refs[:6]
+        refs = all_refs[6:]
+        r = pl.program_id(2)
+        t = pl.program_id(3)
+        n0 = n0_ref[r]
+        seg1 = t >= n0
+        kv_block = jnp.where(seg1, j1_ref[r], j0_ref[r])
+        tt = t - jnp.where(seg1, n0, 0)
+        ioff = tt // group
+        ilo = ilo_ref[kv_block]
+        run = ihi_ref[kv_block] - ilo
+        valid = t < t_ref[r]
+        live = jnp.logical_and(valid, ioff < run)
+        init_cond = jnp.logical_or(
+            t == 0,
+            jnp.logical_and(seg1, jnp.logical_and(tt == 0, valid)),
+        )
+        store_cond = jnp.logical_and(
+            valid, tt == group * jnp.maximum(run, 1) - 1
+        )
+    else:
+        ilo_ref, ihi_ref = all_refs[:2]
+        refs = all_refs[2:]
+        kv_block = pl.program_id(2)
+        t = pl.program_id(3)
+        ioff = t % ni_max
+        ilo = ilo_ref[kv_block]
+        run = ihi_ref[kv_block] - ilo
+        live = ioff < run
+        init_cond = t == 0
+        store_cond = t == (group - 1) * ni_max + jnp.maximum(run, 1) - 1
+    iq = ilo + ioff
     if mask_mode == "ranges":
         rs_ref, re_ref = refs[:2]  # row vectors [1, bq]
         refs = refs[2:]
@@ -246,15 +307,7 @@ def _dkv_kernel(
         refs = refs[1:]
     dk_ref, dv_ref, dk_acc, dv_acc = refs
 
-    j = pl.program_id(2)
-    t = pl.program_id(3)
-    ioff = t % ni_max
-    ilo = ilo_ref[j]
-    run = ihi_ref[j] - ilo
-    iq = ilo + ioff
-    live = ioff < run
-
-    @pl.when(t == 0)
+    @pl.when(init_cond)
     def _init():
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dv_acc[...] = jnp.zeros_like(dv_acc)
@@ -276,7 +329,7 @@ def _dkv_kernel(
         if has_mask:
             kvpos = (
                 jax.lax.broadcasted_iota(jnp.int32, (block_kv, block_q), 0)
-                + j * block_kv
+                + kv_block * block_kv
             )
             if mask_mode == "affine":
                 a_off, b_off, seq_q, cap = affine
@@ -313,9 +366,7 @@ def _dkv_kernel(
             preferred_element_type=jnp.float32, precision=precision,
         )
 
-    @pl.when(
-        t == (group - 1) * ni_max + jnp.maximum(run, 1) - 1
-    )
+    @pl.when(store_cond)
     def _store():
         dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
@@ -449,34 +500,63 @@ def flash_attention_backward(
     nj_all_dq = skv_p // bkv_dq
     nj_max_dq = max(1, int((hi_arr - lo_arr).max()))
 
-    def kv_block_dq(i, j, lo, hi):
-        run = hi[i] - lo[i]
-        return jnp.clip(lo[i] + jnp.minimum(j, run - 1), 0, nj_all_dq - 1)
+    # Packed-pair schedule (see flash_attention.build_packed_schedule) when
+    # it removes ≥10% of grid steps — zero dead steps for causal.
+    q0a, q1a, n0a, ta, nrows, width = build_packed_schedule(lo_arr, hi_arr)
+    packed_dq = ni_dq > 1 and nrows * width < 0.9 * ni_dq * nj_max_dq
+    if packed_dq:
+        grid_dq = (b, hq, nrows, width)
+        scalars_dq = (
+            jnp.asarray(q0a), jnp.asarray(q1a), jnp.asarray(n0a),
+            jnp.asarray(ta), jnp.asarray(lo_arr), jnp.asarray(hi_arr),
+        )
+
+        def q_block_dq(a):
+            _, _, r, j, q0, q1, n0, t, lo, hi = a
+            return jnp.where(j >= n0[r], q1[r], q0[r])
+
+        def kv_block_dq(a):
+            _, _, r, j, q0, q1, n0, t, lo, hi = a
+            qi = q_block_dq(a)
+            jj = j - jnp.where(j >= n0[r], n0[r], 0)
+            run = hi[qi] - lo[qi]
+            return jnp.clip(
+                lo[qi] + jnp.minimum(jj, run - 1), 0, nj_all_dq - 1
+            )
+    else:
+        grid_dq = (b, hq, ni_dq, nj_max_dq)
+        scalars_dq = (jnp.asarray(lo_arr), jnp.asarray(hi_arr))
+
+        def q_block_dq(a):
+            return a[2]
+
+        def kv_block_dq(a):
+            _, _, i, j, lo, hi = a
+            run = hi[i] - lo[i]
+            return jnp.clip(
+                lo[i] + jnp.minimum(j, run - 1), 0, nj_all_dq - 1
+            )
 
     in_specs = []
     inputs = []
     if mask_mode == "ranges":
-        in_specs += [
-            pl.BlockSpec((bq_dq, 1), lambda bi, h, i, j, lo, hi: (i, 0)),
-            pl.BlockSpec((bq_dq, 1), lambda bi, h, i, j, lo, hi: (i, 0)),
-        ]
+        rspec = pl.BlockSpec((bq_dq, 1), lambda *a: (q_block_dq(a), 0))
+        in_specs += [rspec, rspec]
         inputs += [
             jnp.asarray(row_ranges[:, 0:1]),
             jnp.asarray(row_ranges[:, 1:2]),
         ]
-    def kv_spec(width):
+    def kv_spec(width_):
         return pl.BlockSpec(
-            (1, 1, bkv_dq, width),
-            lambda bi, h, i, j, lo, hi: (
-                bi, kv_head(h), kv_block_dq(i, j, lo, hi), 0
-            ),
+            (1, 1, bkv_dq, width_),
+            lambda *a: (a[0], kv_head(a[1]), kv_block_dq(a), 0),
         )
 
     q_spec = pl.BlockSpec(
-        (1, 1, bq_dq, d), lambda bi, h, i, j, lo, hi: (bi, h, i, 0)
+        (1, 1, bq_dq, d), lambda *a: (a[0], a[1], q_block_dq(a), 0)
     )
     stat_spec = pl.BlockSpec(
-        (1, 1, bq_dq, LANES), lambda bi, h, i, j, lo, hi: (bi, h, i, 0)
+        (1, 1, bq_dq, LANES), lambda *a: (a[0], a[1], q_block_dq(a), 0)
     )
     if kv_quant:
         in_specs += [
@@ -498,9 +578,9 @@ def flash_attention_backward(
         in_specs.append(
             pl.BlockSpec(
                 (1, 1, bq_dq, bkv_dq),
-                lambda bi, h, i, j, lo, hi: (
-                    0 if bb else bi, 0 if bh else h, i,
-                    kv_block_dq(i, j, lo, hi),
+                lambda *a: (
+                    0 if bb else a[0], 0 if bh else a[1], q_block_dq(a),
+                    kv_block_dq(a),
                 ),
             )
         )
@@ -509,7 +589,7 @@ def flash_attention_backward(
     out_shape = [jax.ShapeDtypeStruct((b, hq, sq_p, d), jnp.float32)]
     out_specs = [
         pl.BlockSpec(
-            (1, 1, bq_dq, d), lambda bi, h, i, j, lo, hi: (bi, h, i, 0)
+            (1, 1, bq_dq, d), lambda *a: (a[0], a[1], q_block_dq(a), 0)
         )
     ]
     io_aliases = {}
@@ -517,28 +597,17 @@ def flash_attention_backward(
         out_shape.append(
             jax.ShapeDtypeStruct((b, hq, sq_p, skv_p), jnp.float32)
         )
-        out_specs.append(
-            pl.BlockSpec(
-                (1, 1, bq_dq, bkv_dq),
-                lambda bi, h, i, j, lo, hi: (
-                    bi, h, i, kv_block_dq(i, j, lo, hi)
-                ),
-            )
+        dbias_spec = pl.BlockSpec(
+            (1, 1, bq_dq, bkv_dq),
+            lambda *a: (a[0], a[1], q_block_dq(a), kv_block_dq(a)),
         )
+        out_specs.append(dbias_spec)
         # Unvisited (fully masked) tiles must read as zero: alias a zeros
         # input so unwritten blocks keep their zero content.
         zeros = jnp.zeros((b, hq, sq_p, skv_p), jnp.float32)
-        in_specs.append(
-            pl.BlockSpec(
-                (1, 1, bq_dq, bkv_dq),
-                lambda bi, h, i, j, lo, hi: (
-                    bi, h, i, kv_block_dq(i, j, lo, hi)
-                ),
-            )
-        )
+        in_specs.append(dbias_spec)
         inputs.append(zeros)
-        n_prefetch = 2
-        io_aliases = {n_prefetch + len(inputs) - 1: 1}
+        io_aliases = {len(scalars_dq) + len(inputs) - 1: 1}
 
     kernel = functools.partial(
         _dq_kernel,
@@ -552,10 +621,11 @@ def flash_attention_backward(
         want_dbias=want_dbias,
         kv_bits=kv_bits,
         precision=precision,
+        packed=packed_dq,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(b, hq, ni_dq, nj_max_dq),
+        num_scalar_prefetch=len(scalars_dq),
+        grid=grid_dq,
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[pltpu.VMEM((bq_dq, d), jnp.float32)],
@@ -572,8 +642,7 @@ def flash_attention_backward(
         input_output_aliases=io_aliases,
         interpret=interpret,
     )(
-        jnp.asarray(lo_arr),
-        jnp.asarray(hi_arr),
+        *scalars_dq,
         *inputs,
     )
     if want_dbias:
@@ -603,28 +672,64 @@ def flash_attention_backward(
     ni_max = max(1, int((ihi_arr - ilo_arr).max()))
     mask_mode2, affine2 = resolve_mask_mode(mask, has_mask, sq, skv)
 
-    def q_block(j, t, ilo, ihi):
-        run = ihi[j] - ilo[j]
-        ioff = t % ni_max
-        return jnp.clip(ilo[j] + jnp.minimum(ioff, run - 1), 0, ni_all - 1)
+    # Packed-pair schedule over KV blocks; within a segment the 4th dim
+    # enumerates (q-step × group) GROUP-MINOR so g/ioff come from static
+    # div/mod (a dynamic divisor won't lower).
+    j0a, j1a, n0a2, ta2, nrows2, width2 = build_packed_schedule(
+        ilo_arr, ihi_arr
+    )
+    packed_dkv = nj > 1 and nrows2 * width2 < 0.9 * nj * ni_max
+    if packed_dkv:
+        grid2 = (b, hkv, nrows2, width2 * group)
+        scalars2 = (
+            jnp.asarray(j0a), jnp.asarray(j1a),
+            jnp.asarray(n0a2 * group), jnp.asarray(ta2 * group),
+            jnp.asarray(ilo_arr), jnp.asarray(ihi_arr),
+        )
 
-    def g_of(t):
-        return t // ni_max
+        def kv_block2(a):
+            _, _, r, t, j0, j1, n0, tarr, ilo, ihi = a
+            return jnp.where(t >= n0[r], j1[r], j0[r])
+
+        def _tt(a):
+            _, _, r, t, j0, j1, n0, tarr, ilo, ihi = a
+            return t - jnp.where(t >= n0[r], n0[r], 0)
+
+        def g_of(a):
+            return _tt(a) % group
+
+        def q_block(a):
+            _, _, r, t, j0, j1, n0, tarr, ilo, ihi = a
+            jb = kv_block2(a)
+            run = ihi[jb] - ilo[jb]
+            ioff = _tt(a) // group
+            return jnp.clip(
+                ilo[jb] + jnp.minimum(ioff, run - 1), 0, ni_all - 1
+            )
+    else:
+        grid2 = (b, hkv, nj, group * ni_max)
+        scalars2 = (jnp.asarray(ilo_arr), jnp.asarray(ihi_arr))
+
+        def kv_block2(a):
+            return a[2]
+
+        def g_of(a):
+            return a[3] // ni_max
+
+        def q_block(a):
+            _, _, j, t, ilo, ihi = a
+            run = ihi[j] - ilo[j]
+            ioff = t % ni_max
+            return jnp.clip(
+                ilo[j] + jnp.minimum(ioff, run - 1), 0, ni_all - 1
+            )
 
     in_specs2 = []
     inputs2 = []
     if mask_mode2 == "ranges":
         # Row-vector layout [1, Sq]: ranges enter as [1, bq] row tiles.
-        in_specs2 += [
-            pl.BlockSpec(
-                (1, bq_dkv),
-                lambda bi, h, j, t, ilo, ihi: (0, q_block(j, t, ilo, ihi)),
-            ),
-            pl.BlockSpec(
-                (1, bq_dkv),
-                lambda bi, h, j, t, ilo, ihi: (0, q_block(j, t, ilo, ihi)),
-            ),
-        ]
+        rspec2 = pl.BlockSpec((1, bq_dkv), lambda *a: (0, q_block(a)))
+        in_specs2 += [rspec2, rspec2]
         inputs2 += [
             jnp.asarray(row_ranges[:, 0][None, :]),
             jnp.asarray(row_ranges[:, 1][None, :]),
@@ -634,19 +739,15 @@ def flash_attention_backward(
         if width_last:
             return pl.BlockSpec(
                 (1, 1, 1, bq_dkv),
-                lambda bi, h, j, t, ilo, ihi: (
-                    bi, q_head(h, g_of(t)), 0, q_block(j, t, ilo, ihi)
-                ),
+                lambda *a: (a[0], q_head(a[1], g_of(a)), 0, q_block(a)),
             )
         return pl.BlockSpec(
             (1, 1, bq_dkv, d),
-            lambda bi, h, j, t, ilo, ihi: (
-                bi, q_head(h, g_of(t)), q_block(j, t, ilo, ihi), 0
-            ),
+            lambda *a: (a[0], q_head(a[1], g_of(a)), q_block(a), 0),
         )
 
     kv_side = pl.BlockSpec(
-        (1, 1, bkv_dkv, d), lambda bi, h, j, t, ilo, ihi: (bi, h, j, 0)
+        (1, 1, bkv_dkv, d), lambda *a: (a[0], a[1], kv_block2(a), 0)
     )
     in_specs2 += [
         q_side(False), kv_side, kv_side, q_side(False),
@@ -660,11 +761,11 @@ def flash_attention_backward(
         in_specs2.append(
             pl.BlockSpec(
                 (1, 1, bkv_dkv, bq_dkv),
-                lambda bi, h, j, t, ilo, ihi: (
-                    0 if bb else bi,
-                    0 if bh else q_head(h, g_of(t)),
-                    j,
-                    q_block(j, t, ilo, ihi),
+                lambda *a: (
+                    0 if bb else a[0],
+                    0 if bh else q_head(a[1], g_of(a)),
+                    kv_block2(a),
+                    q_block(a),
                 ),
             )
         )
@@ -681,19 +782,20 @@ def flash_attention_backward(
         affine=affine2,
         has_bias=bias is not None,
         precision=precision,
+        packed=packed_dkv,
     )
     grid_spec2 = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(b, hkv, nj, group * ni_max),
+        num_scalar_prefetch=len(scalars2),
+        grid=grid2,
         in_specs=in_specs2,
         out_specs=[
             pl.BlockSpec(
                 (1, 1, bkv_dkv, d),
-                lambda bi, h, j, t, ilo, ihi: (bi, h, j, 0),
+                lambda *a: (a[0], a[1], kv_block2(a), 0),
             ),
             pl.BlockSpec(
                 (1, 1, bkv_dkv, d),
-                lambda bi, h, j, t, ilo, ihi: (bi, h, j, 0),
+                lambda *a: (a[0], a[1], kv_block2(a), 0),
             ),
         ],
         scratch_shapes=[
@@ -715,8 +817,7 @@ def flash_attention_backward(
         ),
         interpret=interpret,
     )(
-        jnp.asarray(ilo_arr),
-        jnp.asarray(ihi_arr),
+        *scalars2,
         *inputs2,
     )
     dk = dk[:, :, :skv, :]
