@@ -77,9 +77,10 @@ def run(args):
         )
         t_fwd = measure(f_fwd, q, k, v, iters=iters, warmup=3)
 
+        blocks_full = tuner.recommend("fwd", d, s, causal=False)
         f_full = jax.jit(
             lambda q, k, v: flash_attention_forward(
-                q, k, v, mask=FULL, block_sizes=blocks, interpret=False
+                q, k, v, mask=FULL, block_sizes=blocks_full, interpret=False
             )[0]
         )
         t_full = measure(f_full, q, k, v, iters=iters, warmup=3)

@@ -39,31 +39,30 @@ extern "C" int64_t mfa_fwd_step_vmem_bytes(int32_t block_q, int32_t block_kv,
 }
 
 extern "C" int mfa_resolve_blocks(int32_t head_dim, int32_t bits,
-                                  int32_t kind, int64_t vmem_budget_bytes,
+                                  int32_t kind, int32_t causal,
+                                  int64_t vmem_budget_bytes,
                                   MfaBlockConfig* out) {
   if (out == nullptr || head_dim <= 0) return -1;
   if (vmem_budget_bytes <= 0) vmem_budget_bytes = 14LL << 20;  // ~16MB - slack
 
   // Cold-start table mirroring attention/tuning.py::default_block_sizes —
-  // measured on v5e after the dense-grid rewrite (docs/perf_notes.md):
-  // float peaks at (1024,1024)/(1024,512)/(512,1024) for d=64/128/256;
-  // quantized K/V at (1024,1024) everywhere ≤ 256.
+  // measured on v5e after the packed-pair schedule (docs/perf_notes.md):
+  // causal float peaks at (1024,1024)/(512,512)/(1024,1024) for
+  // d=64/128/256; full-mask float at (1024,1024); quantized K/V at
+  // (1024,1024) everywhere ≤ 256.
   int32_t bq, bkv;
   if (bits <= 8) {
     bq = head_dim <= 256 ? 1024 : 512;
     bkv = head_dim <= 256 ? 1024 : 512;
-  } else if (head_dim <= 64) {
-    bq = 1024;
-    bkv = 1024;
-  } else if (head_dim <= 128) {
-    bq = 1024;
-    bkv = 512;
-  } else if (head_dim <= 256) {
-    bq = 512;
-    bkv = 1024;
-  } else {
+  } else if (head_dim > 256) {
     bq = 256;
     bkv = 512;
+  } else if (causal != 0 && head_dim > 64 && head_dim <= 128) {
+    bq = 512;
+    bkv = 512;
+  } else {
+    bq = 1024;
+    bkv = 1024;
   }
 
   // Shrink (kv first, then q) until the VMEM model fits the budget.

@@ -41,8 +41,11 @@ typedef struct {
 
 // kind: 0 = fwd, 1 = fwd_q (quantized), 2 = bwd.
 // Returns 0 on success.
+/* kind: 0 fwd, 1 fwd quantized, 2 bwd.  causal: 1 = ragged (packed-pair)
+ * schedule table, 0 = full-mask dense table. */
 int mfa_resolve_blocks(int32_t head_dim, int32_t bits, int32_t kind,
-                       int64_t vmem_budget_bytes, MfaBlockConfig* out);
+                       int32_t causal, int64_t vmem_budget_bytes,
+                       MfaBlockConfig* out);
 
 // VMEM bytes one forward grid step needs (double-buffered tiles + fp32
 // accumulator + stats), for feasibility checks / tuner pruning.

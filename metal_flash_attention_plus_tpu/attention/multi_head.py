@@ -52,8 +52,13 @@ class MultiHeadAttention:
     def _blocks(self, seq_len: int, kind: str = "fwd") -> BlockSizes:
         if self.block_sizes is not None:
             return self.block_sizes
+        from metal_flash_attention_plus_tpu.attention.masking import (
+            MaskKind,
+        )
+
         return AttentionTuner.shared().recommend(
-            kind, self.descriptor.head_dim, seq_len
+            kind, self.descriptor.head_dim, seq_len,
+            causal=self.descriptor.mask.kind != MaskKind.NONE,
         )
 
     def _validate(self, q, k, v):

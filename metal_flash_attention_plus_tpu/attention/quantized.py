@@ -132,8 +132,13 @@ class QuantizedAttention:
     def _blocks(self, seq_len: int, head_dim: int, bits: int) -> BlockSizes:
         if self.block_sizes is not None:
             return self.block_sizes
+        from metal_flash_attention_plus_tpu.attention.masking import (
+            MaskKind,
+        )
+
         return AttentionTuner.shared().recommend(
-            "fwd_q", head_dim, seq_len, bits=bits
+            "fwd_q", head_dim, seq_len, bits=bits,
+            causal=self.mask.kind != MaskKind.NONE,
         )
 
     def quantize_kv(

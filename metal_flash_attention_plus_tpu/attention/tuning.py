@@ -41,7 +41,9 @@ def seq_bucket(seq_len: int) -> int:
     return _SEQ_BUCKETS[-1]
 
 
-def default_block_sizes(head_dim: int, bits: int = 16) -> BlockSizes:
+def default_block_sizes(
+    head_dim: int, bits: int = 16, causal: bool = True
+) -> BlockSizes:
     """VMEM-budget cold-start table (the parameter-table analog).
 
     Budget model per grid step (double-buffered): Q tile bq×D, K/V tiles
@@ -49,22 +51,25 @@ def default_block_sizes(head_dim: int, bits: int = 16) -> BlockSizes:
     KV blocks amortize the per-block VPU softmax against MXU time — the
     same reasoning as the reference's traversal-block selection, with VMEM
     in place of registers.
+
+    ``causal`` selects the ragged-schedule table (causal / sliding-window
+    / sparse masks run the packed-pair grid, whose optimum differs from
+    the full-mask dense grid at d=128 — docs/perf_notes.md).
     """
-    # Measured on v5e AFTER the dense-grid kernel rewrite
-    # (docs/perf_notes.md, causal S=4K sweep): float peaks at (1024,1024) /
-    # (1024,512) / (512,1024) for d=64/128/256; quantized K/V (smaller
-    # tiles, dequant amortization) at (1024,1024) everywhere.  Larger →
-    # VMEM OOM; non-power-of-2 loses outright.
+    # Measured on v5e AFTER the packed-pair schedule (docs/perf_notes.md,
+    # S=4K interleaved sweeps): causal float peaks at (1024,1024) /
+    # (512,512) / (1024,1024) for d=64/128/256; full-mask float at
+    # (1024,1024) for all three; quantized K/V (smaller tiles, dequant
+    # amortization) at (1024,1024) everywhere.  Larger → VMEM OOM;
+    # non-power-of-2 loses outright.
     if bits <= 8:
         bq, bkv = (1024, 1024) if head_dim <= 256 else (512, 512)
-    elif head_dim <= 64:
-        bq, bkv = 1024, 1024
-    elif head_dim <= 128:
-        bq, bkv = 1024, 512
-    elif head_dim <= 256:
-        bq, bkv = 512, 1024
-    else:
+    elif head_dim > 256:
         bq, bkv = 256, 512
+    elif causal and 64 < head_dim <= 128:
+        bq, bkv = 512, 512
+    else:
+        bq, bkv = 1024, 1024
     # Backward: (512, 512) for both kernels measured best at d=64/256
     # (33.7 / 85.2 TF/s); d=128 marginally prefers (1024, 512)+(512, 1024)
     # (66.2 vs 58.6) — kept uniform pending a finer sweep.
@@ -86,14 +91,21 @@ class TuneKey:
     head_dim: int
     bits: int
     seq_bucket: int
+    causal: bool = True  # ragged (packed-pair) vs full-mask schedule
 
     def encode(self) -> str:
-        return f"{self.kind}:d{self.head_dim}:b{self.bits}:s{self.seq_bucket}"
+        m = "mC" if self.causal else "mF"
+        return (
+            f"{self.kind}:d{self.head_dim}:b{self.bits}"
+            f":s{self.seq_bucket}:{m}"
+        )
 
     @staticmethod
     def decode(s: str) -> "TuneKey":
-        kind, d, b, sb = s.split(":")
-        return TuneKey(kind, int(d[1:]), int(b[1:]), int(sb[1:]))
+        parts = s.split(":")
+        kind, d, b, sb = parts[:4]
+        causal = parts[4] == "mC" if len(parts) > 4 else True
+        return TuneKey(kind, int(d[1:]), int(b[1:]), int(sb[1:]), causal)
 
 
 class CalibrationStore:
@@ -173,16 +185,19 @@ class AttentionTuner:
             self._loaded_device = dk
 
     def recommend(
-        self, kind: str, head_dim: int, seq_len: int, bits: int = 16
+        self, kind: str, head_dim: int, seq_len: int, bits: int = 16,
+        causal: bool = True,
     ) -> BlockSizes:
         """Calibrated blocks if available, else the cold-start table."""
-        key = TuneKey(kind, head_dim, bits, seq_bucket(seq_len)).encode()
+        key = TuneKey(
+            kind, head_dim, bits, seq_bucket(seq_len), causal
+        ).encode()
         with self._lock:
             self._ensure_loaded()
             entry = self._cache.get(key)
         if entry is not None:
             return _blocks_from_json(entry["blocks"])
-        return default_block_sizes(head_dim, bits)
+        return default_block_sizes(head_dim, bits, causal)
 
     def record(self, key: TuneKey, blocks: BlockSizes, tflops: float):
         with self._lock:
@@ -201,6 +216,7 @@ class AttentionTuner:
         bits: int = 16,
         batch: int = 1,
         num_heads: int = 8,
+        causal: bool = True,
         candidates: Optional[Tuple[Tuple[int, int], ...]] = None,
         iters: int = 20,
     ) -> BlockSizes:
@@ -210,7 +226,10 @@ class AttentionTuner:
         import jax
         import jax.numpy as jnp
 
-        from metal_flash_attention_plus_tpu.attention.masking import CAUSAL
+        from metal_flash_attention_plus_tpu.attention.masking import (
+            CAUSAL,
+            FULL,
+        )
         from metal_flash_attention_plus_tpu.ops.flash_attention import (
             flash_attention_forward,
         )
@@ -229,7 +248,8 @@ class AttentionTuner:
         v = jax.random.normal(ks[2], shape, jnp.bfloat16)
         flops = attention_flops(
             seq_len, seq_len, head_dim, num_heads=num_heads, batch=batch
-        ) / 2
+        ) / (2 if causal else 1)
+        mask = CAUSAL if causal else FULL
 
         best: Tuple[float, Optional[BlockSizes]] = (0.0, None)
         for bq, bkv in candidates:
@@ -243,7 +263,7 @@ class AttentionTuner:
             )
             f = jax.jit(
                 lambda q, k, v, bs=bs: flash_attention_forward(
-                    q, k, v, mask=CAUSAL, block_sizes=bs, interpret=False
+                    q, k, v, mask=mask, block_sizes=bs, interpret=False
                 )[0]
             )
             try:
@@ -254,7 +274,7 @@ class AttentionTuner:
             if tf > best[0]:
                 best = (tf, bs)
         if best[1] is None:
-            return default_block_sizes(head_dim, bits)
-        key = TuneKey("fwd", head_dim, bits, seq_bucket(seq_len))
+            return default_block_sizes(head_dim, bits, causal)
+        key = TuneKey("fwd", head_dim, bits, seq_bucket(seq_len), causal)
         self.record(key, best[1], best[0])
         return best[1]

@@ -100,6 +100,10 @@ def _load():
             return None
         lib = ctypes.CDLL(str(path))
         lib.mfa_resolve_blocks.restype = ctypes.c_int
+        lib.mfa_resolve_blocks.argtypes = [
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int64, ctypes.POINTER(_MfaBlockConfig),
+        ]
         lib.mfa_fwd_step_vmem_bytes.restype = ctypes.c_int64
         lib.mfa_calib_open.restype = ctypes.c_void_p
         lib.mfa_calib_open.argtypes = [ctypes.c_char_p]
@@ -202,7 +206,7 @@ KIND_FWD, KIND_FWD_Q, KIND_BWD = 0, 1, 2
 
 def resolve_blocks(
     head_dim: int, bits: int = 16, kind: int = KIND_FWD,
-    vmem_budget_bytes: int = 0,
+    vmem_budget_bytes: int = 0, causal: bool = True,
 ) -> BlockConfig:
     """Native descriptor → block-config resolution; falls back to the
     Python table when the library is unavailable."""
@@ -212,11 +216,12 @@ def resolve_blocks(
             default_block_sizes,
         )
 
-        bs = default_block_sizes(head_dim, bits)
+        bs = default_block_sizes(head_dim, bits, causal)
         return BlockConfig(**dataclasses.asdict(bs))
     out = _MfaBlockConfig()
     rc = lib.mfa_resolve_blocks(
-        head_dim, bits, kind, vmem_budget_bytes, ctypes.byref(out)
+        head_dim, bits, kind, int(causal), vmem_budget_bytes,
+        ctypes.byref(out),
     )
     if rc != 0:
         raise ValueError(f"mfa_resolve_blocks failed for head_dim={head_dim}")

@@ -24,10 +24,11 @@ def test_resolve_blocks_matches_python_table():
     )
 
     for d, bits in [(64, 16), (128, 16), (256, 16), (64, 8), (512, 16)]:
-        native = resolve_blocks(d, bits)
-        py = default_block_sizes(d, bits)
-        assert native.block_q == py.block_q, (d, bits)
-        assert native.block_kv == py.block_kv, (d, bits)
+        for causal in (True, False):
+            native = resolve_blocks(d, bits, causal=causal)
+            py = default_block_sizes(d, bits, causal)
+            assert native.block_q == py.block_q, (d, bits, causal)
+            assert native.block_kv == py.block_kv, (d, bits, causal)
 
 
 def test_resolve_blocks_respects_vmem_budget():
