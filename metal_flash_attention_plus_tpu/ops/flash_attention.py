@@ -316,7 +316,7 @@ def _fwd_kernel(
         r = pl.program_id(2)
         j = pl.program_id(3)
         n0 = n0_ref[r]
-        seg1 = j >= n0
+        seg1 = jnp.logical_and(j >= n0, t_ref[r] > n0)
         row_block = jnp.where(seg1, q1_ref[r], q0_ref[r])
         jj = j - jnp.where(seg1, n0, 0)
         lo = lo_ref[row_block]
@@ -681,12 +681,17 @@ def flash_attention_forward(
             lo_arr, hi_arr
         )
 
-        def qi_of(r, j, q0, q1, n0):
-            return jnp.where(j >= n0[r], q1[r], q0[r])
+        def seg1_of(r, j, n0, t):
+            # Unpaired rows have t == n0: padding steps stay in segment 0
+            # and clamp at its last tile (no index restarts, no re-fetch).
+            return jnp.logical_and(j >= n0[r], t[r] > n0[r])
 
-        def kv_block_p(r, j, q0, q1, n0, lo, hi):
-            qi = qi_of(r, j, q0, q1, n0)
-            jj = j - jnp.where(j >= n0[r], n0[r], 0)
+        def qi_of(r, j, q0, q1, n0, t):
+            return jnp.where(seg1_of(r, j, n0, t), q1[r], q0[r])
+
+        def kv_block_p(r, j, q0, q1, n0, t, lo, hi):
+            qi = qi_of(r, j, q0, q1, n0, t)
+            jj = j - jnp.where(seg1_of(r, j, n0, t), n0[r], 0)
             run = hi[qi] - lo[qi]
             return jnp.clip(lo[qi] + jnp.minimum(jj, run - 1), 0, nj_all - 1)
 
@@ -696,7 +701,7 @@ def flash_attention_forward(
             rspec = pl.BlockSpec(
                 (bq, 1),
                 lambda bi, h, r, j, q0, q1, n0, t, lo, hi: (
-                    qi_of(r, j, q0, q1, n0), 0
+                    qi_of(r, j, q0, q1, n0, t), 0
                 ),
             )
             in_specs += [rspec, rspec]
@@ -705,20 +710,20 @@ def flash_attention_forward(
                 jnp.asarray(row_ranges[:, 1:2]),
             ]
         q_map = lambda bi, h, r, j, q0, q1, n0, t, lo, hi: (
-            bi, h, qi_of(r, j, q0, q1, n0), 0
+            bi, h, qi_of(r, j, q0, q1, n0, t), 0
         )
         in_specs += [
             pl.BlockSpec((1, 1, bq, d), q_map),
             pl.BlockSpec(
                 (1, 1, bkv, d),
                 lambda bi, h, r, j, q0, q1, n0, t, lo, hi: (
-                    bi, kv_head(h), kv_block_p(r, j, q0, q1, n0, lo, hi), 0
+                    bi, kv_head(h), kv_block_p(r, j, q0, q1, n0, t, lo, hi), 0
                 ),
             ),
             pl.BlockSpec(
                 (1, 1, bkv, d),
                 lambda bi, h, r, j, q0, q1, n0, t, lo, hi: (
-                    bi, kv_head(h), kv_block_p(r, j, q0, q1, n0, lo, hi), 0
+                    bi, kv_head(h), kv_block_p(r, j, q0, q1, n0, t, lo, hi), 0
                 ),
             ),
         ]
@@ -732,8 +737,8 @@ def flash_attention_forward(
                     lambda bi, h, r, j, q0, q1, n0, t, lo, hi: (
                         0 if bb else bi,
                         0 if bh else h,
-                        qi_of(r, j, q0, q1, n0),
-                        kv_block_p(r, j, q0, q1, n0, lo, hi),
+                        qi_of(r, j, q0, q1, n0, t),
+                        kv_block_p(r, j, q0, q1, n0, t, lo, hi),
                     ),
                 )
             )
@@ -755,7 +760,7 @@ def flash_attention_forward(
             pl.BlockSpec(
                 (1, 1, bq, LANES),
                 lambda bi, h, r, j, q0, q1, n0, t, lo, hi: (
-                    bi, h, qi_of(r, j, q0, q1, n0), 0
+                    bi, h, qi_of(r, j, q0, q1, n0, t), 0
                 ),
             ),
         ]

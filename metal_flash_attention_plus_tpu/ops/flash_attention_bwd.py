@@ -100,7 +100,7 @@ def _dq_kernel(
         r = pl.program_id(2)
         j = pl.program_id(3)
         n0 = n0_ref[r]
-        seg1 = j >= n0
+        seg1 = jnp.logical_and(j >= n0, t_ref[r] > n0)
         row_block = jnp.where(seg1, q1_ref[r], q0_ref[r])
         jj = j - jnp.where(seg1, n0, 0)
         lo = lo_ref[row_block]
@@ -270,7 +270,7 @@ def _dkv_kernel(
         r = pl.program_id(2)
         t = pl.program_id(3)
         n0 = n0_ref[r]
-        seg1 = t >= n0
+        seg1 = jnp.logical_and(t >= n0, t_ref[r] > n0)
         kv_block = jnp.where(seg1, j1_ref[r], j0_ref[r])
         tt = t - jnp.where(seg1, n0, 0)
         ioff = tt // group
@@ -513,12 +513,14 @@ def flash_attention_backward(
 
         def q_block_dq(a):
             _, _, r, j, q0, q1, n0, t, lo, hi = a
-            return jnp.where(j >= n0[r], q1[r], q0[r])
+            seg1 = jnp.logical_and(j >= n0[r], t[r] > n0[r])
+            return jnp.where(seg1, q1[r], q0[r])
 
         def kv_block_dq(a):
             _, _, r, j, q0, q1, n0, t, lo, hi = a
-            qi = q_block_dq(a)
-            jj = j - jnp.where(j >= n0[r], n0[r], 0)
+            seg1 = jnp.logical_and(j >= n0[r], t[r] > n0[r])
+            qi = jnp.where(seg1, q1[r], q0[r])
+            jj = j - jnp.where(seg1, n0[r], 0)
             run = hi[qi] - lo[qi]
             return jnp.clip(
                 lo[qi] + jnp.minimum(jj, run - 1), 0, nj_all_dq - 1
@@ -689,11 +691,13 @@ def flash_attention_backward(
 
         def kv_block2(a):
             _, _, r, t, j0, j1, n0, tarr, ilo, ihi = a
-            return jnp.where(t >= n0[r], j1[r], j0[r])
+            seg1 = jnp.logical_and(t >= n0[r], tarr[r] > n0[r])
+            return jnp.where(seg1, j1[r], j0[r])
 
         def _tt(a):
             _, _, r, t, j0, j1, n0, tarr, ilo, ihi = a
-            return t - jnp.where(t >= n0[r], n0[r], 0)
+            seg1 = jnp.logical_and(t >= n0[r], tarr[r] > n0[r])
+            return t - jnp.where(seg1, n0[r], 0)
 
         def g_of(a):
             return _tt(a) % group

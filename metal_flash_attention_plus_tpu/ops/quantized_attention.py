@@ -97,7 +97,7 @@ def _qfwd_kernel(
         r = pl.program_id(2)
         j = pl.program_id(3)
         n0 = n0_ref[r]
-        seg1 = j >= n0
+        seg1 = jnp.logical_and(j >= n0, t_ref[r] > n0)
         row_block = jnp.where(seg1, q1_ref[r], q0_ref[r])
         jj = j - jnp.where(seg1, n0, 0)
         lo = lo_ref[row_block]
@@ -392,12 +392,14 @@ def quantized_flash_attention_forward(
 
         def q_block(args):
             _, _, r, j, q0, q1, n0, t, lo, hi = args
-            return jnp.where(j >= n0[r], q1[r], q0[r])
+            seg1 = jnp.logical_and(j >= n0[r], t[r] > n0[r])
+            return jnp.where(seg1, q1[r], q0[r])
 
         def kv_block(args):
             _, _, r, j, q0, q1, n0, t, lo, hi = args
-            qi = q_block(args)
-            jj = j - jnp.where(j >= n0[r], n0[r], 0)
+            seg1 = jnp.logical_and(j >= n0[r], t[r] > n0[r])
+            qi = jnp.where(seg1, q1[r], q0[r])
+            jj = j - jnp.where(seg1, n0[r], 0)
             run = hi[qi] - lo[qi]
             return jnp.clip(lo[qi] + jnp.minimum(jj, run - 1), 0, nj_all - 1)
     else:

@@ -173,3 +173,38 @@ def test_baseline_config2_composition():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(r), atol=2e-4, err_msg=name
         )
+
+
+def test_odd_blockcount_packed_bias_grads():
+    """ni=3 (odd) leaves one UNPAIRED packed-schedule row; its padding
+    steps must not disturb already-written dbias tiles (segment gate on
+    t > n0) — regression for the packed-pair schedule."""
+    import jax
+
+    from metal_flash_attention_plus_tpu.ops.flash_attention import (
+        BlockSizes,
+        flash_attention,
+    )
+
+    s = 384
+    bs = BlockSizes(
+        block_q=128, block_kv=128, block_q_dq=128, block_kv_dq=128,
+        block_q_dkv=128, block_kv_dkv=128,
+    )
+    ks = jax.random.split(jax.random.PRNGKey(11), 5)
+    q = jax.random.normal(ks[0], (1, 2, s, 64))
+    k = jax.random.normal(ks[1], (1, 2, s, 64))
+    v = jax.random.normal(ks[2], (1, 2, s, 64))
+    bias = jax.random.normal(ks[3], (1, 1, s, s))
+    do = jax.random.normal(ks[4], (1, 2, s, 64))
+
+    f = lambda q, bias: jnp.vdot(
+        flash_attention(q, k, v, bias, mask=masking.CAUSAL, block_sizes=bs), do
+    )
+    fr = lambda q, bias: jnp.vdot(
+        reference_attention(q, k, v, mask=masking.CAUSAL, bias=bias)[0], do
+    )
+    dq, db = jax.grad(f, argnums=(0, 1))(q, bias)
+    dqr, dbr = jax.grad(fr, argnums=(0, 1))(q, bias)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dqr), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(db), np.asarray(dbr), atol=5e-5)
