@@ -32,6 +32,7 @@ import dataclasses
 import enum
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -133,6 +134,51 @@ def build_block_sparse_ranges(
             out[r, 0] = active[0] * block_size
             out[r, 1] = min((active[-1] + 1) * block_size, num_cols * block_size)
     return out
+
+
+def build_segment_ranges(
+    segment_ids, causal: bool = True
+):
+    """Per-row [start, end) KV ranges for PACKED SEQUENCES (document mask):
+    row i attends only tokens of its own segment, optionally causally.
+
+    ``segment_ids`` is int [S] (non-decreasing segment labels, the standard
+    sequence-packing layout).  Accepts a traced jax array — the result
+    feeds the kernels' DYNAMIC range path (bounds become scalar-prefetch
+    data inside jit), so per-batch packing layouts need no recompilation.
+    Returns int32 [S, 2] (jnp if input is jnp, else numpy).
+    """
+    xp = jnp if isinstance(segment_ids, jnp.ndarray) else np
+    seg = xp.asarray(segment_ids)
+    s = seg.shape[0]
+    idx = xp.arange(s)
+    is_start = xp.concatenate(
+        [xp.ones((1,), bool), seg[1:] != seg[:-1]]
+    )
+    # start[i] = index of i's segment's first token (running max of starts)
+    start = _cummax(xp, xp.where(is_start, idx, 0))
+    if causal:
+        end = idx + 1  # own position is always inside own segment
+    else:
+        # end[i] = the next segment's start index (S if none): suffix-min
+        # of start positions, shifted one left.
+        nxt = xp.where(is_start, idx, s)
+        sm = _cummin_reverse(xp, nxt, s)
+        end = xp.concatenate([sm[1:], xp.full((1,), s, sm.dtype)])
+    out = xp.stack([start, end], axis=-1)
+    return out.astype(xp.int32)
+
+
+def _cummax(xp, x):
+    if xp is np:
+        return np.maximum.accumulate(x)
+    return jax.lax.associative_scan(jnp.maximum, x)
+
+
+def _cummin_reverse(xp, x, fill):
+    if xp is np:
+        return np.minimum.accumulate(x[::-1])[::-1]
+    return jax.lax.associative_scan(jnp.minimum, x, reverse=True)
 
 
 def expand_block_ranges_to_rows(

@@ -176,6 +176,50 @@ def build_block_bounds(
     )
 
 
+def compute_row_ranges_dynamic(
+    mask_ranges: jnp.ndarray,
+    seq_q: int,
+    seq_kv: int,
+    seq_q_padded: int,
+    seq_kv_cap: int,
+) -> jnp.ndarray:
+    """Traced counterpart of :func:`compute_row_ranges` for DYNAMIC sparse
+    ranges (a jax array, e.g. derived from per-batch segment ids inside
+    jit).  The reference's range buffers are likewise built at runtime per
+    dispatch (``SparseMQABuilder.swift``).  Returns int32 [sq_padded, 2]."""
+    r = mask_ranges.astype(jnp.int32)
+    start = jnp.clip(r[:seq_q, 0], 0, seq_kv_cap)
+    end = jnp.clip(r[:seq_q, 1], 0, seq_kv_cap)
+    end = jnp.maximum(end, start)
+    if seq_q_padded > seq_q:
+        pad = ((0, seq_q_padded - seq_q),)
+        start = jnp.pad(start, pad)
+        end = jnp.pad(end, pad)
+    return jnp.stack([start, end], axis=-1)
+
+
+def build_block_bounds_dynamic(
+    row_ranges: jnp.ndarray, block_q: int, block_kv: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Traced (lo, hi) per-q-block kv-block windows — the jnp counterpart
+    of :func:`build_block_bounds` (no packing/interior stats: the dynamic
+    path runs the full-width dense grid, bounds only gate compute/DMA)."""
+    sq_pad = row_ranges.shape[0]
+    ni = sq_pad // block_q
+    start = row_ranges[:, 0].reshape(ni, block_q)
+    end = row_ranges[:, 1].reshape(ni, block_q)
+    live = end > start
+    any_live = jnp.any(live, axis=1)
+    big = jnp.int32(np.iinfo(np.int32).max)
+    lo = jnp.where(
+        any_live,
+        jnp.min(jnp.where(live, start, big), axis=1) // block_kv,
+        0,
+    )
+    hi = jnp.where(any_live, -(-jnp.max(end, axis=1) // block_kv), 0)
+    return lo.astype(jnp.int32), hi.astype(jnp.int32)
+
+
 def build_packed_schedule(lo: np.ndarray, hi: np.ndarray):
     """Fold ragged live windows into a dense grid by pairing q-blocks.
 
@@ -520,16 +564,35 @@ def flash_attention_forward(
         bias = jnp.pad(bias, pb)
 
     has_mask = mask.kind != MaskKind.NONE or skv_p != skv or sq_p != sq
-    row_ranges = compute_row_ranges(
-        mask,
-        sq,
-        skv,
-        mask_ranges=mask_ranges,
-        seq_q_padded=sq_p,
-        seq_kv_cap=skv,
+    # DYNAMIC ranges (a traced jax array, e.g. segment/document masks built
+    # inside jit): bounds become traced scalar-prefetch data gating
+    # compute/DMA over a full-width grid (grid shapes must stay static).
+    dynamic = isinstance(mask_ranges, jnp.ndarray) and not isinstance(
+        mask_ranges, np.ndarray
     )
-    lo_arr, hi_arr, _ms_arr, _me_arr = build_block_bounds(row_ranges, bq, bkv)
-    mask_mode, affine = resolve_mask_mode(mask, has_mask, sq, skv)
+    if dynamic:
+        if mask.kind != MaskKind.SPARSE_RANGES:
+            raise ValueError(
+                "traced mask_ranges require MaskKind.SPARSE_RANGES"
+            )
+        row_ranges = compute_row_ranges_dynamic(
+            mask_ranges, sq, skv, sq_p, skv
+        )
+        lo_arr, hi_arr = build_block_bounds_dynamic(row_ranges, bq, bkv)
+        mask_mode, affine = "ranges", (0, 0, 0, 0)
+    else:
+        row_ranges = compute_row_ranges(
+            mask,
+            sq,
+            skv,
+            mask_ranges=mask_ranges,
+            seq_q_padded=sq_p,
+            seq_kv_cap=skv,
+        )
+        lo_arr, hi_arr, _ms_arr, _me_arr = build_block_bounds(
+            row_ranges, bq, bkv
+        )
+        mask_mode, affine = resolve_mask_mode(mask, has_mask, sq, skv)
     ni = sq_p // bq
     nj_all = skv_p // bkv
     q_per_kv = hq // hkv
@@ -551,7 +614,10 @@ def flash_attention_forward(
         ni_part = i1 - i0
         lo_part = lo_arr[i0:i1]
         hi_part = hi_arr[i0:i1]
-        nj_max = max(1, int((hi_part - lo_part).max()))
+        if dynamic:
+            nj_max = nj_all  # traced bounds: conservative static width
+        else:
+            nj_max = max(1, int((hi_part - lo_part).max()))
         row0 = i0 * bq
 
         def kv_block(i, j, lo, hi):
@@ -650,7 +716,10 @@ def flash_attention_forward(
             ],
         )
 
-        live_tiles = max(1, int((hi_part - lo_part).sum()))
+        if dynamic:
+            live_tiles = ni_part * nj_all  # traced bounds: assume dense
+        else:
+            live_tiles = max(1, int((hi_part - lo_part).sum()))
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
@@ -803,6 +872,11 @@ def flash_attention_forward(
     #    fewer; measured ~+20-30% — docs/perf_notes.md).
     # 2. Otherwise the dense grid, with wavefront partitioning only under
     #    extreme raggedness (dead > 2× live).
+    if dynamic:
+        # Traced bounds: one full-width dense dispatch (no host packing).
+        o, l = run_part(0, ni)
+        return o[:, :, :sq, :], l[:, :, :sq, 0]
+
     runs = (hi_arr - lo_arr).astype(np.int64)
     nj_dense = max(1, int(runs.max()))
     _q0, _q1, _n0, _t, _R, _W = build_packed_schedule(lo_arr, hi_arr)

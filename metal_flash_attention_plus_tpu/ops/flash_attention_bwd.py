@@ -245,6 +245,31 @@ def build_kv_block_bounds(
     return first_i.astype(np.int32), last_i.astype(np.int32)
 
 
+def build_kv_block_bounds_dynamic(
+    row_ranges: jnp.ndarray,
+    block_q: int,
+    block_kv: int,
+    num_kv_blocks: int,
+):
+    """Traced counterpart of :func:`build_kv_block_bounds` for dynamic
+    (jit-built) sparse ranges: per-KV-block live q-block span via a
+    broadcasted live matrix instead of a host loop."""
+    from metal_flash_attention_plus_tpu.ops.flash_attention import (
+        build_block_bounds_dynamic,
+    )
+
+    lo, hi = build_block_bounds_dynamic(row_ranges, block_q, block_kv)
+    ni = lo.shape[0]
+    jj = jnp.arange(num_kv_blocks)[None, :]
+    live = jnp.logical_and(lo[:, None] <= jj, jj < hi[:, None])  # [ni, nj]
+    any_live = jnp.any(live, axis=0)
+    first_i = jnp.where(any_live, jnp.argmax(live, axis=0), 0)
+    last_i = jnp.where(
+        any_live, ni - jnp.argmax(live[::-1], axis=0), 0
+    )
+    return first_i.astype(jnp.int32), last_i.astype(jnp.int32)
+
+
 def _dkv_kernel(
     *all_refs,
     block_q: int,
@@ -481,10 +506,27 @@ def flash_attention_backward(
     d_row = di_p[:, :, None, :]
 
     has_mask = mask.kind != MaskKind.NONE or skv_p != skv or sq_p != sq
-    row_ranges = compute_row_ranges(
-        mask, sq, skv, mask_ranges=mask_ranges,
-        seq_q_padded=sq_p, seq_kv_cap=skv,
+    # Traced (dynamic) ranges: bounds become scalar-prefetch data over
+    # full-width grids, packing disabled (grid shapes must stay static) —
+    # same policy as the forward wrapper.
+    dynamic = isinstance(mask_ranges, jnp.ndarray) and not isinstance(
+        mask_ranges, np.ndarray
     )
+    if dynamic and mask.kind != MaskKind.SPARSE_RANGES:
+        raise ValueError("traced mask_ranges require MaskKind.SPARSE_RANGES")
+    if dynamic:
+        from metal_flash_attention_plus_tpu.ops.flash_attention import (
+            compute_row_ranges_dynamic,
+        )
+
+        row_ranges = compute_row_ranges_dynamic(
+            mask_ranges, sq, skv, sq_p, skv
+        )
+    else:
+        row_ranges = compute_row_ranges(
+            mask, sq, skv, mask_ranges=mask_ranges,
+            seq_q_padded=sq_p, seq_kv_cap=skv,
+        )
 
     def kv_head(h):
         return (h % hkv) if interleaved_kv else (h // group)
@@ -494,16 +536,32 @@ def flash_attention_backward(
         return (g * hkv + h) if interleaved_kv else (h * group + g)
 
     # ----- dQ kernel -----
-    lo_arr, hi_arr, _ms, _me = build_block_bounds(row_ranges, bq_dq, bkv_dq)
-    mask_mode, affine = resolve_mask_mode(mask, has_mask, sq, skv)
-    ni_dq = sq_p // bq_dq
-    nj_all_dq = skv_p // bkv_dq
-    nj_max_dq = max(1, int((hi_arr - lo_arr).max()))
+    if dynamic:
+        from metal_flash_attention_plus_tpu.ops.flash_attention import (
+            build_block_bounds_dynamic,
+        )
 
-    # Packed-pair schedule (see flash_attention.build_packed_schedule) when
-    # it removes ≥10% of grid steps — zero dead steps for causal.
-    q0a, q1a, n0a, ta, nrows, width = build_packed_schedule(lo_arr, hi_arr)
-    packed_dq = ni_dq > 1 and nrows * width < 0.9 * ni_dq * nj_max_dq
+        lo_arr, hi_arr = build_block_bounds_dynamic(row_ranges, bq_dq, bkv_dq)
+        mask_mode, affine = "ranges", (0, 0, 0, 0)
+        ni_dq = sq_p // bq_dq
+        nj_all_dq = skv_p // bkv_dq
+        nj_max_dq = nj_all_dq
+        packed_dq = False
+    else:
+        lo_arr, hi_arr, _ms, _me = build_block_bounds(
+            row_ranges, bq_dq, bkv_dq
+        )
+        mask_mode, affine = resolve_mask_mode(mask, has_mask, sq, skv)
+        ni_dq = sq_p // bq_dq
+        nj_all_dq = skv_p // bkv_dq
+        nj_max_dq = max(1, int((hi_arr - lo_arr).max()))
+
+        # Packed-pair schedule (flash_attention.build_packed_schedule) when
+        # it removes ≥10% of grid steps — zero dead steps for causal.
+        q0a, q1a, n0a, ta, nrows, width = build_packed_schedule(
+            lo_arr, hi_arr
+        )
+        packed_dq = ni_dq > 1 and nrows * width < 0.9 * ni_dq * nj_max_dq
     if packed_dq:
         grid_dq = (b, hq, nrows, width)
         scalars_dq = (
@@ -665,22 +723,40 @@ def flash_attention_backward(
 
     # ----- dKV kernel -----
     nj = skv_p // bkv_dkv
-    rr_dkv = compute_row_ranges(
-        mask, sq, skv, mask_ranges=mask_ranges,
-        seq_q_padded=sq_p, seq_kv_cap=skv,
-    )
-    ilo_arr, ihi_arr = build_kv_block_bounds(rr_dkv, bq_dkv, bkv_dkv, nj)
     ni_all = sq_p // bq_dkv
-    ni_max = max(1, int((ihi_arr - ilo_arr).max()))
-    mask_mode2, affine2 = resolve_mask_mode(mask, has_mask, sq, skv)
+    if dynamic:
+        if (bq_dkv, bkv_dkv) == (bq_dq, bkv_dq):
+            rr_dkv = row_ranges
+        else:
+            from metal_flash_attention_plus_tpu.ops.flash_attention import (
+                compute_row_ranges_dynamic,
+            )
 
-    # Packed-pair schedule over KV blocks; within a segment the 4th dim
-    # enumerates (q-step × group) GROUP-MINOR so g/ioff come from static
-    # div/mod (a dynamic divisor won't lower).
-    j0a, j1a, n0a2, ta2, nrows2, width2 = build_packed_schedule(
-        ilo_arr, ihi_arr
-    )
-    packed_dkv = nj > 1 and nrows2 * width2 < 0.9 * nj * ni_max
+            rr_dkv = compute_row_ranges_dynamic(
+                mask_ranges, sq, skv, sq_p, skv
+            )
+        ilo_arr, ihi_arr = build_kv_block_bounds_dynamic(
+            rr_dkv, bq_dkv, bkv_dkv, nj
+        )
+        ni_max = ni_all
+        mask_mode2, affine2 = "ranges", (0, 0, 0, 0)
+        packed_dkv = False
+    else:
+        rr_dkv = compute_row_ranges(
+            mask, sq, skv, mask_ranges=mask_ranges,
+            seq_q_padded=sq_p, seq_kv_cap=skv,
+        )
+        ilo_arr, ihi_arr = build_kv_block_bounds(rr_dkv, bq_dkv, bkv_dkv, nj)
+        ni_max = max(1, int((ihi_arr - ilo_arr).max()))
+        mask_mode2, affine2 = resolve_mask_mode(mask, has_mask, sq, skv)
+
+        # Packed-pair schedule over KV blocks; within a segment the 4th dim
+        # enumerates (q-step × group) GROUP-MINOR so g/ioff come from static
+        # div/mod (a dynamic divisor won't lower).
+        j0a, j1a, n0a2, ta2, nrows2, width2 = build_packed_schedule(
+            ilo_arr, ihi_arr
+        )
+        packed_dkv = nj > 1 and nrows2 * width2 < 0.9 * nj * ni_max
     if packed_dkv:
         grid2 = (b, hkv, nrows2, width2 * group)
         scalars2 = (

@@ -363,22 +363,48 @@ def quantized_flash_attention_forward(
         )
 
     has_mask = mask.kind != MaskKind.NONE or skv_p != skv or sq_p != sq
-    row_ranges = compute_row_ranges(
-        mask, sq, skv, mask_ranges=mask_ranges,
-        seq_q_padded=sq_p, seq_kv_cap=skv,
+    # Traced (dynamic) ranges — same policy as flash_attention_forward:
+    # bounds become scalar-prefetch data over a full-width grid.
+    dynamic = isinstance(mask_ranges, jnp.ndarray) and not isinstance(
+        mask_ranges, np.ndarray
     )
-    lo_arr, hi_arr, _ms, _me = build_block_bounds(row_ranges, bq, bkv)
-    mask_mode, affine = resolve_mask_mode(mask, has_mask, sq, skv)
+    if dynamic:
+        if mask.kind != MaskKind.SPARSE_RANGES:
+            raise ValueError(
+                "traced mask_ranges require MaskKind.SPARSE_RANGES"
+            )
+        from metal_flash_attention_plus_tpu.ops.flash_attention import (
+            build_block_bounds_dynamic,
+            compute_row_ranges_dynamic,
+        )
+
+        row_ranges = compute_row_ranges_dynamic(
+            mask_ranges, sq, skv, sq_p, skv
+        )
+        lo_arr, hi_arr = build_block_bounds_dynamic(row_ranges, bq, bkv)
+        mask_mode, affine = "ranges", (0, 0, 0, 0)
+    else:
+        row_ranges = compute_row_ranges(
+            mask, sq, skv, mask_ranges=mask_ranges,
+            seq_q_padded=sq_p, seq_kv_cap=skv,
+        )
+        lo_arr, hi_arr, _ms, _me = build_block_bounds(row_ranges, bq, bkv)
+        mask_mode, affine = resolve_mask_mode(mask, has_mask, sq, skv)
     ni = sq_p // bq
     nj_all = skv_p // bkv
-    nj_max = max(1, int((hi_arr - lo_arr).max()))
+    nj_max = nj_all if dynamic else max(1, int((hi_arr - lo_arr).max()))
     q_per_kv = hq // hkv
 
     # Packed-pair schedule (zero dead steps for causal) when it removes
     # ≥10% of grid steps; otherwise the dense (i, j) grid.  Same policy and
     # machinery as flash_attention_forward.
-    q0a, q1a, n0a, ta, nrows, width = build_packed_schedule(lo_arr, hi_arr)
-    packed = ni > 1 and nrows * width < 0.9 * ni * nj_max
+    if dynamic:
+        packed = False  # traced bounds: no host packing, full-width grid
+    else:
+        q0a, q1a, n0a, ta, nrows, width = build_packed_schedule(
+            lo_arr, hi_arr
+        )
+        packed = ni > 1 and nrows * width < 0.9 * ni * nj_max
 
     def kv_head(h):
         return (h % hkv) if interleaved_kv else (h // q_per_kv)
@@ -514,7 +540,7 @@ def quantized_flash_attention_forward(
         ],
     )
 
-    live_tiles = int((hi_arr - lo_arr).sum())
+    live_tiles = ni * nj_all if dynamic else int((hi_arr - lo_arr).sum())
     o, l = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
