@@ -418,3 +418,135 @@ def compensated_matmul(
         interpret=interpret,
     )(aq, bq, sa, za, sb, zb, sqa, sqb)
     return out[:m, :n]
+
+
+# ---------------------------------------------------------------------------
+# Dynamic W8A8: runtime per-row activation quant, int8 MXU, ONE output pass
+# ---------------------------------------------------------------------------
+
+
+def _dyn_kernel(qa_ref, qb_ref, sa_ref, rs_ref, sbt_ref, zbt_ref,
+                out_ref, acc_ref):
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    acc_ref[...] += jax.lax.dot_general(
+        qa_ref[...], qb_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # pure int8 MXU; int32 accumulation in VMEM
+
+    @pl.when(ki == nk - 1)
+    def _store():
+        # ONE scale/compensation pass over the output tile (vs per-k-block
+        # in compensated_matmul): out = s_a[m]·s_b[n]·(Σqa·qb − zp_b[n]·Σqa)
+        out = acc_ref[...].astype(jnp.float32)
+        out = out - rs_ref[...] * zbt_ref[...]
+        out = out * (sa_ref[...] * sbt_ref[...])
+        out_ref[...] = out.astype(out_ref.dtype)
+
+
+def dynamic_quantized_matmul(
+    a: jnp.ndarray,
+    b_t: QuantizedTensor,
+    *,
+    block_m: int = 512,
+    block_n: int = 512,
+    block_k: int = 1024,
+    out_dtype: Optional[jnp.dtype] = None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Dynamic W8A8 GEMM: float A [M, K] × int8 Bᵀ [N, K] → [M, N].
+
+    A is quantized per row on the fly (int8 symmetric, absmax/127 — the
+    runtime-activation-quantization analog of the reference's
+    ``GEMMRuntimeQuantization`` rowwise kernels) so the MXU runs pure
+    int8×int8→int32 with int32 VMEM accumulation; scales and the weight
+    zero-point compensation are applied in ONE pass over the output tile.
+    This is the serving GEMM: ``quantized_matmul``'s dequant-on-load costs
+    O(N·K) VPU work that dominates at decode shapes (small M), while here
+    the VPU cost is O(M·K) quantize + O(M·N) scale — measured ~4× faster
+    at M=128, N=K=8192 (docs/perf_notes.md).
+
+    Requires int8 B with ROW (per-output-channel) or TENSOR scales; any
+    strategy (the zero point is compensated exactly via Σ_k qa).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    cfg = b_t.config
+    if cfg.bits != 8:
+        raise ValueError("dynamic_quantized_matmul requires int8 weights")
+    if cfg.granularity not in (QuantGranularity.ROW, QuantGranularity.TENSOR):
+        raise ValueError(
+            "dynamic_quantized_matmul needs ROW or TENSOR weight scales "
+            "(per-K-block scales need the compensated/blockwise path)"
+        )
+    m, kdim = a.shape
+    n, k2 = b_t.shape
+    assert kdim == k2, (kdim, k2)
+    out_dtype = out_dtype or jnp.float32
+
+    # Runtime per-row symmetric activation quantization (exact scales).
+    af = a.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(af), axis=1, keepdims=True)
+    sa = jnp.maximum(absmax, 1e-12) / 127.0
+    qa = jnp.clip(jnp.round(af / sa), -127, 127).astype(jnp.int8)
+    rs = jnp.sum(qa.astype(jnp.int32), axis=1, keepdims=True).astype(
+        jnp.float32
+    )
+
+    if cfg.granularity == QuantGranularity.ROW:
+        sb = b_t.scale.reshape(n, 1).astype(jnp.float32)
+        zb = b_t.zero_point.reshape(n, 1).astype(jnp.float32)
+    else:
+        sb = jnp.broadcast_to(
+            b_t.scale.reshape(1, 1).astype(jnp.float32), (n, 1)
+        )
+        zb = jnp.broadcast_to(
+            b_t.zero_point.reshape(1, 1).astype(jnp.float32), (n, 1)
+        )
+
+    bm = min(block_m, _round_up(m, 128))
+    bn = min(block_n, _round_up(n, 128))
+    bk = min(block_k, _round_up(kdim, 128))
+    m_p, n_p, k_p = _round_up(m, bm), _round_up(n, bn), _round_up(kdim, bk)
+    qb = b_t.data
+    if (m_p, k_p) != (m, kdim):
+        qa = jnp.pad(qa, ((0, m_p - m), (0, k_p - kdim)))
+        sa = jnp.pad(sa, ((0, m_p - m), (0, 0)), constant_values=1.0)
+        rs = jnp.pad(rs, ((0, m_p - m), (0, 0)))
+    if (n_p, k_p) != (n, kdim):
+        qb = jnp.pad(qb, ((0, n_p - n), (0, k_p - kdim)))
+        sb = jnp.pad(sb, ((0, n_p - n), (0, 0)), constant_values=1.0)
+        zb = jnp.pad(zb, ((0, n_p - n), (0, 0)))
+    sbt = jnp.transpose(sb)  # [1, N]
+    zbt = jnp.transpose(zb)
+
+    out = pl.pallas_call(
+        _dyn_kernel,
+        grid=(m_p // bm, n_p // bn, k_p // bk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
+            pl.BlockSpec((bn, bk), lambda i, j, k: (j, k)),
+            pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0)),
+            pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0)),
+            pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
+            pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m_p, n_p), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_p * n_p * k_p,
+            bytes_accessed=int(qa.size + qb.size + m_p * n_p * 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(qa, qb, sa, rs, sbt, zbt)
+    return out[:m, :n]

@@ -108,3 +108,54 @@ def test_per_row_block_sums():
     sums = per_row_block_sums(btq)
     q = btq.data.astype(np.int32).reshape(384, 4, 128)
     np.testing.assert_array_equal(np.asarray(sums), q.sum(axis=-1))
+
+
+def test_dynamic_w8a8_matmul():
+    """Runtime activation quant + int8 MXU vs an EXACT integer golden."""
+    from metal_flash_attention_plus_tpu.ops.quantized_gemm import (
+        dynamic_quantized_matmul,
+    )
+
+    for strategy, gran in [
+        (QuantStrategy.SYMMETRIC, QuantGranularity.ROW),
+        (QuantStrategy.CENTERED, QuantGranularity.ROW),
+        (QuantStrategy.SYMMETRIC, QuantGranularity.TENSOR),
+    ]:
+        m, n, k = 200, 257, 384
+        ks = jax.random.split(jax.random.PRNGKey(42), 2)
+        a = jax.random.normal(ks[0], (m, k), jnp.float32)
+        w = jax.random.normal(ks[1], (n, k), jnp.float32)
+        cfg = QuantConfig(bits=8, granularity=gran, strategy=strategy)
+        wq = quantize(w, cfg)
+        out = dynamic_quantized_matmul(a, wq)
+
+        # Exact integer golden in float64 numpy.
+        af = np.asarray(a, np.float64)
+        sa = np.maximum(np.abs(af).max(1, keepdims=True), 1e-12) / 127.0
+        qa = np.clip(np.round(af / sa), -127, 127)
+        qb = np.asarray(wq.data, np.float64).reshape(n, k)
+        sb = np.asarray(wq.scale, np.float64).reshape(-1, 1)
+        zb = np.asarray(wq.zero_point, np.float64).reshape(-1, 1)
+        golden = (sa * sb.T) * (qa @ qb.T - zb.T * qa.sum(1, keepdims=True))
+        scale_ref = np.abs(golden).max()
+        np.testing.assert_allclose(
+            np.asarray(out), golden, atol=1e-5 * max(scale_ref, 1.0)
+        )
+        # And close to the float matmul (quantization error only).
+        f_ref = af @ np.asarray(w, np.float64).T
+        rel = np.linalg.norm(np.asarray(out) - f_ref) / np.linalg.norm(f_ref)
+        assert rel < 0.02, (strategy, gran, rel)
+
+
+def test_dynamic_w8a8_rejects_block_scales():
+    from metal_flash_attention_plus_tpu.ops.quantized_gemm import (
+        dynamic_quantized_matmul,
+    )
+
+    a = jnp.ones((128, 256), jnp.float32)
+    cfg = QuantConfig(
+        bits=8, granularity=QuantGranularity.BLOCK, block_size=128
+    )
+    wq = quantize(jnp.ones((128, 256), jnp.float32), cfg)
+    with pytest.raises(ValueError, match="ROW or TENSOR"):
+        dynamic_quantized_matmul(a, wq)
