@@ -66,14 +66,17 @@ def run_shape(m, n, k, iters):
             weight_gbs=round(wq.data.nbytes / sec / 1e9, 1),
         )
 
-    cfg_row = QuantConfig(bits=8, granularity=QuantGranularity.ROW)
-    wq_row = quantize(w, cfg_row)
-    f = jax.jit(lambda a: dynamic_quantized_matmul(a, wq_row))
-    sec = measure(f, a, iters=iters, warmup=3)
-    rows["dynamic_w8a8"] = dict(
-        tflops=round(flops / sec / 1e12, 2),
-        weight_gbs=round(wq_row.data.nbytes / sec / 1e9, 1),
-    )
+    for bits in (8, 4):
+        cfg_row = QuantConfig(bits=bits, granularity=QuantGranularity.ROW)
+        wq_row = quantize(w, cfg_row)
+        f = jax.jit(lambda a, wq=wq_row: dynamic_quantized_matmul(
+            a, wq, block_n=1024, block_k=2048
+        ))
+        sec = measure(f, a, iters=iters, warmup=3)
+        rows[f"dynamic_w{bits}a8"] = dict(
+            tflops=round(flops / sec / 1e12, 2),
+            weight_gbs=round(wq_row.data.nbytes / sec / 1e9, 1),
+        )
 
     cfg = QuantConfig(
         bits=8, granularity=QuantGranularity.BLOCK, block_size=512

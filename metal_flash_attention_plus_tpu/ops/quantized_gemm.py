@@ -425,8 +425,22 @@ def compensated_matmul(
 # ---------------------------------------------------------------------------
 
 
+def unpack_int4_tile_int8(qtile: jnp.ndarray, bk: int) -> jnp.ndarray:
+    """Group-planar int4 unpack to INT8 (for the int8 MXU): packed
+    [R, bk//2] → int8 [R, bk].  Same layout as :func:`unpack_int4_tile`;
+    int32→int8 vector casts DO lower (verified on v5e), unlike 8-bit
+    arithmetic."""
+    groups = []
+    for base in range(0, bk, 256):
+        g = min(256, bk - base)
+        wide = qtile[:, base // 2 : (base + g) // 2].astype(jnp.int32)
+        groups.append(((wide & 0xF) - 8).astype(jnp.int8))
+        groups.append((((wide >> 4) & 0xF) - 8).astype(jnp.int8))
+    return jnp.concatenate(groups, axis=1)
+
+
 def _dyn_kernel(qa_ref, qb_ref, sa_ref, rs_ref, sbt_ref, zbt_ref,
-                out_ref, acc_ref):
+                out_ref, acc_ref, *, bits, bk):
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -434,8 +448,12 @@ def _dyn_kernel(qa_ref, qb_ref, sa_ref, rs_ref, sbt_ref, zbt_ref,
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
+    if bits == 4:
+        w = unpack_int4_tile_int8(qb_ref[...], bk)  # int8 on the fly
+    else:
+        w = qb_ref[...]
     acc_ref[...] += jax.lax.dot_general(
-        qa_ref[...], qb_ref[...], (((1,), (1,)), ((), ())),
+        qa_ref[...], w, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )  # pure int8 MXU; int32 accumulation in VMEM
 
@@ -471,14 +489,16 @@ def dynamic_quantized_matmul(
     the VPU cost is O(M·K) quantize + O(M·N) scale — measured ~4× faster
     at M=128, N=K=8192 (docs/perf_notes.md).
 
-    Requires int8 B with ROW (per-output-channel) or TENSOR scales; any
-    strategy (the zero point is compensated exactly via Σ_k qa).
+    Requires int8 or packed-int4 B with ROW (per-output-channel) or
+    TENSOR scales; any strategy (the zero point is compensated exactly via
+    Σ_k qa).  int4 payloads unpack to int8 in-kernel (group-planar, K %
+    256 == 0) before the MXU dot — W4A8 at half the weight bandwidth.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     cfg = b_t.config
-    if cfg.bits != 8:
-        raise ValueError("dynamic_quantized_matmul requires int8 weights")
+    if cfg.bits not in (8, 4):
+        raise ValueError("dynamic_quantized_matmul requires int8/int4 weights")
     if cfg.granularity not in (QuantGranularity.ROW, QuantGranularity.TENSOR):
         raise ValueError(
             "dynamic_quantized_matmul needs ROW or TENSOR weight scales "
@@ -512,25 +532,37 @@ def dynamic_quantized_matmul(
     bm = min(block_m, _round_up(m, 128))
     bn = min(block_n, _round_up(n, 128))
     bk = min(block_k, _round_up(kdim, 128))
+    if cfg.bits == 4:
+        # Group-planar packing unpacks in 256-element groups.
+        bk = _round_up(bk, 256)
+        if kdim % 256 != 0:
+            raise ValueError(
+                f"int4 dynamic GEMM requires K % 256 == 0 (got K={kdim})"
+            )
     m_p, n_p, k_p = _round_up(m, bm), _round_up(n, bn), _round_up(kdim, bk)
-    qb = b_t.data
+    qb = b_t.data  # [N, K] int8 or [N, K//2] packed uint8
+    pk_p = k_p // 2 if cfg.bits == 4 else k_p
     if (m_p, k_p) != (m, kdim):
         qa = jnp.pad(qa, ((0, m_p - m), (0, k_p - kdim)))
         sa = jnp.pad(sa, ((0, m_p - m), (0, 0)), constant_values=1.0)
         rs = jnp.pad(rs, ((0, m_p - m), (0, 0)))
-    if (n_p, k_p) != (n, kdim):
-        qb = jnp.pad(qb, ((0, n_p - n), (0, k_p - kdim)))
+    if (n_p, pk_p) != qb.shape:
+        qb = jnp.pad(
+            qb, ((0, n_p - n), (0, pk_p - qb.shape[1])),
+            constant_values=0x88 if cfg.bits == 4 else 0,
+        )
         sb = jnp.pad(sb, ((0, n_p - n), (0, 0)), constant_values=1.0)
         zb = jnp.pad(zb, ((0, n_p - n), (0, 0)))
     sbt = jnp.transpose(sb)  # [1, N]
     zbt = jnp.transpose(zb)
 
+    payload_bk = bk // 2 if cfg.bits == 4 else bk
     out = pl.pallas_call(
-        _dyn_kernel,
+        functools.partial(_dyn_kernel, bits=cfg.bits, bk=bk),
         grid=(m_p // bm, n_p // bn, k_p // bk),
         in_specs=[
             pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
-            pl.BlockSpec((bn, bk), lambda i, j, k: (j, k)),
+            pl.BlockSpec((bn, payload_bk), lambda i, j, k: (j, k)),
             pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0)),
             pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0)),
             pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),

@@ -159,3 +159,38 @@ def test_dynamic_w8a8_rejects_block_scales():
     wq = quantize(jnp.ones((128, 256), jnp.float32), cfg)
     with pytest.raises(ValueError, match="ROW or TENSOR"):
         dynamic_quantized_matmul(a, wq)
+
+
+def test_dynamic_w4a8_matmul():
+    """int4 weights unpacked to int8 in-kernel, exact integer golden."""
+    from metal_flash_attention_plus_tpu.ops.quantized_gemm import (
+        dynamic_quantized_matmul,
+    )
+    from metal_flash_attention_plus_tpu.quant.tensor import unpack_int4
+
+    m, n, k = 96, 200, 512
+    ks = jax.random.split(jax.random.PRNGKey(7), 2)
+    a = jax.random.normal(ks[0], (m, k), jnp.float32)
+    w = jax.random.normal(ks[1], (n, k), jnp.float32)
+    cfg = QuantConfig(
+        bits=4, granularity=QuantGranularity.ROW,
+        strategy=QuantStrategy.CENTERED,
+    )
+    wq = quantize(w, cfg)
+    out = dynamic_quantized_matmul(a, wq)
+
+    af = np.asarray(a, np.float64)
+    sa = np.maximum(np.abs(af).max(1, keepdims=True), 1e-12) / 127.0
+    qa = np.clip(np.round(af / sa), -127, 127)
+    qb = np.asarray(unpack_int4(wq.data), np.float64).reshape(n, k)
+    sb = np.asarray(wq.scale, np.float64).reshape(-1, 1)
+    zb = np.asarray(wq.zero_point, np.float64).reshape(-1, 1)
+    golden = (sa * sb.T) * (qa @ qb.T - zb.T * qa.sum(1, keepdims=True))
+    np.testing.assert_allclose(
+        np.asarray(out), golden, atol=1e-5 * max(np.abs(golden).max(), 1.0)
+    )
+    f_ref = af @ np.asarray(w, np.float64).T
+    rel = np.linalg.norm(np.asarray(out) - f_ref) / np.linalg.norm(f_ref)
+    # Inherent int4 error: absmax/7 rowwise on N(0,1) weights predicts
+    # ~13.6% rel (step 0.47σ); the reference's int4-class gate is 0.25.
+    assert rel < 0.25, rel
