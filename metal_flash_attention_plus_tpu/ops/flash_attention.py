@@ -922,13 +922,16 @@ def _flash_attention(
     q, k, v, bias, mask_ranges,
     mask, scale, block_sizes, interleaved_kv, mask_value, out_dtype, interpret,
 ):
+    # Returns (o, l) in ONE forward — flash_attention slices o, while
+    # flash_attention_with_lse keeps both (no second dispatch; the l output
+    # carries no gradient — its cotangent is discarded in _flash_attention_bwd).
     scale_f, odt = _resolve(q, scale, out_dtype)
-    o, _ = flash_attention_forward(
+    o, l = flash_attention_forward(
         q, k, v, mask=mask, mask_ranges=mask_ranges, bias=bias,
         scale=scale_f, block_sizes=block_sizes, interleaved_kv=interleaved_kv,
         mask_value=mask_value, out_dtype=jnp.float32, interpret=interpret,
     )
-    return o.astype(odt)
+    return o.astype(odt), l
 
 
 def _flash_attention_fwd(
@@ -941,17 +944,18 @@ def _flash_attention_fwd(
         scale=scale_f, block_sizes=block_sizes, interleaved_kv=interleaved_kv,
         mask_value=mask_value, out_dtype=jnp.float32, interpret=interpret,
     )
-    return o.astype(odt), (q, k, v, bias, mask_ranges, o, l)
+    return (o.astype(odt), l), (q, k, v, bias, mask_ranges, o, l)
 
 
 def _flash_attention_bwd(
     mask, scale, block_sizes, interleaved_kv, mask_value, out_dtype, interpret,
-    res, do,
+    res, cotangents,
 ):
     from metal_flash_attention_plus_tpu.ops.flash_attention_bwd import (
         flash_attention_backward,
     )
 
+    do, _dl = cotangents  # the logsumexp output carries no gradient path
     q, k, v, bias, mask_ranges, o, l = res
     scale_f, _ = _resolve(q, scale, out_dtype)
     dq, dk, dv, dbias = flash_attention_backward(
@@ -994,20 +998,25 @@ def flash_attention(
 ) -> jnp.ndarray:
     """Differentiable flash attention; returns O in ``out_dtype``
     (defaults to q.dtype).  Gradients: dq/dk/dv and dbias if bias given."""
-    return _flash_attention(
+    o, _ = _flash_attention(
         q, k, v, bias, mask_ranges,
         mask, scale, block_sizes, interleaved_kv, mask_value, out_dtype,
         interpret,
     )
+    return o
 
 
-def flash_attention_with_lse(q, k, v, bias=None, mask_ranges=None, **kw):
+def flash_attention_with_lse(
+    q, k, v, bias=None, mask_ranges=None, *,
+    mask=FULL, scale=None, block_sizes=BlockSizes(), interleaved_kv=False,
+    mask_value=DEFAULT_MASK_VALUE, out_dtype=None, interpret=None,
+):
     """Forward returning (o, stop_gradient(l)) — the always-written L of the
-    reference, exposed without a gradient path."""
-    o = flash_attention(q, k, v, bias, mask_ranges, **kw)
-    kw2 = dict(kw)
-    kw2.pop("out_dtype", None)
-    _, l = flash_attention_forward(
-        q, k, v, bias=bias, mask_ranges=mask_ranges, **kw2
+    reference, exposed without a gradient path.  Shares ONE forward dispatch
+    with the differentiable path (the l output of the custom_vjp)."""
+    o, l = _flash_attention(
+        q, k, v, bias, mask_ranges,
+        mask, scale, block_sizes, interleaved_kv, mask_value, out_dtype,
+        interpret,
     )
     return o, jax.lax.stop_gradient(l)

@@ -418,8 +418,14 @@ def flash_attention_backward(
     interleaved_kv: bool = False,
     interpret: Optional[bool] = None,
     compute_dbias: bool = False,
+    di: Optional[jnp.ndarray] = None,
 ):
     """Backward pass from saved (o, l) residuals.
+
+    ``di``: optional precomputed D = rowsum(dO ⊙ O) fp32 [B, Hq, Sq].  Ring
+    attention calls this backward once per ring step with the SAME (o, do);
+    hoisting D to the caller removes O(N_devices) redundant VPU passes
+    (docs/parallel.md "known subtlety").
 
     Returns (dq, dk, dv, dbias) — dbias is None unless ``compute_dbias``
     and ``bias is not None``.  dk/dv are reduced over the GQA group by the
@@ -492,9 +498,12 @@ def flash_attention_backward(
         )
 
     # D = rowsum(dO ⊙ O), fp32 (computeD analog).  L/D in both layouts.
-    di = jnp.sum(
-        do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
-    )  # [B,Hq,Sq]
+    if di is None:
+        di = jnp.sum(
+            do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
+        )  # [B,Hq,Sq]
+    else:
+        di = di.astype(jnp.float32)
     l_p = pad_seq(l, sq_p, axis=2)
     # Padded rows: l = -inf would make exp(s - l) = inf in unmasked lanes;
     # the mask machinery zeroes them, but keep l finite to avoid inf*0.

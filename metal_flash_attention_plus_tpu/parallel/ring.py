@@ -171,13 +171,16 @@ def _ring_bwd(
     n = jax.lax.psum(1, axis_name)
     my = jax.lax.axis_index(axis_name)
     perm = [(i, (i + 1) % n) for i in range(n)]
+    # D = rowsum(dO ⊙ O) depends only on (o, do) — hoist it out of the ring
+    # loop instead of recomputing per step (one pass instead of N_devices).
+    di = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
 
     def run(mask):
         def f(q_, k_, v_):
             dq_, dk_, dv_, _ = flash_attention_backward(
                 q_, k_, v_, o, l, do,
                 mask=mask, scale=scale, block_sizes=block_sizes,
-                interleaved_kv=interleaved_kv,
+                interleaved_kv=interleaved_kv, di=di,
             )
             return dq_, dk_, dv_
 
@@ -376,12 +379,14 @@ def _zz_bwd(axis_name, scale, block_sizes, interleaved_kv, res, do):
     my = jax.lax.axis_index(axis_name)
     perm = [(i, (i + 1) % n) for i in range(n)]
     c = q.shape[2] // 2
+    # Hoist D = rowsum(dO ⊙ O) out of the ring loop (per-sub slices below).
+    di_full = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
 
-    def run(mask, q_, k_, v_, o_, l_, do_):
+    def run(mask, q_, k_, v_, o_, l_, do_, di_):
         dq_, dk_, dv_, _ = flash_attention_backward(
             q_, k_, v_, o_, l_, do_,
             mask=mask, scale=scale, block_sizes=block_sizes,
-            interleaved_kv=interleaved_kv,
+            interleaved_kv=interleaved_kv, di=di_,
         )
         return dq_, dk_, dv_
 
@@ -403,6 +408,7 @@ def _zz_bwd(axis_name, scale, block_sizes, interleaved_kv, res, do):
     o_subs = (o[:, :, :c], o[:, :, c:])
     l_subs = (l[:, :, :c], l[:, :, c:])
     do_subs = (do[:, :, :c], do[:, :, c:])
+    di_subs = (di_full[:, :, :c], di_full[:, :, c:])
 
     def body(s, carry):
         dq_acc, dkv_acc, k_cur, v_cur = carry
@@ -418,7 +424,7 @@ def _zz_bwd(axis_name, scale, block_sizes, interleaved_kv, res, do):
                     kind, [empty_fn, diag_fn, dense_fn],
                     (
                         q_subs[qi], k_sub, v_sub,
-                        o_subs[qi], l_subs[qi], do_subs[qi],
+                        o_subs[qi], l_subs[qi], do_subs[qi], di_subs[qi],
                     ),
                 )
                 dq_acc = dq_acc.at[:, :, qi * c : (qi + 1) * c].add(dq_s)
