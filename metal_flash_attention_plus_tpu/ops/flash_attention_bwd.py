@@ -281,6 +281,7 @@ def _dkv_kernel(
     affine,
     has_bias: bool,
     precision,
+    kv_bits: Optional[int] = None,
     packed: bool = False,
 ):
     # Grid (b, hkv, j, group·ni_max): the 4th dim enumerates (g, q-block)
@@ -288,6 +289,13 @@ def _dkv_kernel(
     # ``packed``: the packed-pair schedule over KV blocks — two contiguous
     # segments per grid row, each segment enumerating (q-step × group)
     # (group-minor so divisions stay static); zero dead steps for causal.
+    #
+    # ``kv_bits``: quantized K/V (the reference's dequantizing
+    # ``backwardKeyValue`` dispatch, ``QuantizedAttention.swift:1102-1181``).
+    # The KV tile is CONSTANT across a segment's (group × q-step) traversal,
+    # so it is dequantized ONCE per segment into VMEM scratch rather than
+    # per step (the fwd kernel can't amortize this — its KV block changes
+    # every step).
     has_mask = mask_mode != "none"
     if packed:
         j0_ref, j1_ref, n0_ref, t_ref, ilo_ref, ihi_ref = all_refs[:6]
@@ -325,21 +333,43 @@ def _dkv_kernel(
     if mask_mode == "ranges":
         rs_ref, re_ref = refs[:2]  # row vectors [1, bq]
         refs = refs[2:]
-    q_ref, k_ref, v_ref, do_ref, l_ref, d_ref = refs[:6]
-    refs = refs[6:]
+    if kv_bits is None:
+        q_ref, k_ref, v_ref, do_ref, l_ref, d_ref = refs[:6]
+        refs = refs[6:]
+    else:
+        (q_ref, kq_ref, ks_ref, kz_ref, vq_ref, vs_ref, vz_ref,
+         do_ref, l_ref, d_ref) = refs[:10]
+        refs = refs[10:]
     if has_bias:
         biasT_ref = refs[0]
         refs = refs[1:]
-    dk_ref, dv_ref, dk_acc, dv_acc = refs
+    if kv_bits is None:
+        dk_ref, dv_ref, dk_acc, dv_acc = refs
+    else:
+        dk_ref, dv_ref, dk_acc, dv_acc, kf_scr, vf_scr = refs
 
     @pl.when(init_cond)
     def _init():
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dv_acc[...] = jnp.zeros_like(dv_acc)
+        if kv_bits is not None:
+            # Dequantize the segment's KV tile once (constant across the
+            # segment's whole group × q-step traversal).
+            kf_scr[...] = _dequant_kv_tile(
+                kq_ref, ks_ref, kz_ref, block_kv, head_dim, kv_bits,
+                kf_scr.dtype,
+            )
+            vf_scr[...] = _dequant_kv_tile(
+                vq_ref, vs_ref, vz_ref, block_kv, head_dim, kv_bits,
+                vf_scr.dtype,
+            )
 
     @pl.when(live)
     def _compute():
-        k = k_ref[0, 0]  # [bkv, D]
+        if kv_bits is None:
+            k = k_ref[0, 0]  # [bkv, D]
+        else:
+            k = kf_scr[...]
         q = q_ref[0, 0]  # [bq, D] pre-scaled
         st = jax.lax.dot_general(
             k, q, (((1,), (1,)), ((), ())),
@@ -376,7 +406,10 @@ def _dkv_kernel(
             pt = jnp.where(keep, pt, 0.0)
 
         do = do_ref[0, 0]  # [bq, D]
-        v = v_ref[0, 0]  # [bkv, D]
+        if kv_bits is None:
+            v = v_ref[0, 0]  # [bkv, D]
+        else:
+            v = vf_scr[...]
         dv_acc[...] += jax.lax.dot(
             pt.astype(do.dtype), do,
             preferred_element_type=jnp.float32, precision=precision,
@@ -431,13 +464,13 @@ def flash_attention_backward(
     and ``bias is not None``.  dk/dv are reduced over the GQA group by the
     dKV kernel itself (the group is part of its traversal schedule).
 
-    ``k``/``v`` may be per-token/per-tensor QuantizedTensors: the dQ kernel
-    then dequantizes tiles on load (the reference's quantized backward also
-    reuses the core kernels with dequant-on-load,
-    ``QuantizedAttention.swift:1188-1228``) and the dK/dV kernel is SKIPPED
-    entirely — quantized operands are data, their cotangents are zero, so
-    the quantized backward is half the work.  Returns (dq, None, None,
-    dbias) in that case.
+    ``k``/``v`` may be per-token/per-tensor QuantizedTensors: BOTH kernels
+    then dequantize tiles on load (parity with the reference's quantized
+    ``backwardQuery``/``backwardKeyValue`` dispatches,
+    ``QuantizedAttention.swift:1012-1181``).  The returned dk/dv are
+    gradients w.r.t. the DEQUANTIZED K/V — what an STE/QAT consumer passes
+    through to float masters, and what the reference's external autograd
+    bridge consumes.
     """
     kv_quant = isinstance(k, QuantizedTensor)
     if kv_quant:
@@ -726,11 +759,12 @@ def flash_attention_backward(
         dbias = None
     dq = dq[:, :, :sq, :]
 
-    if kv_quant:
-        # Quantized operands are data: no dK/dV (see docstring).
-        return dq, None, None, dbias
-
     # ----- dKV kernel -----
+    # With quantized K/V the dKV kernel runs with dequant-on-load (parity
+    # with the reference's ``backwardKeyValue`` over quantized operands,
+    # ``QuantizedAttention.swift:1102-1181``); dk/dv are gradients w.r.t.
+    # the DEQUANTIZED K/V — the STE/QAT consumer passes them through to
+    # float masters (ops/quantized_attention.quantized_flash_attention_qat).
     nj = skv_p // bkv_dkv
     ni_all = sq_p // bq_dkv
     if dynamic:
@@ -835,14 +869,28 @@ def flash_attention_backward(
             lambda *a: (a[0], q_head(a[1], g_of(a)), q_block(a), 0),
         )
 
-    kv_side = pl.BlockSpec(
-        (1, 1, bkv_dkv, d), lambda *a: (a[0], a[1], kv_block2(a), 0)
-    )
-    in_specs2 += [
-        q_side(False), kv_side, kv_side, q_side(False),
-        q_side(True), q_side(True),
-    ]
-    inputs2 += [qs, k_p, v_p, do_p, l_row, d_row]
+    def kv_side(width_):
+        return pl.BlockSpec(
+            (1, 1, bkv_dkv, width_),
+            lambda *a: (a[0], a[1], kv_block2(a), 0),
+        )
+
+    if kv_quant:
+        in_specs2 += [
+            q_side(False),
+            kv_side(pd), kv_side(1), kv_side(1),
+            kv_side(pd), kv_side(1), kv_side(1),
+            q_side(False), q_side(True), q_side(True),
+        ]
+        inputs2 += [
+            qs, kq_p, ks_p, kz_p, vq_p, vs_p, vz_p, do_p, l_row, d_row,
+        ]
+    else:
+        in_specs2 += [
+            q_side(False), kv_side(d), kv_side(d), q_side(False),
+            q_side(True), q_side(True),
+        ]
+        inputs2 += [qs, k_p, v_p, do_p, l_row, d_row]
     if bias is not None:
         biasT = jnp.swapaxes(bias, 2, 3)
         bb = biasT.shape[0] == 1
@@ -871,8 +919,19 @@ def flash_attention_backward(
         affine=affine2,
         has_bias=bias is not None,
         precision=precision,
+        kv_bits=kv_bits,
         packed=packed_dkv,
     )
+    dkv_scratch = [
+        pltpu.VMEM((bkv_dkv, d), jnp.float32),
+        pltpu.VMEM((bkv_dkv, d), jnp.float32),
+    ]
+    if kv_quant:
+        kv_f_dtype = jnp.float32 if q.dtype == jnp.float32 else jnp.bfloat16
+        dkv_scratch += [
+            pltpu.VMEM((bkv_dkv, d), kv_f_dtype),  # dequantized K tile
+            pltpu.VMEM((bkv_dkv, d), kv_f_dtype),  # dequantized V tile
+        ]
     grid_spec2 = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(scalars2),
         grid=grid2,
@@ -887,10 +946,7 @@ def flash_attention_backward(
                 lambda *a: (a[0], a[1], kv_block2(a), 0),
             ),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((bkv_dkv, d), jnp.float32),
-            pltpu.VMEM((bkv_dkv, d), jnp.float32),
-        ],
+        scratch_shapes=dkv_scratch,
     )
     dk, dv = pl.pallas_call(
         kernel2,

@@ -626,6 +626,39 @@ def _qattn_fwd(q, kv_flat, bias,
     return o.astype(q.dtype), (q, kv_flat, bias, o, l)
 
 
+def _scale_zp_cotangents(dxdeq, qt: QuantizedTensor):
+    """Exact cotangents of X_deq = (w − zp)·scale w.r.t. (scale, zp).
+
+    ``dxdeq`` is the gradient w.r.t. the dequantized operand (from the
+    dequantizing dKV kernel); the payload w is integer data (cotangent
+    float0).  dscale = Σ_cell dX ⊙ (w − zp); dzp = −Σ_cell dX ⊙ scale.
+    ``(w − zp)`` is recovered as deq/scale so the packed-int4 layout never
+    needs host-side unpacking here.
+    """
+    from metal_flash_attention_plus_tpu.quant.tensor import dequantize
+
+    dxdeq = dxdeq.astype(jnp.float32)
+    deq = dequantize(qt).astype(jnp.float32)
+    scale_b, _zp_b = _per_token_params(qt)  # [B,H,S,1] fp32
+    w_minus_z = deq / scale_b
+    ds_cells = dxdeq * w_minus_z
+    dz_cells = -dxdeq * scale_b
+    g = qt.config.granularity
+    if g == QuantGranularity.ROW:
+        ds = jnp.sum(ds_cells, axis=-1).reshape(qt.scale.shape)
+        dz = jnp.sum(dz_cells, axis=-1).reshape(qt.zero_point.shape)
+    else:  # TENSOR (the only other in-kernel attention granularity)
+        ds = jnp.sum(ds_cells).reshape(qt.scale.shape)
+        dz = jnp.sum(dz_cells).reshape(qt.zero_point.shape)
+
+    def cast_or_zero(g_, ref):
+        if jnp.issubdtype(ref.dtype, jnp.integer):
+            return np.zeros(ref.shape, jax.dtypes.float0)
+        return g_.astype(ref.dtype)
+
+    return cast_or_zero(ds, qt.scale), cast_or_zero(dz, qt.zero_point)
+
+
 def _qattn_bwd(kv_meta, mask, scale, block_sizes, interleaved_kv, mask_value,
                interpret, res, do):
     from metal_flash_attention_plus_tpu.ops.flash_attention_bwd import (
@@ -634,23 +667,29 @@ def _qattn_bwd(kv_meta, mask, scale, block_sizes, interleaved_kv, mask_value,
 
     q, kv_flat, bias, o, l = res
     k_qt, v_qt = _rebuild_kv(kv_flat, kv_meta)
-    # dQ kernel with in-kernel dequant-on-load; the dK/dV kernel is skipped
-    # (quantized operands are data — flash_attention_backward docstring).
-    dq, _dk, _dv, dbias = flash_attention_backward(
+    # Both kernels run with in-kernel dequant-on-load; dk/dv come back as
+    # gradients w.r.t. the dequantized K/V (reference ``backwardKeyValue``
+    # parity) and are chained into exact scale/zero-point cotangents — the
+    # integer payloads stay float0.
+    dq, dk_deq, dv_deq, dbias = flash_attention_backward(
         q, k_qt, v_qt, o, l, do,
         mask=mask, bias=bias, scale=scale, block_sizes=block_sizes,
         interleaved_kv=interleaved_kv, interpret=interpret,
         compute_dbias=bias is not None,
     )
-    zero_kv = tuple(
-        np.zeros(x.shape, jax.dtypes.float0)
-        if jnp.issubdtype(x.dtype, jnp.integer)
-        else jnp.zeros_like(x)
-        for x in kv_flat
-    )
+    dks, dkz = _scale_zp_cotangents(dk_deq, k_qt)
+    dvs, dvz = _scale_zp_cotangents(dv_deq, v_qt)
+
+    def zero_like(x):
+        if jnp.issubdtype(x.dtype, jnp.integer):
+            return np.zeros(x.shape, jax.dtypes.float0)
+        return jnp.zeros_like(x)
+
+    kd, _, _, vd, _, _ = kv_flat
+    kv_cot = (zero_like(kd), dks, dkz, zero_like(vd), dvs, dvz)
     return (
         dq.astype(q.dtype),
-        zero_kv,
+        kv_cot,
         None if bias is None else dbias.astype(bias.dtype),
     )
 
@@ -671,7 +710,11 @@ def quantized_flash_attention(
     mask_value: float = DEFAULT_MASK_VALUE,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
-    """Differentiable quantized-KV flash attention (grads: dq, dbias)."""
+    """Differentiable quantized-KV flash attention.
+
+    Gradients: dq, dbias, plus exact cotangents for the K/V scale and
+    zero-point arrays (via the dequantizing dKV kernel); integer payloads
+    are non-differentiable (float0)."""
     if scale is None:
         scale = float(q.shape[-1]) ** -0.5
     kv_flat, kv_meta = _flatten_kv(k, v)
@@ -680,3 +723,78 @@ def quantized_flash_attention(
         kv_meta, mask, float(scale), block_sizes, interleaved_kv, mask_value,
         interpret,
     )
+
+
+# ---------------------------------------------------------------------------
+# QAT wrapper: float K/V masters, quantized compute, STE dK/dV.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+def quantized_flash_attention_qat(
+    q, k, v,
+    config: QuantConfig = QuantConfig(),
+    mask: MaskSpec = FULL,
+    scale: Optional[float] = None,
+    block_sizes: BlockSizes = BlockSizes(),
+    interleaved_kv: bool = False,
+    mask_value: float = DEFAULT_MASK_VALUE,
+    interpret: Optional[bool] = None,
+):
+    """Train-time quantized attention over FLOAT K/V masters.
+
+    Forward quantizes K/V with ``config`` and runs the quantized kernel
+    (exactly the serving numerics); backward runs the dequantizing dQ and
+    dK/dV kernels and passes dK/dV STRAIGHT THROUGH to the float masters
+    (the reference's STE contract, delegated there to an external autograd
+    bridge — ``QuantizedAttention.swift:1542-1556`` — and kept in-repo
+    here per SURVEY.md §7 step 5).
+    """
+    o, _ = _qat_fwd_impl(
+        q, k, v, config, mask, scale, block_sizes, interleaved_kv,
+        mask_value, interpret,
+    )
+    return o
+
+
+def _qat_fwd_impl(q, k, v, config, mask, scale, block_sizes, interleaved_kv,
+                  mask_value, interpret):
+    from metal_flash_attention_plus_tpu.quant.tensor import quantize
+
+    k_qt = quantize(k, config)
+    v_qt = quantize(v, config)
+    o, l = quantized_flash_attention_forward(
+        q, k_qt, v_qt, mask=mask, scale=scale, block_sizes=block_sizes,
+        interleaved_kv=interleaved_kv, mask_value=mask_value,
+        interpret=interpret,
+    )
+    return o.astype(q.dtype), (q, k_qt, v_qt, o, l)
+
+
+def _qat_fwd(q, k, v, config, mask, scale, block_sizes, interleaved_kv,
+             mask_value, interpret):
+    o, res = _qat_fwd_impl(
+        q, k, v, config, mask, scale, block_sizes, interleaved_kv,
+        mask_value, interpret,
+    )
+    return o, res
+
+
+def _qat_bwd(config, mask, scale, block_sizes, interleaved_kv, mask_value,
+             interpret, res, do):
+    from metal_flash_attention_plus_tpu.ops.flash_attention_bwd import (
+        flash_attention_backward,
+    )
+
+    q, k_qt, v_qt, o, l = res
+    dq, dk_deq, dv_deq, _ = flash_attention_backward(
+        q, k_qt, v_qt, o, l, do,
+        mask=mask, scale=scale, block_sizes=block_sizes,
+        interleaved_kv=interleaved_kv, interpret=interpret,
+    )
+    # STE: gradients w.r.t. the dequantized K/V pass through quantization
+    # to the float masters unchanged.
+    return dq.astype(q.dtype), dk_deq, dv_deq
+
+
+quantized_flash_attention_qat.defvjp(_qat_fwd, _qat_bwd)

@@ -156,3 +156,63 @@ def test_activation_quantization_requires_symmetric():
         quantized_flash_attention_forward(
             q, kq, vq, mask=CAUSAL, quantize_q=True
         )
+
+
+# ---------------------------------------------------------------------------
+# Quantized backward dK/dV (dequantizing dKV kernel) — VERDICT r1 item 3.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("cfg", [ROW8, ROW4], ids=["row8", "row4"])
+@pytest.mark.parametrize("mask", [FULL, CAUSAL], ids=["full", "causal"])
+def test_qat_backward_dkv_matches_reference(cfg, mask):
+    """QAT grads (STE to float masters) == reference grads on dequantized
+    K/V — the dequantizing dKV kernel at the reference's quantized gate
+    (rel err < 0.25; the kernel math itself is near-exact)."""
+    from metal_flash_attention_plus_tpu.ops.quantized_attention import (
+        quantized_flash_attention_qat,
+    )
+    from metal_flash_attention_plus_tpu.quant.tensor import dequantize
+
+    q, k, v = _data(hq=4, hkv=2)  # GQA group reduction in the dKV kernel
+    kq, vq = quantize(k, cfg), quantize(v, cfg)
+    kd, vd = dequantize(kq), dequantize(vq)
+
+    def loss(q_, k_, v_):
+        return jnp.sum(
+            quantized_flash_attention_qat(q_, k_, v_, cfg, mask) ** 2
+        )
+
+    def loss_ref(q_, kd_, vd_):
+        return jnp.sum(reference_attention(q_, kd_, vd_, mask=mask)[0] ** 2)
+
+    g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(q, k, v)
+    gr = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(q, kd, vd)
+    for name, a, b in zip("qkv", g, gr):
+        rel = float(
+            jnp.linalg.norm(a - b) / (jnp.linalg.norm(b) + 1e-9)
+        )
+        assert rel < 0.05, (name, rel)
+
+
+def test_scale_zero_point_cotangents_finite_diff():
+    """quantized_flash_attention now returns exact cotangents for the K/V
+    scale arrays (chained through the dequantizing dKV kernel); check the
+    analytic dscale against central finite differences."""
+    import dataclasses
+
+    q, k, v = _data(hq=2, hkv=2, sq=128, skv=128)
+    kq, vq = quantize(k, ROW8), quantize(v, ROW8)
+
+    def loss(scale_arr):
+        k2 = dataclasses.replace(kq, scale=scale_arr)
+        return jnp.sum(quantized_flash_attention(q, k2, vq, mask=CAUSAL) ** 2)
+
+    g_s = jax.jit(jax.grad(loss))(kq.scale)
+    eps = 1e-3
+    idx = tuple([0] * kq.scale.ndim)
+    fd = (loss(kq.scale.at[idx].add(eps))
+          - loss(kq.scale.at[idx].add(-eps))) / (2 * eps)
+    assert abs(float(g_s[idx]) - float(fd)) <= 0.05 * max(
+        1.0, abs(float(fd))
+    )
