@@ -100,9 +100,7 @@ def mega_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, *scratch,
             lse = m_prev * LN2 + jnp.log(safe)
         o_ref[0, 0, i * bq:(i + 1) * bq, :] = out.astype(o_ref.dtype)
         if slim_l:
-            l_ref[0, 0, 0, i * bq:(i + 1) * bq] = (
-                lse[:, :1].reshape(1, bq) if ones
-                else lse[:, :1].reshape(1, bq))
+            l_ref[0, 0, 0, i * bq:(i + 1) * bq] = lse[:, 0]
         else:
             if ones:
                 l_ref[0, 0, i * bq:(i + 1) * bq, :] = jnp.broadcast_to(

@@ -61,12 +61,20 @@ class QuantizedAttentionConfig:
 
     ``key_bits``/``value_bits``: 8, 4, or None (keep float).  Granularity is
     per-token (the KV-cache production choice) unless ``per_tensor``.
+
+    ``hadamard``: quantize K/V in the Hadamard-rotated basis (the
+    reference's ConvRot outlier smoothing, ``HadamardRotation.swift``) —
+    Q is rotated on the fly and O un-rotated after the kernel, both exact;
+    only the int rounding sees the rotation.  This is the int4 accuracy
+    lever (reference measures int4 rel err 0.0206 with it,
+    ``GLUON_OPTIMIZATIONS.md:238-242``).
     """
 
     key_bits: Optional[int] = 8
     value_bits: Optional[int] = 8
     strategy: QuantStrategy = QuantStrategy.CENTERED
     per_tensor: bool = False
+    hadamard: bool = False
     version: int = CONFIG_VERSION
 
     def kv_config(self, bits: int) -> QuantConfig:
@@ -82,6 +90,16 @@ class QuantizedAttentionConfig:
             ),
         )
 
+    def hadamard_block(self, head_dim: int) -> Optional[int]:
+        """Rotation block: the largest power of 2 dividing the head dim
+        (the reference's block selection, ≤ 1024)."""
+        if not self.hadamard:
+            return None
+        bs = 1
+        while bs * 2 <= min(head_dim, 1024) and head_dim % (bs * 2) == 0:
+            bs *= 2
+        return bs
+
     def to_json(self) -> str:
         return json.dumps(
             dict(
@@ -89,6 +107,7 @@ class QuantizedAttentionConfig:
                 value_bits=self.value_bits,
                 strategy=self.strategy.value,
                 per_tensor=self.per_tensor,
+                hadamard=self.hadamard,
                 version=self.version,
             )
         )
@@ -101,6 +120,7 @@ class QuantizedAttentionConfig:
             value_bits=d["value_bits"],
             strategy=QuantStrategy(d["strategy"]),
             per_tensor=d["per_tensor"],
+            hadamard=d.get("hadamard", False),
             version=d.get("version", CONFIG_VERSION),
         )
 
@@ -146,6 +166,14 @@ class QuantizedAttention:
     ) -> Tuple[QuantizedTensor, QuantizedTensor]:
         kb = self.config.key_bits or 8
         vb = self.config.value_bits or 8
+        hb = self.config.hadamard_block(k.shape[-1])
+        if hb:
+            from metal_flash_attention_plus_tpu.ops.hadamard import (
+                hadamard_transform,
+            )
+
+            k = hadamard_transform(k, hb)
+            v = hadamard_transform(v, hb)
         return (
             _quantize_tokens(k, self.config.kv_config(kb)),
             _quantize_tokens(v, self.config.kv_config(vb)),
@@ -176,6 +204,7 @@ class QuantizedAttention:
             mask=self.mask, scale=self.scale,
             block_sizes=self._blocks(q.shape[2], q.shape[3], k.config.bits),
             interleaved_kv=self.interleaved_kv,
+            hadamard_block=self.config.hadamard_block(q.shape[3]),
             **kw,
         )
 
@@ -186,6 +215,7 @@ class QuantizedAttention:
             mask=self.mask, scale=self.scale,
             block_sizes=self._blocks(q.shape[2], q.shape[3], kq.config.bits),
             interleaved_kv=self.interleaved_kv,
+            hadamard_block=self.config.hadamard_block(q.shape[3]),
             **kw,
         )
 

@@ -156,7 +156,8 @@ def _dq_kernel(
             k = k_ref[0, 0]  # [bkv, D]
         else:
             k = _dequant_kv_tile(
-                kq_ref, ks_ref, kz_ref, block_kv, head_dim, kv_bits, q.dtype
+                kq_ref, ks_ref, kz_ref, block_kv, head_dim, kv_bits[0],
+                q.dtype,
             )
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
@@ -196,7 +197,8 @@ def _dq_kernel(
             v = v_ref[0, 0]  # [bkv, D]
         else:
             v = _dequant_kv_tile(
-                vq_ref, vs_ref, vz_ref, block_kv, head_dim, kv_bits, q.dtype
+                vq_ref, vs_ref, vz_ref, block_kv, head_dim, kv_bits[1],
+                q.dtype,
             )
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())),
@@ -356,11 +358,11 @@ def _dkv_kernel(
             # Dequantize the segment's KV tile once (constant across the
             # segment's whole group × q-step traversal).
             kf_scr[...] = _dequant_kv_tile(
-                kq_ref, ks_ref, kz_ref, block_kv, head_dim, kv_bits,
+                kq_ref, ks_ref, kz_ref, block_kv, head_dim, kv_bits[0],
                 kf_scr.dtype,
             )
             vf_scr[...] = _dequant_kv_tile(
-                vq_ref, vs_ref, vz_ref, block_kv, head_dim, kv_bits,
+                vq_ref, vs_ref, vz_ref, block_kv, head_dim, kv_bits[1],
                 vf_scr.dtype,
             )
 
@@ -474,8 +476,8 @@ def flash_attention_backward(
     """
     kv_quant = isinstance(k, QuantizedTensor)
     if kv_quant:
-        assert isinstance(v, QuantizedTensor) and k.config.bits == v.config.bits
-        kv_bits = k.config.bits
+        assert isinstance(v, QuantizedTensor)
+        kv_bits = (k.config.bits, v.config.bits)  # per-operand widths
     else:
         kv_bits = None
     b, hq, sq, d = q.shape
@@ -520,7 +522,8 @@ def flash_attention_backward(
         kz_p = pad_seq(kz_, skv_p)
         vs_p = pad_seq(vs_, skv_p)
         vz_p = pad_seq(vz_, skv_p)
-        pd = kq_p.shape[-1]
+        pd_k = kq_p.shape[-1]
+        pd_v = vq_p.shape[-1]
     else:
         k_p = pad_seq(k, skv_p)
         v_p = pad_seq(v, skv_p)
@@ -663,8 +666,8 @@ def flash_attention_backward(
     if kv_quant:
         in_specs += [
             q_spec,
-            kv_spec(pd), kv_spec(1), kv_spec(1),
-            kv_spec(pd), kv_spec(1), kv_spec(1),
+            kv_spec(pd_k), kv_spec(1), kv_spec(1),
+            kv_spec(pd_v), kv_spec(1), kv_spec(1),
             q_spec, stat_spec, stat_spec,
         ]
         inputs += [qs, kq_p, ks_p, kz_p, vq_p, vs_p, vz_p, do_p, l_col, d_col]
@@ -878,8 +881,8 @@ def flash_attention_backward(
     if kv_quant:
         in_specs2 += [
             q_side(False),
-            kv_side(pd), kv_side(1), kv_side(1),
-            kv_side(pd), kv_side(1), kv_side(1),
+            kv_side(pd_k), kv_side(1), kv_side(1),
+            kv_side(pd_v), kv_side(1), kv_side(1),
             q_side(False), q_side(True), q_side(True),
         ]
         inputs2 += [

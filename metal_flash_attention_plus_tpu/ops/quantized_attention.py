@@ -61,7 +61,9 @@ from metal_flash_attention_plus_tpu.ops.flash_attention import (
     resolve_mask_mode,
 )
 from metal_flash_attention_plus_tpu.ops.quantized_gemm import (
+    block2d_expanders,
     dequant_kv_tile as _dequant_kv_tile,
+    dequant_kv_tile_block2d as _dequant_block2d,
 )
 from metal_flash_attention_plus_tpu.quant.params import (
     QuantConfig,
@@ -81,10 +83,13 @@ def _qfwd_kernel(
     affine,
     has_bias: bool,
     mask_value: float,
-    bits: int,
+    bits_k: int,
+    bits_v: int,
     quantize_q: bool,
     precision,
     compute_dtype,
+    kv_gran: str = "token",  # "token" (ROW/TENSOR) | "block2d"
+    has_er: bool = False,  # block2d with block_rows > 1
     packed: bool = False,
 ):
     has_mask = mask_mode != "none"
@@ -137,6 +142,13 @@ def _qfwd_kernel(
     else:
         (q_ref, kq_ref, ks_ref, kz_ref, vq_ref, vs_ref, vz_ref) = refs[:7]
         refs = refs[7:]
+        if kv_gran == "block2d":
+            if has_er:
+                er_ref, ec_ref = refs[:2]
+                refs = refs[2:]
+            else:
+                er_ref, ec_ref = None, refs[0]
+                refs = refs[1:]
     if has_bias:
         bias_ref = refs[0]
         refs = refs[1:]
@@ -160,10 +172,16 @@ def _qfwd_kernel(
             s = s_int.astype(jnp.float32) * qs_ref[0, 0] * ksr_ref[0, 0]
         else:
             q = q_ref[0, 0]  # [bq, D] pre-scaled
-            k = _dequant_kv_tile(
-                kq_ref, ks_ref, kz_ref, block_kv, head_dim, bits,
-                compute_dtype,
-            )
+            if kv_gran == "block2d":
+                k = _dequant_block2d(
+                    kq_ref, ks_ref, kz_ref, er_ref, ec_ref, block_kv,
+                    head_dim, bits_k, compute_dtype,
+                )
+            else:
+                k = _dequant_kv_tile(
+                    kq_ref, ks_ref, kz_ref, block_kv, head_dim, bits_k,
+                    compute_dtype,
+                )
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision,
@@ -201,9 +219,16 @@ def _qfwd_kernel(
         l_scr[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
         m_scr[...] = m_next
 
-        v = _dequant_kv_tile(
-            vq_ref, vs_ref, vz_ref, block_kv, head_dim, bits, compute_dtype
-        )
+        if not quantize_q and kv_gran == "block2d":
+            v = _dequant_block2d(
+                vq_ref, vs_ref, vz_ref, er_ref, ec_ref, block_kv,
+                head_dim, bits_v, compute_dtype,
+            )
+        else:
+            v = _dequant_kv_tile(
+                vq_ref, vs_ref, vz_ref, block_kv, head_dim, bits_v,
+                compute_dtype,
+            )
         pv = jax.lax.dot(
             p.astype(v.dtype), v,
             preferred_element_type=jnp.float32, precision=precision,
@@ -286,6 +311,7 @@ def quantized_flash_attention_forward(
     mask_value: float = DEFAULT_MASK_VALUE,
     out_dtype: jnp.dtype = jnp.float32,
     quantize_q: bool = False,
+    hadamard_block: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Forward with quantized K/V.  Same contract as
@@ -296,23 +322,41 @@ def quantized_flash_attention_forward(
     quantization) so the score matmul runs int8×int8→int32 on the MXU at
     2× the bf16 rate.  Requires int8 K with a SYMMETRIC (zero-point-free)
     strategy; the softmax scale folds into the Q scales exactly.
+
+    ``hadamard_block``: K/V were quantized in the Hadamard-rotated basis
+    (``ops.hadamard.rotate_quantize`` — the reference's ConvRot outlier
+    smoothing, ``HadamardRotation.swift:1-40``).  Q is rotated on the fly
+    and O un-rotated after the kernel: H is orthonormal and involutive, so
+    scores Q·H·(K·H)ᵀ = Q·Kᵀ and O = (P·V·H)·H are EXACT — the rotation
+    only changes what the int rounding sees, spreading outliers across the
+    head dim (the int4 accuracy win).  Two [S, D] elementwise passes; the
+    kernel itself is unchanged.
     """
     b, hq, sq, d = q.shape
     _, hkv, skv, dk2 = k.shape
     assert d == dk2 and tuple(v.shape) == tuple(k.shape)
     assert hq % hkv == 0
-    assert k.config.bits == v.config.bits, "K/V must share bit width"
-    bits = k.config.bits
+    # Per-operand bit widths: K int8 + V int4 is the production sweet spot
+    # (K feeds the exp-sensitive score path; V error averages under the
+    # softmax weights) — mirrors the facade's key_bits/value_bits split.
+    bits_k, bits_v = k.config.bits, v.config.bits
     if scale is None:
         scale = float(d) ** -0.5
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if quantize_q:
-        if bits != 8 or k.config.strategy != QuantStrategy.SYMMETRIC:
+        if bits_k != 8 or k.config.strategy != QuantStrategy.SYMMETRIC:
             raise ValueError(
                 "quantize_q needs int8 K with the SYMMETRIC strategy "
                 "(the zero-point-free int8 MXU score path)"
             )
+
+    if hadamard_block:
+        from metal_flash_attention_plus_tpu.ops.hadamard import (
+            hadamard_transform,
+        )
+
+        q = hadamard_transform(q, hadamard_block)
 
     in_dtype = q.dtype  # pre-quantization dtype drives compute precision
     bq = min(block_sizes.block_q, _round_up(sq, 128))
@@ -343,16 +387,46 @@ def quantized_flash_attention_forward(
             )
 
     kq, vq = k.data, v.data  # [B,Hkv,Skv,D] int8 or [B,Hkv,Skv,D/2] uint8
-    ks, kz = _per_token_params(k)
-    vs, vz = _per_token_params(v)
+    kv_gran = (
+        "block2d"
+        if k.config.granularity == QuantGranularity.BLOCK_2D
+        else "token"
+    )
+    if kv_gran == "block2d":
+        # In-kernel 2D blockwise scales (reference BLOCK_2D parity,
+        # ``AttentionKernel+Accumulate.swift:451-511``): scale/zp arrive as
+        # [B, Hkv, Skv/br, D/bs] tiles and are expanded on the MXU inside
+        # the kernel (ops.quantized_gemm.dequant_kv_tile_block2d).
+        if quantize_q:
+            raise ValueError("quantize_q requires per-token (ROW) K scales")
+        if v.config.granularity != QuantGranularity.BLOCK_2D or (
+            (k.config.block_rows, k.config.block_size)
+            != (v.config.block_rows, v.config.block_size)
+        ):
+            raise ValueError("K/V must share BLOCK_2D block geometry")
+        br, bs2 = k.config.block_rows, k.config.block_size
+        if 128 % br != 0:
+            raise ValueError(f"block_rows {br} must divide 128")
+        ks = k.scale.astype(jnp.float32)
+        kz = k.zero_point.astype(jnp.float32)
+        vs = v.scale.astype(jnp.float32)
+        vz = v.zero_point.astype(jnp.float32)
+    else:
+        ks, kz = _per_token_params(k)
+        vs, vz = _per_token_params(v)
     if skv_p != skv:
         pad4 = ((0, 0), (0, 0), (0, skv_p - skv), (0, 0))
         kq = jnp.pad(kq, pad4)
         vq = jnp.pad(vq, pad4)
-        ks = jnp.pad(ks, pad4, constant_values=1.0)
-        kz = jnp.pad(kz, pad4)
-        vs = jnp.pad(vs, pad4, constant_values=1.0)
-        vz = jnp.pad(vz, pad4)
+        pad_s = (
+            ((0, 0), (0, 0), (0, (skv_p - skv) // br), (0, 0))
+            if kv_gran == "block2d"
+            else pad4
+        )
+        ks = jnp.pad(ks, pad_s, constant_values=1.0)
+        kz = jnp.pad(kz, pad_s)
+        vs = jnp.pad(vs, pad_s, constant_values=1.0)
+        vz = jnp.pad(vz, pad_s)
     if quantize_q:
         ks_t = jnp.swapaxes(ks, 2, 3)  # [B,Hkv,1,Skv_p] row-vector scales
     if bias is not None:
@@ -440,7 +514,8 @@ def quantized_flash_attention_forward(
             run = hi[i] - lo[i]
             return jnp.clip(lo[i] + jnp.minimum(j, run - 1), 0, nj_all - 1)
 
-    pd = d // 2 if bits == 4 else d
+    pd_k = d // 2 if bits_k == 4 else d
+    pd_v = d // 2 if bits_v == 4 else d
 
     in_specs = []
     inputs = []
@@ -467,19 +542,40 @@ def quantized_flash_attention_forward(
             pl.BlockSpec(
                 (1, 1, bq, 1), lambda *a: (a[0], a[1], q_block(a), 0)
             ),
-            kv_spec(pd),
+            kv_spec(pd_k),
             pl.BlockSpec(
                 (1, 1, 1, bkv),
                 lambda *a: (a[0], kv_head(a[1]), 0, kv_block(a)),
             ),
-            kv_spec(pd), kv_spec(1), kv_spec(1),  # V payload, scale, zp
+            kv_spec(pd_v), kv_spec(1), kv_spec(1),  # V payload, scale, zp
         ]
         inputs += [q, qs_arr, kq, ks_t, vq, vs, vz]
+    elif kv_gran == "block2d":
+        def sc_spec():
+            return pl.BlockSpec(
+                (1, 1, bkv // br, d // bs2),
+                lambda *a: (a[0], kv_head(a[1]), kv_block(a), 0),
+            )
+
+        in_specs += [
+            q_spec,
+            kv_spec(pd_k), sc_spec(), sc_spec(),
+            kv_spec(pd_v), sc_spec(), sc_spec(),
+        ]
+        inputs += [q, kq, ks, kz, vq, vs, vz]
+        er, ec = block2d_expanders(br, bs2, bkv, d)
+        if er is not None:
+            in_specs.append(
+                pl.BlockSpec((bkv, bkv // br), lambda *a: (0, 0))
+            )
+            inputs.append(er)
+        in_specs.append(pl.BlockSpec((d // bs2, d), lambda *a: (0, 0)))
+        inputs.append(ec)
     else:
         in_specs += [
             q_spec,
-            kv_spec(pd), kv_spec(1), kv_spec(1),  # K payload, scale, zp
-            kv_spec(pd), kv_spec(1), kv_spec(1),  # V payload, scale, zp
+            kv_spec(pd_k), kv_spec(1), kv_spec(1),  # K payload, scale, zp
+            kv_spec(pd_v), kv_spec(1), kv_spec(1),  # V payload, scale, zp
         ]
         inputs += [q, kq, ks, kz, vq, vs, vz]
     if bias is not None:
@@ -506,7 +602,8 @@ def quantized_flash_attention_forward(
         affine=affine,
         has_bias=bias is not None,
         mask_value=mask_value,
-        bits=bits,
+        bits_k=bits_k,
+        bits_v=bits_v,
         quantize_q=quantize_q,
         precision=(
             jax.lax.Precision.HIGHEST
@@ -514,6 +611,8 @@ def quantized_flash_attention_forward(
             else jax.lax.Precision.DEFAULT
         ),
         compute_dtype=compute_dtype,
+        kv_gran=kv_gran,
+        has_er=(kv_gran == "block2d" and br > 1),
         packed=packed,
     )
 
@@ -562,6 +661,12 @@ def quantized_flash_attention_forward(
         *scalars,
         *inputs,
     )
+    if hadamard_block:
+        # V was stored rotated → O came out rotated; apply H once more
+        # (involution) to return to the original basis.
+        o = hadamard_transform(
+            o.astype(jnp.float32), hadamard_block
+        ).astype(out_dtype)
     return o[:, :, :sq, :], l[:, :, :sq, 0]
 
 
@@ -570,15 +675,15 @@ def quantized_flash_attention_forward(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
 def _qattn(q, kv_flat, bias,
            kv_meta, mask, scale, block_sizes, interleaved_kv, mask_value,
-           interpret):
+           interpret, hadamard_block):
     k, v = _rebuild_kv(kv_flat, kv_meta)
     o, _ = quantized_flash_attention_forward(
         q, k, v, bias=bias, mask=mask, scale=scale, block_sizes=block_sizes,
         interleaved_kv=interleaved_kv, mask_value=mask_value,
-        interpret=interpret,
+        interpret=interpret, hadamard_block=hadamard_block,
     )
     return o.astype(q.dtype)
 
@@ -616,12 +721,12 @@ def _rebuild_kv(flat, meta: _KVMeta):
 
 def _qattn_fwd(q, kv_flat, bias,
                kv_meta, mask, scale, block_sizes, interleaved_kv, mask_value,
-               interpret):
+               interpret, hadamard_block):
     k, v = _rebuild_kv(kv_flat, kv_meta)
     o, l = quantized_flash_attention_forward(
         q, k, v, bias=bias, mask=mask, scale=scale, block_sizes=block_sizes,
         interleaved_kv=interleaved_kv, mask_value=mask_value,
-        interpret=interpret,
+        interpret=interpret, hadamard_block=hadamard_block,
     )
     return o.astype(q.dtype), (q, kv_flat, bias, o, l)
 
@@ -660,13 +765,24 @@ def _scale_zp_cotangents(dxdeq, qt: QuantizedTensor):
 
 
 def _qattn_bwd(kv_meta, mask, scale, block_sizes, interleaved_kv, mask_value,
-               interpret, res, do):
+               interpret, hadamard_block, res, do):
     from metal_flash_attention_plus_tpu.ops.flash_attention_bwd import (
         flash_attention_backward,
     )
 
     q, kv_flat, bias, o, l = res
     k_qt, v_qt = _rebuild_kv(kv_flat, kv_meta)
+    if hadamard_block:
+        # Backward runs in the rotated basis (K/V payloads are rotated):
+        # rotate q/o/do in, un-rotate dq out.  dk/dv and the scale/zp
+        # cotangents live in the rotated basis by construction.
+        from metal_flash_attention_plus_tpu.ops.hadamard import (
+            hadamard_transform,
+        )
+
+        q = hadamard_transform(q, hadamard_block)
+        o = hadamard_transform(o, hadamard_block)
+        do = hadamard_transform(do, hadamard_block)
     # Both kernels run with in-kernel dequant-on-load; dk/dv come back as
     # gradients w.r.t. the dequantized K/V (reference ``backwardKeyValue``
     # parity) and are chained into exact scale/zero-point cotangents — the
@@ -685,6 +801,12 @@ def _qattn_bwd(kv_meta, mask, scale, block_sizes, interleaved_kv, mask_value,
             return np.zeros(x.shape, jax.dtypes.float0)
         return jnp.zeros_like(x)
 
+    if hadamard_block:
+        from metal_flash_attention_plus_tpu.ops.hadamard import (
+            hadamard_transform,
+        )
+
+        dq = hadamard_transform(dq, hadamard_block)
     kd, _, _, vd, _, _ = kv_flat
     kv_cot = (zero_like(kd), dks, dkz, zero_like(vd), dvs, dvz)
     return (
@@ -708,20 +830,23 @@ def quantized_flash_attention(
     block_sizes: BlockSizes = BlockSizes(),
     interleaved_kv: bool = False,
     mask_value: float = DEFAULT_MASK_VALUE,
+    hadamard_block: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Differentiable quantized-KV flash attention.
 
     Gradients: dq, dbias, plus exact cotangents for the K/V scale and
     zero-point arrays (via the dequantizing dKV kernel); integer payloads
-    are non-differentiable (float0)."""
+    are non-differentiable (float0).  ``hadamard_block``: K/V were
+    quantized in the rotated basis (see
+    ``quantized_flash_attention_forward``)."""
     if scale is None:
         scale = float(q.shape[-1]) ** -0.5
     kv_flat, kv_meta = _flatten_kv(k, v)
     return _qattn(
         q, kv_flat, bias,
         kv_meta, mask, float(scale), block_sizes, interleaved_kv, mask_value,
-        interpret,
+        interpret, hadamard_block,
     )
 
 

@@ -96,6 +96,58 @@ def dequant_kv_tile(q_ref, s_ref, z_ref, bkv, d, bits, compute_dtype):
     return ((w - zp) * scale).astype(compute_dtype)
 
 
+def dequant_kv_tile_block2d(
+    q_ref, s_ref, z_ref, er_ref, ec_ref, bkv, d, bits, compute_dtype
+):
+    """BLOCK_2D (block_rows × block_size) K/V dequant with MXU-expanded
+    scales.
+
+    The reference's kernels look up a per-8×8-tile scale/zero-point inside
+    the accumulate loop (``AttentionKernel+Accumulate.swift:451-511``).
+    Mosaic has no element-repeat lowering to expand a [bkv/br, d/bs] scale
+    tile to [bkv, d] on the VPU — instead the expansion rides the MXU as
+    two small 0/1 block-diagonal dots (≪1% of the tile's FLOPs):
+
+        s_full = E_r[bkv, bkv/br] · s · E_c[d/bs, d]
+
+    and dequant is ``w · s_full − (z·s)_full`` (the z·s product is
+    blockwise-constant, so it expands the same way).  ``er_ref`` is None
+    when block_rows == 1 (scales already per-row).
+    """
+    if bits == 4:
+        w = unpack_int4_tile(q_ref[0, 0], d)
+    else:
+        w = q_ref[0, 0].astype(jnp.int32).astype(jnp.float32)
+    s = s_ref[0, 0].astype(jnp.float32)  # [bkv/br, d/bs]
+    z = z_ref[0, 0].astype(jnp.float32)
+    zs = z * s
+    if er_ref is not None:
+        er = er_ref[...]
+        s = jax.lax.dot(er, s, preferred_element_type=jnp.float32)
+        zs = jax.lax.dot(er, zs, preferred_element_type=jnp.float32)
+    ec = ec_ref[...]
+    s_full = jax.lax.dot(s, ec, preferred_element_type=jnp.float32)
+    zs_full = jax.lax.dot(zs, ec, preferred_element_type=jnp.float32)
+    return (w * s_full - zs_full).astype(compute_dtype)
+
+
+def block2d_expanders(block_rows: int, block_size: int, bkv: int, d: int):
+    """Host-side 0/1 expansion operands for
+    :func:`dequant_kv_tile_block2d`: (E_r [bkv, bkv/br] or None, E_c
+    [d/bs, d])."""
+    ec = np.equal(
+        np.arange(d)[None, :] // block_size,
+        np.arange(d // block_size)[:, None],
+    ).astype(np.float32)
+    if block_rows == 1:
+        return None, jnp.asarray(ec)
+    er = np.equal(
+        np.arange(bkv)[:, None] // block_rows,
+        np.arange(bkv // block_rows)[None, :],
+    ).astype(np.float32)
+    return jnp.asarray(er), jnp.asarray(ec)
+
+
 def _dequant_tile(qtile, scale_ref, zp_ref, j, k, *, cfg, bn, bk, out_dtype):
     """Widen + scale one [bn, bk] (or packed [bn, bk//2]) weight tile."""
     if cfg.bits == 4:

@@ -216,3 +216,88 @@ def test_scale_zero_point_cotangents_finite_diff():
     assert abs(float(g_s[idx]) - float(fd)) <= 0.05 * max(
         1.0, abs(float(fd))
     )
+
+
+# ---------------------------------------------------------------------------
+# BLOCK_2D in-kernel scales + Hadamard rotation + mixed K/V bits (r1 items
+# 2/4/5).
+# ---------------------------------------------------------------------------
+
+B2D8 = QuantConfig(
+    bits=8, granularity=QuantGranularity.BLOCK_2D,
+    strategy=QuantStrategy.CENTERED, block_rows=1, block_size=32,
+)
+B2D8R = QuantConfig(
+    bits=8, granularity=QuantGranularity.BLOCK_2D,
+    strategy=QuantStrategy.CENTERED, block_rows=8, block_size=32,
+)
+B2D4 = QuantConfig(
+    bits=4, granularity=QuantGranularity.BLOCK_2D,
+    strategy=QuantStrategy.CENTERED, block_rows=1, block_size=32,
+)
+
+
+@pytest.mark.parametrize(
+    "cfg", [B2D8, B2D8R, B2D4], ids=["b1x32", "b8x32", "b1x32-int4"]
+)
+@pytest.mark.parametrize("mask", [FULL, CAUSAL], ids=["full", "causal"])
+def test_block2d_matches_dequantized_golden(cfg, mask):
+    """In-kernel 2D blockwise scales (MXU-expanded) are EXACT vs the dense
+    reference on dequantized K/V — reference BLOCK_2D parity
+    (``AttentionKernel+Accumulate.swift:451-511``)."""
+    q, k, v = _data(d=128)
+    kq, vq = quantize(k, cfg), quantize(v, cfg)
+    o, _ = quantized_flash_attention_forward(q, kq, vq, mask=mask)
+    o_ref, _ = reference_attention(
+        q, kq.dequantize(), vq.dequantize(), mask=mask
+    )
+    assert float(jnp.max(jnp.abs(o - o_ref))) < 3e-5
+
+
+def test_mixed_bits_k8_v4():
+    """Per-operand bit widths: K int8 + V int4 (the production asymmetry —
+    K feeds the exp-sensitive score path)."""
+    q, k, v = _data(d=128)
+    kq, vq = quantize(k, B2D8), quantize(v, B2D4)
+    o, _ = quantized_flash_attention_forward(q, kq, vq, mask=CAUSAL)
+    o_ref, _ = reference_attention(
+        q, kq.dequantize(), vq.dequantize(), mask=CAUSAL
+    )
+    assert float(jnp.max(jnp.abs(o - o_ref))) < 3e-5
+    # end-to-end: K8V4 beats uniform int4 vs the fp32 reference
+    o_fp, _ = reference_attention(q, k, v, mask=CAUSAL)
+    rel_mixed = float(jnp.linalg.norm(o - o_fp) / jnp.linalg.norm(o_fp))
+    kq4, vq4 = quantize(k, ROW4), quantize(v, ROW4)
+    o4, _ = quantized_flash_attention_forward(q, kq4, vq4, mask=CAUSAL)
+    rel_int4 = float(jnp.linalg.norm(o4 - o_fp) / jnp.linalg.norm(o_fp))
+    assert rel_mixed < rel_int4
+
+
+def test_hadamard_rotated_kv_exact_and_outlier_win():
+    """hadamard_block: rotation is exact through the kernel (Q rotated in,
+    O un-rotated out) and reduces quantization error on heavy-tailed data
+    (the ConvRot claim, ``HadamardRotation.swift``)."""
+    from metal_flash_attention_plus_tpu.attention.quantized import (
+        QuantizedAttention,
+        QuantizedAttentionConfig,
+    )
+
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    b, h, s, d = 1, 2, 256, 64
+    q = jax.random.normal(ks[0], (b, h, s, d), jnp.float32)
+    k = jax.random.t(ks[1], 3.0, (b, h, s, d), jnp.float32)
+    v = jax.random.t(ks[2], 3.0, (b, h, s, d), jnp.float32)
+    o_fp, _ = reference_attention(q, k, v, mask=CAUSAL)
+
+    rels = {}
+    for had in (False, True):
+        cfg = QuantizedAttentionConfig(
+            key_bits=8, value_bits=8, hadamard=had
+        )
+        qa = QuantizedAttention(config=cfg, mask=CAUSAL)
+        o = qa(q, k, v)
+        rels[had] = float(
+            jnp.linalg.norm(o - o_fp) / jnp.linalg.norm(o_fp)
+        )
+    assert rels[True] < rels[False]  # outlier smoothing wins
+    assert rels[True] < 0.05
