@@ -213,6 +213,7 @@ class AttentionTuner:
         head_dim: int,
         seq_len: int,
         *,
+        kind: str = "fwd",  # "fwd" | "fwd_q" | "bwd"
         bits: int = 16,
         batch: int = 1,
         num_heads: int = 8,
@@ -220,9 +221,15 @@ class AttentionTuner:
         candidates: Optional[Tuple[Tuple[int, int], ...]] = None,
         iters: int = 20,
     ) -> BlockSizes:
-        """Measure forward candidates on the live device and persist the
-        winner (``MaskingStrategyHeuristic.calibrate`` analog — fastest of
-        real dispatches, then written to the JSON store)."""
+        """Measure candidates for the ACTUALLY-DISPATCHED kernel kind on the
+        live device and persist the winner (``MaskingStrategyHeuristic
+        .calibrate`` analog — the reference likewise times the real variant
+        it will dispatch, ``MaskingStrategyHeuristic.swift:207-302``).
+
+        ``kind``: "fwd" (float forward), "fwd_q" (quantized-KV forward at
+        ``bits``), "bwd" (dQ + dKV kernels; candidates tune the backward
+        block fields).
+        """
         import jax
         import jax.numpy as jnp
 
@@ -230,14 +237,13 @@ class AttentionTuner:
             CAUSAL,
             FULL,
         )
-        from metal_flash_attention_plus_tpu.ops.flash_attention import (
-            flash_attention_forward,
-        )
         from metal_flash_attention_plus_tpu.utils.profiling import measure
         from metal_flash_attention_plus_tpu.utils.roofline import (
             attention_flops,
         )
 
+        if kind not in ("fwd", "fwd_q", "bwd"):
+            raise ValueError(f"unknown calibration kind {kind!r}")
         if candidates is None:
             candidates = ((256, 512), (512, 512), (512, 1024), (256, 1024),
                           (512, 2048), (1024, 1024))
@@ -246,28 +252,92 @@ class AttentionTuner:
         q = jax.random.normal(ks[0], shape, jnp.bfloat16)
         k = jax.random.normal(ks[1], shape, jnp.bfloat16)
         v = jax.random.normal(ks[2], shape, jnp.bfloat16)
-        flops = attention_flops(
+        fwd_flops = attention_flops(
             seq_len, seq_len, head_dim, num_heads=num_heads, batch=batch
         ) / (2 if causal else 1)
+        # Backward ≈ (7D+10)/(2D+5) × forward by the reference's op model.
+        flops = fwd_flops * (
+            (7 * head_dim + 10) / (2 * head_dim + 5) if kind == "bwd" else 1
+        )
         mask = CAUSAL if causal else FULL
+
+        def make_fn(bs: BlockSizes):
+            if kind == "fwd":
+                from metal_flash_attention_plus_tpu.ops.flash_attention import (  # noqa: E501
+                    flash_attention_forward,
+                )
+
+                return jax.jit(
+                    lambda q, k, v: flash_attention_forward(
+                        q, k, v, mask=mask, block_sizes=bs, interpret=False
+                    )[0]
+                ), (q, k, v)
+            if kind == "fwd_q":
+                from metal_flash_attention_plus_tpu.ops.quantized_attention import (  # noqa: E501
+                    quantized_flash_attention_forward,
+                )
+                from metal_flash_attention_plus_tpu.quant.params import (
+                    QuantConfig,
+                    QuantGranularity,
+                    QuantStrategy,
+                )
+                from metal_flash_attention_plus_tpu.quant.tensor import (
+                    quantize,
+                )
+
+                cfg = QuantConfig(
+                    bits=bits if bits in (4, 8) else 8,
+                    granularity=QuantGranularity.ROW,
+                    strategy=QuantStrategy.CENTERED,
+                )
+                kq, vq = quantize(k, cfg), quantize(v, cfg)
+                return jax.jit(
+                    lambda q: quantized_flash_attention_forward(
+                        q, kq, vq, mask=mask, block_sizes=bs,
+                        interpret=False,
+                    )[0]
+                ), (q,)
+            # kind == "bwd": time dQ + dKV from saved residuals.
+            from metal_flash_attention_plus_tpu.ops.flash_attention import (
+                flash_attention_forward,
+            )
+            from metal_flash_attention_plus_tpu.ops.flash_attention_bwd import (  # noqa: E501
+                flash_attention_backward,
+            )
+
+            o, l = jax.jit(
+                lambda q, k, v: flash_attention_forward(
+                    q, k, v, mask=mask, interpret=False
+                )
+            )(q, k, v)
+            do = jnp.ones_like(q)
+            return jax.jit(
+                lambda q, k, v, o, l, do: flash_attention_backward(
+                    q, k, v, o, l, do, mask=mask, block_sizes=bs,
+                    interpret=False,
+                )[0]
+            ), (q, k, v, o, l, do)
 
         best: Tuple[float, Optional[BlockSizes]] = (0.0, None)
         for bq, bkv in candidates:
             if bq > seq_len + 127 or bkv > seq_len + 127:
                 continue
-            bs = BlockSizes(
-                block_q=bq, block_kv=bkv,
-                block_q_dkv=min(bq, 512),
-                block_kv_dkv=min(bkv, 512),
-                block_q_dq=min(bq, 512), block_kv_dq=min(bkv, 512),
-            )
-            f = jax.jit(
-                lambda q, k, v, bs=bs: flash_attention_forward(
-                    q, k, v, mask=mask, block_sizes=bs, interpret=False
-                )[0]
-            )
+            if kind == "bwd":
+                bs = BlockSizes(
+                    block_q=512, block_kv=512,
+                    block_q_dkv=bq, block_kv_dkv=bkv,
+                    block_q_dq=bq, block_kv_dq=bkv,
+                )
+            else:
+                bs = BlockSizes(
+                    block_q=bq, block_kv=bkv,
+                    block_q_dkv=min(bq, 512),
+                    block_kv_dkv=min(bkv, 512),
+                    block_q_dq=min(bq, 512), block_kv_dq=min(bkv, 512),
+                )
             try:
-                sec = measure(f, q, k, v, iters=iters, warmup=3)
+                f, args = make_fn(bs)
+                sec = measure(f, *args, iters=iters, warmup=3)
             except Exception:
                 continue
             tf = flops / sec / 1e12
@@ -275,6 +345,31 @@ class AttentionTuner:
                 best = (tf, bs)
         if best[1] is None:
             return default_block_sizes(head_dim, bits, causal)
-        key = TuneKey("fwd", head_dim, bits, seq_bucket(seq_len), causal)
+        key = TuneKey(kind, head_dim, bits, seq_bucket(seq_len), causal)
         self.record(key, best[1], best[0])
         return best[1]
+
+    def calibrate_all(
+        self,
+        head_dims=(64, 128, 256),
+        seq_lens=(4096,),
+        *,
+        causals=(True, False),
+        iters: int = 20,
+    ) -> Dict[str, dict]:
+        """Sweep {fwd, fwd_q(8), fwd_q(4), bwd} × head dims × seqs × masks
+        and persist every winner — the per-device calibration pass the
+        reference runs via ``warmUp(persistTo:)``."""
+        for d in head_dims:
+            for s in seq_lens:
+                for causal in causals:
+                    self.calibrate(d, s, kind="fwd", causal=causal,
+                                   iters=iters)
+                    for b in (8, 4):
+                        self.calibrate(d, s, kind="fwd_q", bits=b,
+                                       causal=causal, iters=iters)
+                    self.calibrate(d, s, kind="bwd", causal=causal,
+                                   iters=iters)
+        with self._lock:
+            self._ensure_loaded()
+            return dict(self._cache)

@@ -19,6 +19,7 @@ from metal_flash_attention_plus_tpu.models.transformer import (
     TransformerConfig,
     _merge_heads,
     _split_heads,
+    linear,
     rms_norm,
     rope,
 )
@@ -61,21 +62,21 @@ def prefill(
     hd = cfg.head_dim
     for li, layer in enumerate(params["layers"]):
         h = rms_norm(x, layer["ln1"])
-        q = _split_heads(h @ layer["wq"], cfg.num_heads, hd)
-        k = _split_heads(h @ layer["wk"], cfg.num_kv_heads, hd)
-        v = _split_heads(h @ layer["wv"], cfg.num_kv_heads, hd)
+        q = _split_heads(linear(h, layer["wq"]), cfg.num_heads, hd)
+        k = _split_heads(linear(h, layer["wk"]), cfg.num_kv_heads, hd)
+        v = _split_heads(linear(h, layer["wv"]), cfg.num_kv_heads, hd)
         q = rope(q, positions, cfg.rope_theta)
         k = rope(k, positions, cfg.rope_theta)
         cache = write_prompt(cache, li, k[0], v[0], page_row)
         o = flash_attention(q, k, v, mask=CAUSAL, block_sizes=cfg.block_sizes)
-        x = x + (_merge_heads(o.astype(x.dtype)) @ layer["wo"]).astype(x.dtype)
+        x = x + linear(_merge_heads(o.astype(x.dtype)), layer["wo"], x.dtype)
         h2 = rms_norm(x, layer["ln2"])
-        y = jax.nn.silu((h2 @ layer["wg"]).astype(jnp.float32)) * (
-            h2 @ layer["wu"]
-        ).astype(jnp.float32)
-        x = x + (y.astype(x.dtype) @ layer["wd"]).astype(x.dtype)
+        y = jax.nn.silu(linear(h2, layer["wg"], jnp.float32)) * linear(
+            h2, layer["wu"], jnp.float32
+        )
+        x = x + linear(y.astype(x.dtype), layer["wd"], x.dtype)
     hf = rms_norm(x[:, -1:], params["ln_f"])
-    logits = (hf @ params["unembed"]).astype(jnp.float32)
+    logits = linear(hf, params["unembed"], jnp.float32)
     return logits[0, 0], cache
 
 
@@ -103,9 +104,9 @@ def prefill_chunk(
     pos2d = positions[None]  # [1, C]
     for li, layer in enumerate(params["layers"]):
         h = rms_norm(x, layer["ln1"])
-        q = _split_heads(h @ layer["wq"], cfg.num_heads, hd)
-        k = _split_heads(h @ layer["wk"], cfg.num_kv_heads, hd)
-        v = _split_heads(h @ layer["wv"], cfg.num_kv_heads, hd)
+        q = _split_heads(linear(h, layer["wq"]), cfg.num_heads, hd)
+        k = _split_heads(linear(h, layer["wk"]), cfg.num_kv_heads, hd)
+        v = _split_heads(linear(h, layer["wv"]), cfg.num_kv_heads, hd)
         q = rope(q, pos2d, cfg.rope_theta)
         k = rope(k, pos2d, cfg.rope_theta)
         # Scatter this chunk's KV, then attend over prefix + chunk.
@@ -148,14 +149,14 @@ def prefill_chunk(
                 q[0], cache.k_pages[li], cache.v_pages[li], page_row, offset
             )  # [Hq, C, D]
         attn = o.transpose(1, 0, 2).reshape(1, c, -1).astype(x.dtype)
-        x = x + (attn @ layer["wo"]).astype(x.dtype)
+        x = x + linear(attn, layer["wo"], x.dtype)
         h2 = rms_norm(x, layer["ln2"])
-        y = jax.nn.silu((h2 @ layer["wg"]).astype(jnp.float32)) * (
-            h2 @ layer["wu"]
-        ).astype(jnp.float32)
-        x = x + (y.astype(x.dtype) @ layer["wd"]).astype(x.dtype)
+        y = jax.nn.silu(linear(h2, layer["wg"], jnp.float32)) * linear(
+            h2, layer["wu"], jnp.float32
+        )
+        x = x + linear(y.astype(x.dtype), layer["wd"], x.dtype)
     h_last = rms_norm(x[0, last_index][None, None], params["ln_f"])
-    logits = (h_last @ params["unembed"]).astype(jnp.float32)
+    logits = linear(h_last, params["unembed"], jnp.float32)
     return logits[0, 0], cache
 
 
@@ -173,9 +174,9 @@ def decode_step(
     hd = cfg.head_dim
     for li, layer in enumerate(params["layers"]):
         h = rms_norm(x, layer["ln1"])
-        q = _split_heads(h @ layer["wq"], cfg.num_heads, hd)  # [B, Hq, 1, D]
-        k = _split_heads(h @ layer["wk"], cfg.num_kv_heads, hd)
-        v = _split_heads(h @ layer["wv"], cfg.num_kv_heads, hd)
+        q = _split_heads(linear(h, layer["wq"]), cfg.num_heads, hd)  # [B, Hq, 1, D]
+        k = _split_heads(linear(h, layer["wk"]), cfg.num_kv_heads, hd)
+        v = _split_heads(linear(h, layer["wv"]), cfg.num_kv_heads, hd)
         pos2d = positions[:, None]  # [B, 1] — per-sequence RoPE position
         q = rope(q, pos2d, cfg.rope_theta)
         k = rope(k, pos2d, cfg.rope_theta)
@@ -191,14 +192,14 @@ def decode_step(
             k_scales=cache.k_scales[li] if cache.quantized else None,
             v_scales=cache.v_scales[li] if cache.quantized else None,
         )
-        x = x + (o[:, None, :, :].reshape(x.shape[0], 1, -1) @ layer["wo"]).astype(
-            x.dtype
+        x = x + linear(
+            o[:, None, :, :].reshape(x.shape[0], 1, -1), layer["wo"], x.dtype
         )
         h2 = rms_norm(x, layer["ln2"])
-        y = jax.nn.silu((h2 @ layer["wg"]).astype(jnp.float32)) * (
-            h2 @ layer["wu"]
-        ).astype(jnp.float32)
-        x = x + (y.astype(x.dtype) @ layer["wd"]).astype(x.dtype)
+        y = jax.nn.silu(linear(h2, layer["wg"], jnp.float32)) * linear(
+            h2, layer["wu"], jnp.float32
+        )
+        x = x + linear(y.astype(x.dtype), layer["wd"], x.dtype)
     hf = rms_norm(x, params["ln_f"])
-    logits = (hf @ params["unembed"]).astype(jnp.float32)
+    logits = linear(hf, params["unembed"], jnp.float32)
     return logits[:, 0], cache

@@ -97,6 +97,29 @@ def init_params(cfg: TransformerConfig, key: jax.Array) -> Params:
     )
 
 
+def linear(x: jnp.ndarray, w, out_dtype=None) -> jnp.ndarray:
+    """Projection that accepts dense [K, N] floats OR a W8 ``QuantizedTensor``
+    stored transposed [N, K] (``models.quantized_inference.quantize_weights``
+    layout) — the latter runs the dynamic W8A8 int8-MXU GEMM.  This is what
+    lets the serving executors run quantized weights transparently (the
+    reference's production quantized path,
+    ``QuantizedAttention.swift:135-263``)."""
+    from metal_flash_attention_plus_tpu.quant.tensor import QuantizedTensor
+
+    odt = out_dtype or x.dtype
+    if isinstance(w, QuantizedTensor):
+        from metal_flash_attention_plus_tpu.ops.quantized_gemm import (
+            dynamic_quantized_matmul,
+        )
+
+        lead = x.shape[:-1]
+        y = dynamic_quantized_matmul(
+            x.reshape(-1, x.shape[-1]), w, out_dtype=jnp.float32
+        )
+        return y.reshape(*lead, y.shape[-1]).astype(odt)
+    return (x @ w).astype(odt)
+
+
 def rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)

@@ -269,3 +269,46 @@ def test_engine_with_quantized_cache():
     )
     total = sum(len(outs[False][rid]) for rid in prompts)
     assert agree / total >= 0.8, (outs[False], outs[True])
+
+
+def test_engine_with_quantized_weights():
+    """W8A8 weights in the serving executors (r1 item 6): the engine over
+    ``quantize_weights`` params must reproduce greedy decoding of the
+    UNCACHED quantized forward — the quantized twin of
+    ``test_engine_matches_uncached_greedy``."""
+    from metal_flash_attention_plus_tpu.runtime import native_available
+
+    if not native_available():
+        pytest.skip("native runtime unavailable")
+    from metal_flash_attention_plus_tpu.models.quantized_inference import (
+        quantized_forward,
+        quantize_weights,
+    )
+    from metal_flash_attention_plus_tpu.serving.engine import (
+        GenerationRequest,
+        ServingEngine,
+    )
+
+    params = init_params(CFG, jax.random.PRNGKey(0))
+    qparams = quantize_weights(params)
+
+    def _uncached_greedy_q(prompt, n):
+        toks = list(prompt)
+        for _ in range(n):
+            logits = quantized_forward(
+                qparams, jnp.asarray([toks]), CFG
+            )
+            toks.append(int(jnp.argmax(logits[0, -1])))
+        return toks[len(prompt):]
+
+    prompts = {1: [5, 9, 17, 3, 22, 8, 1], 2: [100, 42]}
+    engine = ServingEngine(
+        qparams, CFG, num_pages=32, page_tokens=16, max_batch=2,
+        cache_dtype=jnp.float32, chunk_size=16,
+    )
+    for rid, p in prompts.items():
+        engine.submit(GenerationRequest(rid, p, max_new_tokens=5))
+    out = engine.run()
+    for rid, p in prompts.items():
+        expect = _uncached_greedy_q(p, 5)
+        assert out[rid] == expect, (rid, out[rid], expect)
