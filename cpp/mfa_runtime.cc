@@ -46,42 +46,54 @@ extern "C" int mfa_resolve_blocks(int32_t head_dim, int32_t bits,
   if (vmem_budget_bytes <= 0) vmem_budget_bytes = 14LL << 20;  // ~16MB - slack
 
   // Cold-start table mirroring attention/tuning.py::default_block_sizes —
-  // measured on v5e after the packed-pair schedule (docs/perf_notes.md):
-  // causal float peaks at (1024,1024)/(512,512)/(1024,1024) for
-  // d=64/128/256; full-mask float at (1024,1024); quantized K/V at
-  // (1024,1024) everywhere ≤ 256.
-  int32_t bq, bkv;
-  if (bits <= 8) {
-    bq = head_dim <= 256 ? 1024 : 512;
-    bkv = head_dim <= 256 ? 1024 : 512;
-  } else if (head_dim > 256) {
-    bq = 256;
-    bkv = 512;
-  } else if (causal != 0 && head_dim > 64 && head_dim <= 128) {
-    bq = 512;
-    bkv = 512;
+  // round-2 two-level rework measured on v5e (docs/perf_notes.md
+  // "Two-level KV tiling"): block_kv_major is the per-grid-step KV slab.
+  int32_t bq, bkv, bkvm;
+  if (head_dim > 128) {
+    bq = 1024; bkv = 512; bkvm = 1024;
+  } else if (causal != 0 || head_dim > 64) {
+    bq = 512; bkv = 512; bkvm = 4096;
   } else {
-    bq = 1024;
-    bkv = 1024;
+    bq = 1024; bkv = 1024; bkvm = 2048;
   }
 
-  // Shrink (kv first, then q) until the VMEM model fits the budget.
-  while (mfa_fwd_step_vmem_bytes(bq, bkv, head_dim, bits) >
-             vmem_budget_bytes &&
-         (bq > 128 || bkv > 128)) {
-    if (bkv > bq && bkv > 128) {
+  // Shrink (major slab first, then kv, then q) until the VMEM model —
+  // with the MAJOR slab as the double-buffered KV resident — fits.
+  auto step_bytes = [&]() {
+    const int64_t d = std::max<int32_t>(head_dim, 128);
+    const int64_t in_bytes = bits <= 8 ? 1 : 2;
+    int64_t q_tile = 2LL * bq * d * 2;
+    int64_t kv_tiles = 2LL * 2 * bkvm * d * in_bytes;
+    int64_t acc = 4LL * bq * d;
+    int64_t stats = 2LL * 4 * bq * 128;
+    int64_t scores = 4LL * bq * bkv;
+    return q_tile + kv_tiles + acc + stats + scores;
+  };
+  while (step_bytes() > vmem_budget_bytes &&
+         (bq > 128 || bkv > 128 || bkvm > bkv)) {
+    if (bkvm > bkv) {
+      bkvm /= 2;
+    } else if (bkv > bq && bkv > 128) {
       bkv /= 2;
+      bkvm = bkv;
     } else if (bq > 128) {
       bq /= 2;
     } else {
       bkv /= 2;
+      bkvm = bkv;
     }
   }
   bq = std::max(bq, 128);
   bkv = std::max(bkv, 128);
+  bkvm = std::max(bkvm, bkv);
 
   out->block_q = bq;
   out->block_kv = bkv;
+  // Major slab shrinks with the inner tile under VMEM pressure (and never
+  // drops below it — 0 would mean single-level, keep it explicit).
+  out->block_kv_major = std::max(bkvm, bkv);
+  if (out->block_kv_major % bkv != 0)
+    out->block_kv_major = (out->block_kv_major / bkv) * bkv;
   // Backward kernels: (512, 512) measured best (docs/perf_notes.md).
   out->block_q_dkv = std::min(bq, 512);
   out->block_kv_dkv = std::min(bkv, 512);
@@ -116,6 +128,7 @@ extern "C" MfaCalibCache* mfa_calib_open(const char* path) {
       std::string key;
       MfaCalibCache::Entry e;
       if (ss >> key >> e.tflops >> e.cfg.block_q >> e.cfg.block_kv >>
+          e.cfg.block_kv_major >>
           e.cfg.block_q_dkv >> e.cfg.block_kv_dkv >> e.cfg.block_q_dq >>
           e.cfg.block_kv_dq) {
         c->entries[key] = e;
@@ -154,7 +167,8 @@ extern "C" int mfa_calib_save(MfaCalibCache* c) {
     if (!outf) return -1;
     for (const auto& [key, e] : c->entries) {
       outf << key << ' ' << e.tflops << ' ' << e.cfg.block_q << ' '
-           << e.cfg.block_kv << ' ' << e.cfg.block_q_dkv << ' '
+           << e.cfg.block_kv << ' ' << e.cfg.block_kv_major << ' '
+           << e.cfg.block_q_dkv << ' '
            << e.cfg.block_kv_dkv << ' ' << e.cfg.block_q_dq << ' '
            << e.cfg.block_kv_dq << '\n';
     }

@@ -33,6 +33,7 @@ extern "C" {
 typedef struct {
   int32_t block_q;
   int32_t block_kv;
+  int32_t block_kv_major;  // two-level KV slab (0 = single-level)
   int32_t block_q_dkv;
   int32_t block_kv_dkv;
   int32_t block_q_dq;

@@ -56,26 +56,26 @@ def default_block_sizes(
     / sparse masks run the packed-pair grid, whose optimum differs from
     the full-mask dense grid at d=128 — docs/perf_notes.md).
     """
-    # Measured on v5e AFTER the packed-pair schedule (docs/perf_notes.md,
-    # S=4K interleaved sweeps): causal float peaks at (1024,1024) /
-    # (512,512) / (1024,1024) for d=64/128/256; full-mask float at
-    # (1024,1024) for all three; quantized K/V (smaller tiles, dequant
-    # amortization) at (1024,1024) everywhere.  Larger → VMEM OOM;
-    # non-power-of-2 loses outright.
-    if bits <= 8:
-        bq, bkv = (1024, 1024) if head_dim <= 256 else (512, 512)
-    elif head_dim > 256:
-        bq, bkv = 256, 512
-    elif causal and 64 < head_dim <= 128:
-        bq, bkv = 512, 512
+    # Measured on v5e AFTER the round-2 two-level rework (docs/perf_notes
+    # .md "Two-level KV tiling"): block_kv_major is the per-grid-step KV
+    # slab (inner unroll → MXU/VPU overlap).  S=4K sweep, TF/s:
+    #   d=64  causal (512,512,M4096)=27.6   full (1024,1024,M2048)=44.8
+    #   d=128 causal (512,512,M4096)=60.7   full (512,512,M4096)=97.5
+    #   d=256 causal (1024,512,M1024)~87*   full (1024,512,M1024)=131.1
+    #   (* packed schedule engages at that geometry)
+    if head_dim > 128:
+        bq, bkv, bkvm = 1024, 512, 1024
+    elif causal or head_dim > 64:
+        bq, bkv, bkvm = 512, 512, 4096
     else:
-        bq, bkv = 1024, 1024
+        bq, bkv, bkvm = 1024, 1024, 2048
     # Backward: (512, 512) for both kernels measured best at d=64/256
     # (33.7 / 85.2 TF/s); d=128 marginally prefers (1024, 512)+(512, 1024)
     # (66.2 vs 58.6) — kept uniform pending a finer sweep.
     return BlockSizes(
         block_q=bq,
         block_kv=bkv,
+        block_kv_major=bkvm,
         block_q_dkv=min(bq, 512),
         block_kv_dkv=min(bkv, 512),
         block_q_dq=min(bq, 512),
@@ -245,8 +245,12 @@ class AttentionTuner:
         if kind not in ("fwd", "fwd_q", "bwd"):
             raise ValueError(f"unknown calibration kind {kind!r}")
         if candidates is None:
-            candidates = ((256, 512), (512, 512), (512, 1024), (256, 1024),
-                          (512, 2048), (1024, 1024))
+            # (bq, bkv[, bkv_major]) — two-level geometries lead.
+            candidates = (
+                (512, 512, 4096), (512, 512, 2048), (1024, 512, 1024),
+                (1024, 1024, 2048), (512, 1024, 2048), (512, 512),
+                (1024, 1024), (256, 512),
+            )
         ks = jax.random.split(jax.random.PRNGKey(0), 3)
         shape = (batch, num_heads, seq_len, head_dim)
         q = jax.random.normal(ks[0], shape, jnp.bfloat16)
@@ -319,7 +323,9 @@ class AttentionTuner:
             ), (q, k, v, o, l, do)
 
         best: Tuple[float, Optional[BlockSizes]] = (0.0, None)
-        for bq, bkv in candidates:
+        for cand in candidates:
+            bq, bkv = cand[0], cand[1]
+            bkvm = cand[2] if len(cand) > 2 else 0
             if bq > seq_len + 127 or bkv > seq_len + 127:
                 continue
             if kind == "bwd":
@@ -330,7 +336,7 @@ class AttentionTuner:
                 )
             else:
                 bs = BlockSizes(
-                    block_q=bq, block_kv=bkv,
+                    block_q=bq, block_kv=bkv, block_kv_major=bkvm,
                     block_q_dkv=min(bq, 512),
                     block_kv_dkv=min(bkv, 512),
                     block_q_dq=min(bq, 512), block_kv_dq=min(bkv, 512),

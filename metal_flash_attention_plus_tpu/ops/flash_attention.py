@@ -66,12 +66,18 @@ LANES = 128
 class BlockSizes:
     """Seq-tile sizes — the analog of the reference's per-device parameter
     tables (``AttentionDescriptor+Parameters.swift:74-292``), chosen by VMEM
-    budget and VPU:MXU work ratio instead of register pressure.  Large KV
-    blocks amortize the per-block softmax VPU work against MXU time; the
-    wrapper clamps blocks to the (padded) problem size."""
+    budget and VPU:MXU work ratio instead of register pressure.
+
+    TWO-LEVEL KV tiling (round-2 rework, docs/perf_notes.md "Two-level"):
+    ``block_kv`` is the INNER compute tile; ``block_kv_major`` (a multiple
+    of it; 0 → equal, i.e. single-level) is the KV slab one grid step
+    fetches and processes with an unrolled inner loop — Mosaic interleaves
+    subtile t+1's QKᵀ (MXU) with subtile t's softmax (VPU), which one-tile
+    bodies cannot do.  Measured +7-35%% on v5e at every head dim."""
 
     block_q: int = 512
     block_kv: int = 512
+    block_kv_major: int = 0  # 0 → = block_kv (single-level)
     # Backward tiles (used by flash_attention_bwd kernels).  (512, 512)
     # measured best for both bwd kernels on v5e (docs/perf_notes.md).
     block_q_dkv: int = 512
@@ -82,8 +88,19 @@ class BlockSizes:
     def __post_init__(self):
         for f in dataclasses.fields(self):
             v = getattr(self, f.name)
+            if f.name == "block_kv_major":
+                if v and v % self.block_kv != 0:
+                    raise ValueError(
+                        f"block_kv_major={v} must be a multiple of "
+                        f"block_kv={self.block_kv}"
+                    )
+                continue
             if v % 128 != 0:
                 raise ValueError(f"{f.name}={v} must be a multiple of 128")
+
+    @property
+    def kv_major(self) -> int:
+        return self.block_kv_major or self.block_kv
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -321,42 +338,53 @@ def resolve_mask_mode(mask: MaskSpec, has_mask: bool, sq: int, skv: int):
     return "ranges", (0, 0, 0, 0)
 
 
+LOG2E = float(np.log2(np.e))
+LN2 = float(np.log(2.0))
+
+
 def _fwd_kernel(
-    # scalar prefetch: (lo, hi) per q-block; packed adds (q0, q1, n0, t)
+    # scalar prefetch: (lo, hi, loi, hii) per q-block (major + inner
+    # granularity); packed prepends (q0, q1, n0, t)
     *all_refs,
     block_q: int,
-    block_kv: int,
+    block_kv: int,  # INNER compute tile
+    n_inner: int,  # subtiles per grid step (major = n_inner * block_kv)
     head_dim: int,
+    dv: int,  # V tile width (= round_up(d, 128) in ones mode)
     mask_mode: str,  # "none" | "affine" | "ranges"
     affine: Tuple[int, int, int, int],  # (A, B, seq_q, cap): see wrapper
     row_base: int,  # global row of this dispatch's first q-block (wavefront)
     has_bias: bool,
     mask_value: float,
     precision,
+    inner_skip: bool = False,
+    ones: bool = False,
     packed: bool = False,
 ):
-    # Dense (i, j) schedule: grid j spans the widest live window; dead steps
-    # (j past this q-block's window) skip compute with `when` and their
-    # index maps clamp to the previous block so no fetch is issued.  This
-    # measured 1.3× faster on causal than the flattened live-tile schedule:
-    # q-block transitions there cost ~185 µs of pipeline stall each, while
-    # a dead step costs ~26 µs (docs/perf_notes.md).
+    # TWO-LEVEL schedule (round-2 rework, docs/perf_notes.md): each grid
+    # step owns a MAJOR KV slab and runs an unrolled inner loop over
+    # ``n_inner`` compute tiles — the unroll lets Mosaic overlap subtile
+    # t+1's QKᵀ (MXU) with subtile t's softmax (VPU), which the previous
+    # one-tile-per-step body serialized.  Dead grid steps still skip via
+    # `pl.when` + clamped index maps; ragged windows additionally skip dead
+    # INNER subtiles against the inner-granularity bounds (``inner_skip``).
     #
-    # Builtin masks (causal / sliding window / padding) are AFFINE in the
-    # row index — start/end = row + static offset — rebuilt from iota +
-    # closure constants ("function constants"); data-driven range masks
-    # (sparse ranges / block-sparse) stream rs/re tiles.  Masking is applied
-    # UNCONDITIONALLY on every live tile: a `lax.cond` boundary-skip
-    # measured 0.56 ms/dispatch (it spills the score tile across the
-    # branch), while the fused iota/where masking itself is free
-    # (docs/perf_notes.md).
+    # ``ones`` (d % 128 != 0): V is padded to ``dv`` lanes with ONES — the
+    # PV dot then produces rowsum(p) in the spare lanes for free (the MXU
+    # pads to 128 lanes anyway), eliminating the separate l sum-reduce VPU
+    # pass AND the [:, :1] lane-broadcast relayouts of the d<128 path.
+    # Measured +25-35% at d=64.
+    #
+    # Softmax runs in BASE 2 (log2(e) folded into the Q pre-scale; exp2
+    # on the VPU; L converted back to natural log at store).
     has_mask = mask_mode != "none"
     if packed:
         # Packed-pair schedule: grid row r = two contiguous segments
         # (q-blocks q0, q1).  Steps past t are padding: index maps clamp,
         # nothing initializes/computes/stores.
-        q0_ref, q1_ref, n0_ref, t_ref, lo_ref, hi_ref = all_refs[:6]
-        refs = all_refs[6:]
+        (q0_ref, q1_ref, n0_ref, t_ref,
+         lo_ref, hi_ref, loi_ref, hii_ref) = all_refs[:8]
+        refs = all_refs[8:]
         r = pl.program_id(2)
         j = pl.program_id(3)
         n0 = n0_ref[r]
@@ -373,8 +401,8 @@ def _fwd_kernel(
         )
         store_cond = jnp.logical_and(valid, jj == jnp.maximum(run, 1) - 1)
     else:
-        lo_ref, hi_ref = all_refs[:2]
-        refs = all_refs[2:]
+        lo_ref, hi_ref, loi_ref, hii_ref = all_refs[:4]
+        refs = all_refs[4:]
         row_block = pl.program_id(2)
         j = pl.program_id(3)
         jj = j
@@ -391,33 +419,44 @@ def _fwd_kernel(
     if has_bias:
         bias_ref = refs[0]
         refs = refs[1:]
-    o_ref, l_ref, m_scr, l_scr, acc_scr = refs
+    if ones:
+        o_ref, l_ref, m_scr, acc_scr = refs
+        l_scr = None
+    else:
+        o_ref, l_ref, m_scr, l_scr, acc_scr = refs
 
-    kvj = lo + jj
+    kvj = lo + jj  # major kv block index
+    loi = loi_ref[row_block]
+    hii = hii_ref[row_block]
 
     @pl.when(init_cond)
     def _init():
         m_scr[...] = jnp.full_like(m_scr, NEG_INF)
-        l_scr[...] = jnp.zeros_like(l_scr)
+        if not ones:
+            l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    @pl.when(live)
-    def _compute():
-        q = q_ref[0, 0]  # [block_q, D] (pre-scaled by softmax scale)
-        k = k_ref[0, 0]  # [block_kv, D]
+    def _inner(t):
+        q = q_ref[0, 0]  # [bq, D] (pre-scaled by scale·log2e)
+        k = k_ref[0, 0, pl.ds(t * block_kv, block_kv), :]
         s = jax.lax.dot_general(
-            q,
-            k,
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision,
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
         )
+        inner_idx = kvj * n_inner + t
         if has_bias:
-            s += bias_ref[0, 0].astype(jnp.float32)
+            # Scores are in the log2 domain (scale·log2e folded into Q);
+            # the additive bias must be converted too.
+            s += bias_ref[
+                0, 0, :, pl.ds(t * block_kv, block_kv)
+            ].astype(jnp.float32) * LOG2E
         if has_mask:
+            # Masking is applied UNCONDITIONALLY on live tiles: the fused
+            # iota/where pass is free, while branching around it spills the
+            # score tile (~70 µs/tile) — docs/perf_notes.md.
             col = (
                 jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
-                + kvj * block_kv
+                + inner_idx * block_kv
             )
             if mask_mode == "affine":
                 a_off, b_off, seq_q, cap = affine
@@ -436,64 +475,104 @@ def _fwd_kernel(
                 keep = jnp.logical_and(col >= rs_ref[...], col < re_ref[...])
             s = jnp.where(keep, s, mask_value)
 
-        m_prev = m_scr[...]  # [block_q, 128] lane-replicated
-        l_prev = l_scr[...]
-        m_curr = jnp.max(s, axis=1, keepdims=True)  # [block_q, 1]
-        m_next = jnp.maximum(m_prev, m_curr)  # [block_q, 128]
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - pltpu.repeat(m_next, block_kv // LANES, axis=1))
-        l_scr[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_prev = m_scr[...]  # [bq, 128] lane-replicated
+        m_curr = jnp.max(s, axis=1, keepdims=True)  # [bq, 1]
+        m_next = jnp.maximum(m_prev, m_curr)  # [bq, 128]
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(s - pltpu.repeat(m_next, block_kv // LANES, axis=1))
         m_scr[...] = m_next
 
-        v = v_ref[0, 0]  # [block_kv, D]
+        v = v_ref[0, 0, pl.ds(t * block_kv, block_kv), :]  # [bkv, dv]
         pv = jax.lax.dot(
-            p.astype(v.dtype),
-            v,
-            preferred_element_type=jnp.float32,
-            precision=precision,
+            p.astype(v.dtype), v,
+            preferred_element_type=jnp.float32, precision=precision,
         )
-        if head_dim == LANES:
-            acc_scr[...] = acc_scr[...] * alpha + pv
-        elif head_dim % LANES == 0:
-            acc_scr[...] = (
-                acc_scr[...] * pltpu.repeat(alpha, head_dim // LANES, axis=1)
-                + pv
+        if ones:
+            a_wide = (
+                alpha if dv == LANES
+                else pltpu.repeat(alpha, dv // LANES, axis=1)
             )
+            acc_scr[...] = acc_scr[...] * a_wide + pv
         else:
-            acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+            l_scr[...] = (
+                alpha * l_scr[...] + jnp.sum(p, axis=1, keepdims=True)
+            )
+            if head_dim == LANES:
+                acc_scr[...] = acc_scr[...] * alpha + pv
+            elif head_dim % LANES == 0:
+                acc_scr[...] = (
+                    acc_scr[...]
+                    * pltpu.repeat(alpha, head_dim // LANES, axis=1)
+                    + pv
+                )
+            else:
+                acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+
+    @pl.when(live)
+    def _compute():
+        for t in range(n_inner):
+            if inner_skip and n_inner > 1:
+                g = kvj * n_inner + t
+
+                @pl.when(jnp.logical_and(g >= loi, g < hii))
+                def _(t=t):
+                    _inner(t)
+            else:
+                _inner(t)
 
     @pl.when(store_cond)
     def _store():
-        lsum = l_scr[...]  # [block_q, 128]
-        safe = jnp.where(lsum == 0.0, 1.0, lsum)
-        if head_dim == LANES:
-            out = acc_scr[...] / safe
-        elif head_dim % LANES == 0:
-            out = acc_scr[...] / pltpu.repeat(safe, head_dim // LANES, axis=1)
+        if ones:
+            acc = acc_scr[...]
+            lsum_w = acc[:, head_dim:]  # [bq, dv - d] replicated rowsums
+            lsum = lsum_w[:, :1]
+            safe1 = jnp.where(lsum == 0.0, 1.0, lsum)
+            if dv - head_dim >= head_dim:
+                denom = jnp.where(
+                    lsum_w[:, :head_dim] == 0.0, 1.0,
+                    lsum_w[:, :head_dim],
+                )
+            else:
+                denom = safe1
+            out = acc[:, :head_dim] / denom
+            m1 = m_scr[...][:, :1]
+            lse1 = jnp.where(
+                lsum > 0.0, m1 * LN2 + jnp.log(safe1), NEG_INF
+            )
+            lse = jnp.broadcast_to(lse1, (block_q, LANES))
         else:
-            out = acc_scr[...] / safe[:, :1]
-        m = m_scr[...]
-        lse = jnp.where(lsum > 0.0, m + jnp.log(safe), NEG_INF)
+            lsum = l_scr[...]  # [bq, 128]
+            safe = jnp.where(lsum == 0.0, 1.0, lsum)
+            if head_dim == LANES:
+                out = acc_scr[...] / safe
+            elif head_dim % LANES == 0:
+                out = acc_scr[...] / pltpu.repeat(
+                    safe, head_dim // LANES, axis=1
+                )
+            else:
+                out = acc_scr[...] / safe[:, :1]
+            m = m_scr[...]
+            lse = jnp.where(
+                lsum > 0.0, m * LN2 + jnp.log(safe), NEG_INF
+            )
         if has_mask:
             # Rows whose whole range is empty self-accumulate the uniform
             # exp(0) garbage of the sentinel trick; zero them explicitly.
-            # (Fully-empty q-blocks take this path at j == 0 with zeroed
-            # scratch: lsum == 0 → out 0, lse -inf.)
             if mask_mode == "affine":
                 a_off, b_off, seq_q, cap = affine
                 row = (
                     jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
                     + row_base + row_block * block_q
                 )
-                live = jnp.logical_and(
+                live_rows = jnp.logical_and(
                     row < seq_q,
                     jnp.minimum(cap, row + b_off)
                     > jnp.maximum(0, row + a_off),
                 )
             else:
-                live = re_ref[...] > rs_ref[...]  # [block_q, 1]
-            out = jnp.where(live, out, 0.0)
-            lse = jnp.where(live, lse, NEG_INF)
+                live_rows = re_ref[...] > rs_ref[...]  # [bq, 1]
+            out = jnp.where(live_rows, out, 0.0)
+            lse = jnp.where(live_rows, lse, NEG_INF)
         o_ref[0, 0] = out.astype(o_ref.dtype)
         l_ref[0, 0] = lse
 
@@ -541,19 +620,36 @@ def flash_attention_forward(
 
     bq = min(block_sizes.block_q, _round_up(sq, 128))
     bkv = min(block_sizes.block_kv, _round_up(skv, 128))
+    # Two-level KV tiling: a grid step fetches a MAJOR slab of n_inner
+    # inner tiles (BlockSizes docstring; measured wins in perf_notes.md).
+    bkv_major = min(
+        max(block_sizes.kv_major, bkv), _round_up(skv, bkv)
+    )
+    bkv_major -= bkv_major % bkv
+    n_inner = bkv_major // bkv
     sq_p = _round_up(sq, bq)
-    skv_p = _round_up(skv, bkv)
+    skv_p = _round_up(skv, bkv_major)
 
     # Fold the softmax scale into Q once (fp32 accumulate, then back to the
-    # input dtype) instead of scaling every score tile.
-    if scale != 1.0:
-        q = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    # input dtype) — together with log2(e): the kernel softmax runs in
+    # base 2 (exp2) and converts L back to natural log at store.
+    q = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
+
+    # ones-fused rowsum (kernel docstring): for d % 128 != 0 pad V to the
+    # next lane multiple with ONES — the PV dot emits rowsum(p) in the
+    # spare lanes for free and the separate l pass disappears.
+    ones = (d % LANES) != 0
+    dv = _round_up(d, LANES) if ones else d
 
     if sq_p != sq:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
     if skv_p != skv:
         k = jnp.pad(k, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
+    if ones:
+        v = jnp.concatenate(
+            [v, jnp.ones((b, hkv, skv_p, dv - d), v.dtype)], axis=-1
+        )
     if bias is not None:
         pb = [
             (0, 0),
@@ -578,7 +674,10 @@ def flash_attention_forward(
         row_ranges = compute_row_ranges_dynamic(
             mask_ranges, sq, skv, sq_p, skv
         )
-        lo_arr, hi_arr = build_block_bounds_dynamic(row_ranges, bq, bkv)
+        lo_arr, hi_arr = build_block_bounds_dynamic(
+            row_ranges, bq, bkv_major
+        )
+        loi_arr, hii_arr = build_block_bounds_dynamic(row_ranges, bq, bkv)
         mask_mode, affine = "ranges", (0, 0, 0, 0)
     else:
         row_ranges = compute_row_ranges(
@@ -590,11 +689,26 @@ def flash_attention_forward(
             seq_kv_cap=skv,
         )
         lo_arr, hi_arr, _ms_arr, _me_arr = build_block_bounds(
-            row_ranges, bq, bkv
+            row_ranges, bq, bkv_major
         )
+        loi_arr, hii_arr, _, _ = build_block_bounds(row_ranges, bq, bkv)
         mask_mode, affine = resolve_mask_mode(mask, has_mask, sq, skv)
+    # Inner-subtile skipping only pays when the major-granularity window
+    # over-covers the inner-granularity one (e.g. causal with block_q <
+    # block_kv_major); when every inner tile of every live major is live,
+    # the per-subtile `pl.when` is pure branch overhead (measured ~15% at
+    # d=256) — disable it.
+    if dynamic:
+        inner_skip = has_mask and n_inner > 1
+    else:
+        _cap = int((hi_arr - lo_arr).sum()) * n_inner
+        _livei = int((hii_arr - loi_arr).sum())
+        inner_skip = (
+            has_mask and n_inner > 1
+            and (_cap - _livei) > 0.05 * max(1, _livei)
+        )
     ni = sq_p // bq
-    nj_all = skv_p // bkv
+    nj_all = skv_p // bkv_major  # grid width is in MAJOR blocks
     q_per_kv = hq // hkv
 
     def kv_head(h):
@@ -631,10 +745,10 @@ def flash_attention_forward(
         if mask_mode == "ranges":
             in_specs += [
                 pl.BlockSpec(
-                    (bq, 1), lambda bi, h, i, j, lo, hi: (i0 + i, 0)
+                    (bq, 1), lambda bi, h, i, j, *r: (i0 + i, 0)
                 ),
                 pl.BlockSpec(
-                    (bq, 1), lambda bi, h, i, j, lo, hi: (i0 + i, 0)
+                    (bq, 1), lambda bi, h, i, j, *r: (i0 + i, 0)
                 ),
             ]
             inputs += [
@@ -643,17 +757,17 @@ def flash_attention_forward(
             ]
         in_specs += [
             pl.BlockSpec(
-                (1, 1, bq, d), lambda bi, h, i, j, lo, hi: (bi, h, i0 + i, 0)
+                (1, 1, bq, d), lambda bi, h, i, j, *r: (bi, h, i0 + i, 0)
             ),
             pl.BlockSpec(
-                (1, 1, bkv, d),
-                lambda bi, h, i, j, lo, hi: (
+                (1, 1, bkv_major, d),
+                lambda bi, h, i, j, lo, hi, *r: (
                     bi, kv_head(h), kv_block(i, j, lo, hi), 0
                 ),
             ),
             pl.BlockSpec(
-                (1, 1, bkv, d),
-                lambda bi, h, i, j, lo, hi: (
+                (1, 1, bkv_major, dv),
+                lambda bi, h, i, j, lo, hi, *r: (
                     bi, kv_head(h), kv_block(i, j, lo, hi), 0
                 ),
             ),
@@ -663,7 +777,7 @@ def flash_attention_forward(
             bias_batch_bcast = bias.shape[0] == 1
             bias_head_bcast = bias.shape[1] == 1
 
-            def bias_map(bi, h, i, j, lo, hi):
+            def bias_map(bi, h, i, j, lo, hi, *r):
                 return (
                     0 if bias_batch_bcast else bi,
                     0 if bias_head_bcast else h,
@@ -671,14 +785,16 @@ def flash_attention_forward(
                     kv_block(i, j, lo, hi),
                 )
 
-            in_specs.append(pl.BlockSpec((1, 1, bq, bkv), bias_map))
+            in_specs.append(pl.BlockSpec((1, 1, bq, bkv_major), bias_map))
             inputs.append(bias)
 
         kernel = functools.partial(
             _fwd_kernel,
             block_q=bq,
             block_kv=bkv,
+            n_inner=n_inner,
             head_dim=d,
+            dv=dv,
             mask_mode=mask_mode,
             # Affine row offsets are absolute; shift the kernel's i by i0
             # via the seq/row constants staying global — the kernel indexes
@@ -689,6 +805,8 @@ def flash_attention_forward(
             has_bias=bias is not None,
             mask_value=mask_value,
             precision=precision,
+            inner_skip=inner_skip,
+            ones=ones,
         )
 
         out_shape = [
@@ -697,23 +815,25 @@ def flash_attention_forward(
         ]
         out_specs = [
             pl.BlockSpec(
-                (1, 1, bq, d), lambda bi, h, i, j, lo, hi: (bi, h, i, 0)
+                (1, 1, bq, d), lambda bi, h, i, j, *r: (bi, h, i, 0)
             ),
             pl.BlockSpec(
-                (1, 1, bq, LANES), lambda bi, h, i, j, lo, hi: (bi, h, i, 0)
+                (1, 1, bq, LANES), lambda bi, h, i, j, *r: (bi, h, i, 0)
             ),
         ]
 
+        scratch = [pltpu.VMEM((bq, LANES), jnp.float32)]  # m
+        if not ones:
+            scratch.append(pltpu.VMEM((bq, LANES), jnp.float32))  # l
+        scratch.append(
+            pltpu.VMEM((bq, dv if ones else d), jnp.float32)  # acc
+        )
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=4,
             grid=(b, hq, ni_part, nj_max),
             in_specs=in_specs,
             out_specs=out_specs,
-            scratch_shapes=[
-                pltpu.VMEM((bq, LANES), jnp.float32),  # m (lane-replicated)
-                pltpu.VMEM((bq, LANES), jnp.float32),  # l
-                pltpu.VMEM((bq, d), jnp.float32),  # acc
-            ],
+            scratch_shapes=scratch,
         )
 
         if dynamic:
@@ -730,15 +850,17 @@ def flash_attention_forward(
                 ),
             ),
             cost_estimate=pl.CostEstimate(
-                flops=4 * b * hq * live_tiles * bq * bkv * d,
+                flops=4 * b * hq * live_tiles * bq * bkv_major * d,
                 bytes_accessed=(q.size + k.size + v.size)
                 * q.dtype.itemsize,
-                transcendentals=b * hq * live_tiles * bq * bkv,
+                transcendentals=b * hq * live_tiles * bq * bkv_major,
             ),
             interpret=interpret,
         )(
             jnp.asarray(lo_part),
             jnp.asarray(hi_part),
+            jnp.asarray(loi_arr[i0:i1]),
+            jnp.asarray(hii_arr[i0:i1]),
             *inputs,
         )
 
@@ -769,7 +891,7 @@ def flash_attention_forward(
         if mask_mode == "ranges":
             rspec = pl.BlockSpec(
                 (bq, 1),
-                lambda bi, h, r, j, q0, q1, n0, t, lo, hi: (
+                lambda bi, h, r, j, q0, q1, n0, t, *rest: (
                     qi_of(r, j, q0, q1, n0, t), 0
                 ),
             )
@@ -778,23 +900,16 @@ def flash_attention_forward(
                 jnp.asarray(row_ranges[:, 0:1]),
                 jnp.asarray(row_ranges[:, 1:2]),
             ]
-        q_map = lambda bi, h, r, j, q0, q1, n0, t, lo, hi: (
+        q_map = lambda bi, h, r, j, q0, q1, n0, t, *rest: (
             bi, h, qi_of(r, j, q0, q1, n0, t), 0
+        )
+        kv_map = lambda bi, h, r, j, q0, q1, n0, t, lo, hi, *rest: (
+            bi, kv_head(h), kv_block_p(r, j, q0, q1, n0, t, lo, hi), 0
         )
         in_specs += [
             pl.BlockSpec((1, 1, bq, d), q_map),
-            pl.BlockSpec(
-                (1, 1, bkv, d),
-                lambda bi, h, r, j, q0, q1, n0, t, lo, hi: (
-                    bi, kv_head(h), kv_block_p(r, j, q0, q1, n0, t, lo, hi), 0
-                ),
-            ),
-            pl.BlockSpec(
-                (1, 1, bkv, d),
-                lambda bi, h, r, j, q0, q1, n0, t, lo, hi: (
-                    bi, kv_head(h), kv_block_p(r, j, q0, q1, n0, t, lo, hi), 0
-                ),
-            ),
+            pl.BlockSpec((1, 1, bkv_major, d), kv_map),
+            pl.BlockSpec((1, 1, bkv_major, dv), kv_map),
         ]
         inputs += [q, k, v]
         if bias is not None:
@@ -802,8 +917,8 @@ def flash_attention_forward(
             bh = bias.shape[1] == 1
             in_specs.append(
                 pl.BlockSpec(
-                    (1, 1, bq, bkv),
-                    lambda bi, h, r, j, q0, q1, n0, t, lo, hi: (
+                    (1, 1, bq, bkv_major),
+                    lambda bi, h, r, j, q0, q1, n0, t, lo, hi, *rest: (
                         0 if bb else bi,
                         0 if bh else h,
                         qi_of(r, j, q0, q1, n0, t),
@@ -815,10 +930,11 @@ def flash_attention_forward(
 
         kernel = functools.partial(
             _fwd_kernel,
-            block_q=bq, block_kv=bkv, head_dim=d,
+            block_q=bq, block_kv=bkv, n_inner=n_inner, head_dim=d, dv=dv,
             mask_mode=mask_mode, affine=affine, row_base=0,
             has_bias=bias is not None, mask_value=mask_value,
-            precision=precision, packed=True,
+            precision=precision, inner_skip=inner_skip, ones=ones,
+            packed=True,
         )
         out_shape = [
             jax.ShapeDtypeStruct((b, hq, sq_p, d), out_dtype),
@@ -826,23 +942,20 @@ def flash_attention_forward(
         ]
         out_specs = [
             pl.BlockSpec((1, 1, bq, d), q_map),
-            pl.BlockSpec(
-                (1, 1, bq, LANES),
-                lambda bi, h, r, j, q0, q1, n0, t, lo, hi: (
-                    bi, h, qi_of(r, j, q0, q1, n0, t), 0
-                ),
-            ),
+            pl.BlockSpec((1, 1, bq, LANES), q_map),
         ]
+        scratch = [pltpu.VMEM((bq, LANES), jnp.float32)]  # m
+        if not ones:
+            scratch.append(pltpu.VMEM((bq, LANES), jnp.float32))  # l
+        scratch.append(
+            pltpu.VMEM((bq, dv if ones else d), jnp.float32)  # acc
+        )
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=6,
+            num_scalar_prefetch=8,
             grid=(b, hq, nrows, width),
             in_specs=in_specs,
             out_specs=out_specs,
-            scratch_shapes=[
-                pltpu.VMEM((bq, LANES), jnp.float32),
-                pltpu.VMEM((bq, LANES), jnp.float32),
-                pltpu.VMEM((bq, d), jnp.float32),
-            ],
+            scratch_shapes=scratch,
         )
         live_tiles = max(1, int((hi_arr - lo_arr).sum()))
         return pl.pallas_call(
@@ -855,15 +968,16 @@ def flash_attention_forward(
                 ),
             ),
             cost_estimate=pl.CostEstimate(
-                flops=4 * b * hq * live_tiles * bq * bkv * d,
+                flops=4 * b * hq * live_tiles * bq * bkv_major * d,
                 bytes_accessed=(q.size + k.size + v.size)
                 * q.dtype.itemsize,
-                transcendentals=b * hq * live_tiles * bq * bkv,
+                transcendentals=b * hq * live_tiles * bq * bkv_major,
             ),
             interpret=interpret,
         )(
             jnp.asarray(q0a), jnp.asarray(q1a), jnp.asarray(n0a),
             jnp.asarray(ta), jnp.asarray(lo_arr), jnp.asarray(hi_arr),
+            jnp.asarray(loi_arr), jnp.asarray(hii_arr),
             *inputs,
         )
 

@@ -52,6 +52,8 @@ from metal_flash_attention_plus_tpu.attention.masking import (
 )
 from metal_flash_attention_plus_tpu.ops.flash_attention import (
     LANES,
+    LN2 as _LN2,
+    LOG2E as _LOG2E,
     NEG_INF,
     BlockSizes,
     _round_up,
@@ -74,11 +76,14 @@ from metal_flash_attention_plus_tpu.quant.tensor import QuantizedTensor
 
 
 def _qfwd_kernel(
-    # scalar prefetch: (lo, hi) per q-block; packed adds (q0, q1, n0, t)
+    # scalar prefetch: (lo, hi, loi, hii) per q-block (major + inner);
+    # packed prepends (q0, q1, n0, t)
     *all_refs,
     block_q: int,
-    block_kv: int,
+    block_kv: int,  # INNER compute tile
+    n_inner: int,  # subtiles per grid step (major = n_inner * block_kv)
     head_dim: int,
+    dv: int,  # PV width (= round_up(d, 128) in ones mode)
     mask_mode: str,
     affine,
     has_bias: bool,
@@ -90,15 +95,22 @@ def _qfwd_kernel(
     compute_dtype,
     kv_gran: str = "token",  # "token" (ROW/TENSOR) | "block2d"
     has_er: bool = False,  # block2d with block_rows > 1
+    inner_skip: bool = False,
+    ones: bool = False,
     packed: bool = False,
 ):
+    # Two-level schedule + ones-fused rowsum + base-2 softmax — same
+    # round-2 structure as flash_attention._fwd_kernel (see its docstring
+    # and docs/perf_notes.md); dequantization happens per INNER subtile on
+    # slices of the major payload/scale tiles.
     has_mask = mask_mode != "none"
     if packed:
         # Packed-pair schedule (see flash_attention.build_packed_schedule):
         # two contiguous q-block segments per grid row, zero dead steps for
         # causal.
-        q0_ref, q1_ref, n0_ref, t_ref, lo_ref, hi_ref = all_refs[:6]
-        refs = all_refs[6:]
+        (q0_ref, q1_ref, n0_ref, t_ref,
+         lo_ref, hi_ref, loi_ref, hii_ref) = all_refs[:8]
+        refs = all_refs[8:]
         r = pl.program_id(2)
         j = pl.program_id(3)
         n0 = n0_ref[r]
@@ -115,8 +127,8 @@ def _qfwd_kernel(
         )
         store_cond = jnp.logical_and(valid, jj == jnp.maximum(run, 1) - 1)
     else:
-        lo_ref, hi_ref = all_refs[:2]
-        refs = all_refs[2:]
+        lo_ref, hi_ref, loi_ref, hii_ref = all_refs[:4]
+        refs = all_refs[4:]
         row_block = pl.program_id(2)
         j = pl.program_id(3)
         jj = j
@@ -126,6 +138,8 @@ def _qfwd_kernel(
         init_cond = j == 0
         store_cond = j == jnp.maximum(run, 1) - 1
     kvj = lo + jj
+    loi = loi_ref[row_block]
+    hii = hii_ref[row_block]
     if mask_mode == "ranges":
         rs_ref, re_ref = refs[0], refs[1]
         refs = refs[2:]
@@ -152,46 +166,73 @@ def _qfwd_kernel(
     if has_bias:
         bias_ref = refs[0]
         refs = refs[1:]
-    o_ref, l_ref, m_scr, l_scr, acc_scr = refs
+    if ones:
+        o_ref, l_ref, m_scr, acc_scr = refs
+        l_scr = None
+    else:
+        o_ref, l_ref, m_scr, l_scr, acc_scr = refs
 
     @pl.when(init_cond)
     def _init():
         m_scr[...] = jnp.full_like(m_scr, NEG_INF)
-        l_scr[...] = jnp.zeros_like(l_scr)
+        if not ones:
+            l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    @pl.when(live)
-    def _compute():
+    def _inner(t):
+        sl = pl.ds(t * block_kv, block_kv)
         if quantize_q:
             s_int = jax.lax.dot_general(
-                q_ref[0, 0], kq_ref[0, 0], (((1,), (1,)), ((), ())),
+                q_ref[0, 0], kq_ref[0, 0, sl, :], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )  # pure int8 MXU
             # scores = s_int · q_scale[row] · k_scale[col]  (zp-free:
-            # activation quant is per-token symmetric).
-            s = s_int.astype(jnp.float32) * qs_ref[0, 0] * ksr_ref[0, 0]
+            # activation quant is per-token symmetric; log2e folded into
+            # the Q scales by the wrapper — base-2 softmax).
+            s = (
+                s_int.astype(jnp.float32)
+                * qs_ref[0, 0]
+                * ksr_ref[0, 0, :, sl]
+            )
         else:
-            q = q_ref[0, 0]  # [bq, D] pre-scaled
+            q = q_ref[0, 0]  # [bq, D] pre-scaled by scale·log2e
             if kv_gran == "block2d":
-                k = _dequant_block2d(
-                    kq_ref, ks_ref, kz_ref, er_ref, ec_ref, block_kv,
-                    head_dim, bits_k, compute_dtype,
+                from metal_flash_attention_plus_tpu.ops.quantized_gemm import (
+                    dequant_block2d_vals,
+                )
+
+                k = dequant_block2d_vals(
+                    kq_ref[0, 0, sl, :],
+                    ks_ref[0, 0, pl.ds(
+                        t * ks_ref.shape[2] // n_inner,
+                        ks_ref.shape[2] // n_inner), :],
+                    kz_ref[0, 0, pl.ds(
+                        t * kz_ref.shape[2] // n_inner,
+                        kz_ref.shape[2] // n_inner), :],
+                    None if er_ref is None else er_ref[...],
+                    ec_ref[...], head_dim, bits_k, compute_dtype,
                 )
             else:
-                k = _dequant_kv_tile(
-                    kq_ref, ks_ref, kz_ref, block_kv, head_dim, bits_k,
-                    compute_dtype,
+                from metal_flash_attention_plus_tpu.ops.quantized_gemm import (
+                    dequant_kv_vals,
+                )
+
+                k = dequant_kv_vals(
+                    kq_ref[0, 0, sl, :], ks_ref[0, 0, sl, :],
+                    kz_ref[0, 0, sl, :], head_dim, bits_k, compute_dtype,
                 )
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision,
             )
+        inner_idx = kvj * n_inner + t
         if has_bias:
-            s += bias_ref[0, 0].astype(jnp.float32)
+            # Scores are in the log2 domain — convert the additive bias.
+            s += bias_ref[0, 0, :, sl].astype(jnp.float32) * _LOG2E
         if has_mask:
             col = (
                 jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
-                + kvj * block_kv
+                + inner_idx * block_kv
             )
             if mask_mode == "affine":
                 a_off, b_off, seq_q, cap = affine
@@ -211,50 +252,115 @@ def _qfwd_kernel(
             s = jnp.where(keep, s, mask_value)
 
         m_prev = m_scr[...]
-        l_prev = l_scr[...]
         m_curr = jnp.max(s, axis=1, keepdims=True)
         m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - pltpu.repeat(m_next, block_kv // LANES, axis=1))
-        l_scr[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(s - pltpu.repeat(m_next, block_kv // LANES, axis=1))
         m_scr[...] = m_next
 
         if not quantize_q and kv_gran == "block2d":
-            v = _dequant_block2d(
-                vq_ref, vs_ref, vz_ref, er_ref, ec_ref, block_kv,
-                head_dim, bits_v, compute_dtype,
+            from metal_flash_attention_plus_tpu.ops.quantized_gemm import (
+                dequant_block2d_vals,
+            )
+
+            v = dequant_block2d_vals(
+                vq_ref[0, 0, sl, :],
+                vs_ref[0, 0, pl.ds(
+                    t * vs_ref.shape[2] // n_inner,
+                    vs_ref.shape[2] // n_inner), :],
+                vz_ref[0, 0, pl.ds(
+                    t * vz_ref.shape[2] // n_inner,
+                    vz_ref.shape[2] // n_inner), :],
+                None if er_ref is None else er_ref[...],
+                ec_ref[...], head_dim, bits_v, compute_dtype,
             )
         else:
-            v = _dequant_kv_tile(
-                vq_ref, vs_ref, vz_ref, block_kv, head_dim, bits_v,
-                compute_dtype,
+            from metal_flash_attention_plus_tpu.ops.quantized_gemm import (
+                dequant_kv_vals,
+            )
+
+            v = dequant_kv_vals(
+                vq_ref[0, 0, sl, :], vs_ref[0, 0, sl, :],
+                vz_ref[0, 0, sl, :], head_dim, bits_v, compute_dtype,
+            )
+        if ones:
+            # ones-fused rowsum: append ones lanes so the PV dot carries
+            # rowsum(p) in the spare MXU lanes (see _fwd_kernel).
+            v = jnp.concatenate(
+                [v, jnp.ones((block_kv, dv - head_dim), v.dtype)], axis=1
             )
         pv = jax.lax.dot(
             p.astype(v.dtype), v,
             preferred_element_type=jnp.float32, precision=precision,
         )
-        if head_dim == LANES:
-            acc_scr[...] = acc_scr[...] * alpha + pv
-        elif head_dim % LANES == 0:
-            acc_scr[...] = (
-                acc_scr[...] * pltpu.repeat(alpha, head_dim // LANES, axis=1)
-                + pv
+        if ones:
+            a_wide = (
+                alpha if dv == LANES
+                else pltpu.repeat(alpha, dv // LANES, axis=1)
             )
+            acc_scr[...] = acc_scr[...] * a_wide + pv
         else:
-            acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+            l_scr[...] = (
+                alpha * l_scr[...] + jnp.sum(p, axis=1, keepdims=True)
+            )
+            if head_dim == LANES:
+                acc_scr[...] = acc_scr[...] * alpha + pv
+            elif head_dim % LANES == 0:
+                acc_scr[...] = (
+                    acc_scr[...]
+                    * pltpu.repeat(alpha, head_dim // LANES, axis=1)
+                    + pv
+                )
+            else:
+                acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+
+    @pl.when(live)
+    def _compute():
+        for t in range(n_inner):
+            if inner_skip and n_inner > 1:
+                g = kvj * n_inner + t
+
+                @pl.when(jnp.logical_and(g >= loi, g < hii))
+                def _(t=t):
+                    _inner(t)
+            else:
+                _inner(t)
 
     @pl.when(store_cond)
     def _store():
-        lsum = l_scr[...]
-        safe = jnp.where(lsum == 0.0, 1.0, lsum)
-        if head_dim == LANES:
-            out = acc_scr[...] / safe
-        elif head_dim % LANES == 0:
-            out = acc_scr[...] / pltpu.repeat(safe, head_dim // LANES, axis=1)
+        if ones:
+            acc = acc_scr[...]
+            lsum_w = acc[:, head_dim:]
+            lsum = lsum_w[:, :1]
+            safe1 = jnp.where(lsum == 0.0, 1.0, lsum)
+            if dv - head_dim >= head_dim:
+                denom = jnp.where(
+                    lsum_w[:, :head_dim] == 0.0, 1.0,
+                    lsum_w[:, :head_dim],
+                )
+            else:
+                denom = safe1
+            out = acc[:, :head_dim] / denom
+            m1 = m_scr[...][:, :1]
+            lse1 = jnp.where(
+                lsum > 0.0, m1 * _LN2 + jnp.log(safe1), NEG_INF
+            )
+            lse = jnp.broadcast_to(lse1, (block_q, LANES))
         else:
-            out = acc_scr[...] / safe[:, :1]
-        m = m_scr[...]
-        lse = jnp.where(lsum > 0.0, m + jnp.log(safe), NEG_INF)
+            lsum = l_scr[...]
+            safe = jnp.where(lsum == 0.0, 1.0, lsum)
+            if head_dim == LANES:
+                out = acc_scr[...] / safe
+            elif head_dim % LANES == 0:
+                out = acc_scr[...] / pltpu.repeat(
+                    safe, head_dim // LANES, axis=1
+                )
+            else:
+                out = acc_scr[...] / safe[:, :1]
+            m = m_scr[...]
+            lse = jnp.where(
+                lsum > 0.0, m * _LN2 + jnp.log(safe), NEG_INF
+            )
         if has_mask:
             if mask_mode == "affine":
                 a_off, b_off, seq_q, cap = affine
@@ -361,8 +467,18 @@ def quantized_flash_attention_forward(
     in_dtype = q.dtype  # pre-quantization dtype drives compute precision
     bq = min(block_sizes.block_q, _round_up(sq, 128))
     bkv = min(block_sizes.block_kv, _round_up(skv, 128))
+    bkv_major = min(
+        max(block_sizes.kv_major, bkv), _round_up(skv, bkv)
+    )
+    bkv_major -= bkv_major % bkv
+    n_inner = bkv_major // bkv
     sq_p = _round_up(sq, bq)
-    skv_p = _round_up(skv, bkv)
+    skv_p = _round_up(skv, bkv_major)
+    # ones-fused rowsum when the head dim leaves lane slack (see
+    # flash_attention._fwd_kernel); the ones lanes are appended to the
+    # DEQUANTIZED V tile in-kernel.
+    ones = (d % 128) != 0
+    dv = _round_up(d, 128) if ones else d
 
     if quantize_q:
         # Per-token symmetric Q; fold the softmax scale into the scales
@@ -374,10 +490,12 @@ def quantized_flash_attention_forward(
         qq = jnp.clip(
             jnp.round(q.astype(jnp.float32) / q_scale), -128, 127
         ).astype(jnp.int8)
-        qs_arr = (q_scale * scale).astype(jnp.float32)  # [B,Hq,Sq,1]
+        # softmax scale AND log2(e) fold into the Q scales (base-2
+        # softmax in-kernel).
+        qs_arr = (q_scale * (scale * _LOG2E)).astype(jnp.float32)
         q = qq
-    elif scale != 1.0:
-        q = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    else:
+        q = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
     if sq_p != sq:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
         if quantize_q:
@@ -455,17 +573,37 @@ def quantized_flash_attention_forward(
         row_ranges = compute_row_ranges_dynamic(
             mask_ranges, sq, skv, sq_p, skv
         )
-        lo_arr, hi_arr = build_block_bounds_dynamic(row_ranges, bq, bkv)
+        lo_arr, hi_arr = build_block_bounds_dynamic(
+            row_ranges, bq, bkv_major
+        )
+        loi_arr, hii_arr = build_block_bounds_dynamic(row_ranges, bq, bkv)
         mask_mode, affine = "ranges", (0, 0, 0, 0)
     else:
         row_ranges = compute_row_ranges(
             mask, sq, skv, mask_ranges=mask_ranges,
             seq_q_padded=sq_p, seq_kv_cap=skv,
         )
-        lo_arr, hi_arr, _ms, _me = build_block_bounds(row_ranges, bq, bkv)
+        lo_arr, hi_arr, _ms, _me = build_block_bounds(
+            row_ranges, bq, bkv_major
+        )
+        loi_arr, hii_arr, _, _ = build_block_bounds(row_ranges, bq, bkv)
         mask_mode, affine = resolve_mask_mode(mask, has_mask, sq, skv)
+    # Inner-subtile skipping only pays when the major-granularity window
+    # over-covers the inner-granularity one (e.g. causal with block_q <
+    # block_kv_major); when every inner tile of every live major is live,
+    # the per-subtile `pl.when` is pure branch overhead (measured ~15% at
+    # d=256) — disable it.
+    if dynamic:
+        inner_skip = has_mask and n_inner > 1
+    else:
+        _cap = int((hi_arr - lo_arr).sum()) * n_inner
+        _livei = int((hii_arr - loi_arr).sum())
+        inner_skip = (
+            has_mask and n_inner > 1
+            and (_cap - _livei) > 0.05 * max(1, _livei)
+        )
     ni = sq_p // bq
-    nj_all = skv_p // bkv
+    nj_all = skv_p // bkv_major
     nj_max = nj_all if dynamic else max(1, int((hi_arr - lo_arr).max()))
     q_per_kv = hq // hkv
 
@@ -488,15 +626,16 @@ def quantized_flash_attention_forward(
         scalars = (
             jnp.asarray(q0a), jnp.asarray(q1a), jnp.asarray(n0a),
             jnp.asarray(ta), jnp.asarray(lo_arr), jnp.asarray(hi_arr),
+            jnp.asarray(loi_arr), jnp.asarray(hii_arr),
         )
 
         def q_block(args):
-            _, _, r, j, q0, q1, n0, t, lo, hi = args
+            _, _, r, j, q0, q1, n0, t = args[:8]
             seg1 = jnp.logical_and(j >= n0[r], t[r] > n0[r])
             return jnp.where(seg1, q1[r], q0[r])
 
         def kv_block(args):
-            _, _, r, j, q0, q1, n0, t, lo, hi = args
+            _, _, r, j, q0, q1, n0, t, lo, hi = args[:10]
             seg1 = jnp.logical_and(j >= n0[r], t[r] > n0[r])
             qi = jnp.where(seg1, q1[r], q0[r])
             jj = j - jnp.where(seg1, n0[r], 0)
@@ -504,13 +643,16 @@ def quantized_flash_attention_forward(
             return jnp.clip(lo[qi] + jnp.minimum(jj, run - 1), 0, nj_all - 1)
     else:
         grid = (b, hq, ni, nj_max)
-        scalars = (jnp.asarray(lo_arr), jnp.asarray(hi_arr))
+        scalars = (
+            jnp.asarray(lo_arr), jnp.asarray(hi_arr),
+            jnp.asarray(loi_arr), jnp.asarray(hii_arr),
+        )
 
         def q_block(args):
             return args[2]
 
         def kv_block(args):
-            _, _, i, j, lo, hi = args
+            _, _, i, j, lo, hi = args[:6]
             run = hi[i] - lo[i]
             return jnp.clip(lo[i] + jnp.minimum(j, run - 1), 0, nj_all - 1)
 
@@ -529,7 +671,7 @@ def quantized_flash_attention_forward(
 
     def kv_spec(width_):
         return pl.BlockSpec(
-            (1, 1, bkv, width_),
+            (1, 1, bkv_major, width_),
             lambda *a: (a[0], kv_head(a[1]), kv_block(a), 0),
         )
 
@@ -544,7 +686,7 @@ def quantized_flash_attention_forward(
             ),
             kv_spec(pd_k),
             pl.BlockSpec(
-                (1, 1, 1, bkv),
+                (1, 1, 1, bkv_major),
                 lambda *a: (a[0], kv_head(a[1]), 0, kv_block(a)),
             ),
             kv_spec(pd_v), kv_spec(1), kv_spec(1),  # V payload, scale, zp
@@ -553,7 +695,7 @@ def quantized_flash_attention_forward(
     elif kv_gran == "block2d":
         def sc_spec():
             return pl.BlockSpec(
-                (1, 1, bkv // br, d // bs2),
+                (1, 1, bkv_major // br, d // bs2),
                 lambda *a: (a[0], kv_head(a[1]), kv_block(a), 0),
             )
 
@@ -563,7 +705,7 @@ def quantized_flash_attention_forward(
             kv_spec(pd_v), sc_spec(), sc_spec(),
         ]
         inputs += [q, kq, ks, kz, vq, vs, vz]
-        er, ec = block2d_expanders(br, bs2, bkv, d)
+        er, ec = block2d_expanders(br, bs2, bkv, d)  # inner-tile sized
         if er is not None:
             in_specs.append(
                 pl.BlockSpec((bkv, bkv // br), lambda *a: (0, 0))
@@ -583,7 +725,7 @@ def quantized_flash_attention_forward(
         bh = bias.shape[1] == 1
         in_specs.append(
             pl.BlockSpec(
-                (1, 1, bq, bkv),
+                (1, 1, bq, bkv_major),
                 lambda *a: (
                     0 if bb else a[0], 0 if bh else a[1], q_block(a),
                     kv_block(a),
@@ -597,7 +739,9 @@ def quantized_flash_attention_forward(
         _qfwd_kernel,
         block_q=bq,
         block_kv=bkv,
+        n_inner=n_inner,
         head_dim=d,
+        dv=dv,
         mask_mode=mask_mode,
         affine=affine,
         has_bias=bias is not None,
@@ -613,6 +757,8 @@ def quantized_flash_attention_forward(
         compute_dtype=compute_dtype,
         kv_gran=kv_gran,
         has_er=(kv_gran == "block2d" and br > 1),
+        inner_skip=inner_skip,
+        ones=ones,
         packed=packed,
     )
 
@@ -627,16 +773,16 @@ def quantized_flash_attention_forward(
         ),
     ]
 
+    scratch = [pltpu.VMEM((bq, LANES), jnp.float32)]  # m
+    if not ones:
+        scratch.append(pltpu.VMEM((bq, LANES), jnp.float32))  # l
+    scratch.append(pltpu.VMEM((bq, dv if ones else d), jnp.float32))  # acc
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(scalars),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
-        scratch_shapes=[
-            pltpu.VMEM((bq, LANES), jnp.float32),
-            pltpu.VMEM((bq, LANES), jnp.float32),
-            pltpu.VMEM((bq, d), jnp.float32),
-        ],
+        scratch_shapes=scratch,
     )
 
     live_tiles = ni * nj_all if dynamic else int((hi_arr - lo_arr).sum())

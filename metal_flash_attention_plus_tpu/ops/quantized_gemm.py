@@ -81,19 +81,26 @@ def unpack_int4_tile(qtile: jnp.ndarray, bk: int) -> jnp.ndarray:
     return jnp.concatenate(groups, axis=1)
 
 
+def dequant_kv_vals(payload, scale, zp, d, bits, compute_dtype):
+    """Array form of :func:`dequant_kv_tile`: (payload [bkv, pd], per-token
+    scale/zp [bkv, 1]) → float [bkv, d].  Used by the two-level attention
+    kernels, which slice inner subtiles out of a major tile ref."""
+    if bits == 4:
+        w = unpack_int4_tile(payload, d)  # f32 [bkv, d]
+    else:
+        w = payload.astype(jnp.int32).astype(jnp.float32)
+    return ((w - zp) * scale).astype(compute_dtype)
+
+
 def dequant_kv_tile(q_ref, s_ref, z_ref, bkv, d, bits, compute_dtype):
     """(4D payload tile ref, per-token scale/zp refs) → float [bkv, d] tile.
 
     Shared by the quantized attention forward and backward kernels: widen
     the int8 / group-planar-int4 payload and apply per-token (scale, zp).
     """
-    if bits == 4:
-        w = unpack_int4_tile(q_ref[0, 0], d)  # f32 [bkv, d]
-    else:
-        w = q_ref[0, 0].astype(jnp.int32).astype(jnp.float32)
-    scale = s_ref[0, 0]  # [bkv, 1]
-    zp = z_ref[0, 0]  # [bkv, 1] f32
-    return ((w - zp) * scale).astype(compute_dtype)
+    return dequant_kv_vals(
+        q_ref[0, 0], s_ref[0, 0], z_ref[0, 0], d, bits, compute_dtype
+    )
 
 
 def dequant_kv_tile_block2d(
@@ -114,18 +121,24 @@ def dequant_kv_tile_block2d(
     blockwise-constant, so it expands the same way).  ``er_ref`` is None
     when block_rows == 1 (scales already per-row).
     """
+    return dequant_block2d_vals(
+        q_ref[0, 0], s_ref[0, 0], z_ref[0, 0],
+        None if er_ref is None else er_ref[...], ec_ref[...],
+        d, bits, compute_dtype,
+    )
+
+
+def dequant_block2d_vals(payload, s, z, er, ec, d, bits, compute_dtype):
+    """Array form of :func:`dequant_kv_tile_block2d` (see its docstring)."""
     if bits == 4:
-        w = unpack_int4_tile(q_ref[0, 0], d)
+        w = unpack_int4_tile(payload, d)
     else:
-        w = q_ref[0, 0].astype(jnp.int32).astype(jnp.float32)
-    s = s_ref[0, 0].astype(jnp.float32)  # [bkv/br, d/bs]
-    z = z_ref[0, 0].astype(jnp.float32)
-    zs = z * s
-    if er_ref is not None:
-        er = er_ref[...]
+        w = payload.astype(jnp.int32).astype(jnp.float32)
+    s = s.astype(jnp.float32)  # [bkv/br, d/bs]
+    zs = z.astype(jnp.float32) * s
+    if er is not None:
         s = jax.lax.dot(er, s, preferred_element_type=jnp.float32)
         zs = jax.lax.dot(er, zs, preferred_element_type=jnp.float32)
-    ec = ec_ref[...]
     s_full = jax.lax.dot(s, ec, preferred_element_type=jnp.float32)
     zs_full = jax.lax.dot(zs, ec, preferred_element_type=jnp.float32)
     return (w * s_full - zs_full).astype(compute_dtype)

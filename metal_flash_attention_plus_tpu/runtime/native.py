@@ -37,6 +37,7 @@ class _MfaBlockConfig(ctypes.Structure):
     _fields_ = [
         ("block_q", ctypes.c_int32),
         ("block_kv", ctypes.c_int32),
+        ("block_kv_major", ctypes.c_int32),
         ("block_q_dkv", ctypes.c_int32),
         ("block_kv_dkv", ctypes.c_int32),
         ("block_q_dq", ctypes.c_int32),
@@ -175,6 +176,7 @@ def native_available() -> bool:
 class BlockConfig:
     block_q: int
     block_kv: int
+    block_kv_major: int
     block_q_dkv: int
     block_kv_dkv: int
     block_q_dq: int
@@ -183,13 +185,14 @@ class BlockConfig:
     @staticmethod
     def _from_c(c: _MfaBlockConfig) -> "BlockConfig":
         return BlockConfig(
-            c.block_q, c.block_kv, c.block_q_dkv,
+            c.block_q, c.block_kv, c.block_kv_major, c.block_q_dkv,
             c.block_kv_dkv, c.block_q_dq, c.block_kv_dq,
         )
 
     def _to_c(self) -> _MfaBlockConfig:
         return _MfaBlockConfig(
-            self.block_q, self.block_kv, self.block_q_dkv,
+            self.block_q, self.block_kv, self.block_kv_major,
+            self.block_q_dkv,
             self.block_kv_dkv, self.block_q_dq, self.block_kv_dq,
         )
 
