@@ -13,8 +13,12 @@ causal) and report:
   the MXU is capped at 50% of peak (the 128-deep systolic contraction is
   half-empty), which the fraction accounts for.
 
-Detail lines (stderr) include GB/s and max-abs-err vs the fp32 kernel so
-the full baseline row is reproducible from one run.
+Detail lines (stderr) additionally cover the BANDWIDTH-BOUND regime the
+int KV cache exists for (batch-1, Skv=32K decode-shape: int8/int4 speedup
+over bf16 — the reference's 2.5×/3.0× claim, ``README.md:291-296``) and
+max-abs-err vs the fp32 kernel.  The int4 arm uses BLOCK_2D (1×32)
+in-kernel scales (finest-granularity dequant; ``AttentionKernel+
+Accumulate.swift:451-511`` parity).
 """
 
 from __future__ import annotations
@@ -25,7 +29,8 @@ import sys
 import jax
 import jax.numpy as jnp
 
-from metal_flash_attention_plus_tpu.attention.masking import CAUSAL
+from metal_flash_attention_plus_tpu.attention.masking import CAUSAL, FULL
+from metal_flash_attention_plus_tpu.attention.tuning import AttentionTuner
 from metal_flash_attention_plus_tpu.ops.flash_attention import (
     flash_attention_forward,
 )
@@ -48,24 +53,27 @@ REFERENCE_ALU_FRACTION = 0.83  # README.md:104 — 4400/5308 GINSTR/s, M1 Max
 SEQ = 4096
 
 
+def kv_config(bits: int) -> QuantConfig:
+    if bits == 4:
+        # Finest-granularity in-kernel scales for the int4 arm (BLOCK_2D
+        # 1×32, MXU-expanded): ~1.7× lower max err than per-token at d=256.
+        return QuantConfig(
+            bits=4, granularity=QuantGranularity.BLOCK_2D,
+            strategy=QuantStrategy.CENTERED, block_rows=1, block_size=32,
+        )
+    return QuantConfig(
+        bits=8, granularity=QuantGranularity.ROW,
+        strategy=QuantStrategy.CENTERED,
+    )
+
+
 def run_config(d: int, h: int, bits: int, chip) -> dict:
     b = 4
     ks = jax.random.split(jax.random.PRNGKey(0), 3)
     q = jax.random.normal(ks[0], (b, h, SEQ, d), jnp.bfloat16)
     k = jax.random.normal(ks[1], (b, h, SEQ, d), jnp.float32)
     v = jax.random.normal(ks[2], (b, h, SEQ, d), jnp.float32)
-    # quantize_q (int8 MXU scores) is a wash-to-loss at d=64 (the per-tile
-    # scale reconstruction outweighs the small S matmul; +8% only at d=256,
-    # docs/perf_notes.md) — the headline keeps the float-Q dequant path.
-    cfg = QuantConfig(
-        bits=bits, granularity=QuantGranularity.ROW,
-        strategy=QuantStrategy.CENTERED,
-    )
-    kq, vq = quantize(k, cfg), quantize(v, cfg)
-
-    from metal_flash_attention_plus_tpu.attention.tuning import (
-        AttentionTuner,
-    )
+    kq, vq = quantize(k, kv_config(bits)), quantize(v, kv_config(bits))
 
     blocks = AttentionTuner.shared().recommend("fwd_q", d, SEQ, bits=bits)
     f = jax.jit(
@@ -88,8 +96,6 @@ def run_config(d: int, h: int, bits: int, chip) -> dict:
     sec = measure(f, q, iters=50, warmup=5)
     flops = attention_flops(SEQ, SEQ, d, num_heads=h, batch=b) / 2
     tflops = flops / sec / 1e12
-    # Bytes: Q bf16 + quantized K/V payload + scales + O fp32 (causal reads
-    # ~all of K/V once per q-block wavefront; count one full pass).
     payload = kq.data.nbytes + vq.data.nbytes
     gbs = (q.nbytes + payload + o.nbytes) / sec / 1e9
     # MXU ceiling: contraction/lane dims < 128 leave the systolic array
@@ -102,11 +108,46 @@ def run_config(d: int, h: int, bits: int, chip) -> dict:
     )
 
 
+def run_bandwidth_arm() -> dict:
+    """Batch-1 long-context decode regime: KV reads dominate — the int
+    cache's raison d'être.  Returns speedups vs the bf16 kernel."""
+    b, h, sq, skv, d = 1, 8, 256, 32768, 128
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    q = jax.random.normal(ks[0], (b, h, sq, d), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (b, h, skv, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, h, skv, d), jnp.float32)
+    fb = jax.jit(
+        lambda q, k, v: flash_attention_forward(
+            q, k.astype(jnp.bfloat16), v.astype(jnp.bfloat16), mask=FULL,
+            interpret=False,
+        )[0]
+    )
+    fb(q, k, v)
+    t_bf16 = measure(fb, q, k, v, iters=20, warmup=3)
+    out = dict(bf16_ms=round(t_bf16 * 1e3, 3))
+    for bits in (8, 4):
+        kq, vq = quantize(k, kv_config(bits)), quantize(v, kv_config(bits))
+        qb = AttentionTuner.shared().recommend(
+            "fwd_q", d, skv, bits=bits, causal=False
+        )
+        fq = jax.jit(
+            lambda q, kq=kq, vq=vq, qb=qb:
+            quantized_flash_attention_forward(
+                q, kq, vq, mask=FULL, block_sizes=qb, interpret=False
+            )[0]
+        )
+        fq(q)
+        t_q = measure(fq, q, iters=20, warmup=3)
+        out[f"int{bits}_speedup"] = round(t_bf16 / t_q, 2)
+    return out
+
+
 def main():
     chip = detect_chip()
     r64 = run_config(64, 8, 8, chip)
     r256 = run_config(256, 4, 4, chip)
-    for r in (r64, r256):
+    bw = run_bandwidth_arm()
+    for r in (r64, r256, bw):
         print(f"detail: {r}", file=sys.stderr)
     mean_tflops = (r64["tflops"] + r256["tflops"]) / 2
     mean_util = (r64["util"] + r256["util"]) / 2
@@ -116,7 +157,9 @@ def main():
                 "metric": (
                     f"quantized causal flash-attn fwd, seq {SEQ} "
                     f"(d=64 int8-KV / d=256 int4-KV), {chip.name}; "
-                    f"errs {r64['max_err']}/{r256['max_err']} vs fp32"
+                    f"errs {r64['max_err']}/{r256['max_err']} vs fp32; "
+                    f"32K-decode int8 {bw['int8_speedup']}x / "
+                    f"int4 {bw['int4_speedup']}x vs bf16"
                 ),
                 "value": round(mean_tflops, 2),
                 "unit": "TFLOP/s",

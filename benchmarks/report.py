@@ -138,11 +138,65 @@ def run(args):
             flush=True,
         )
 
+    # ------------------------------------------------------------------
+    # Bandwidth-bound decode regime (VERDICT r1 item 2): batch-1, long-S,
+    # short Q — KV-cache reads dominate, so int8/int4 KV must show the
+    # memory win the reference claims (2.5×/3.0×, README.md:291-296).
+    # ------------------------------------------------------------------
+    decode_rows = []
+    b1, h1, sq1, skv1, d1 = 1, 8, 256, 32768, 128
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    q1 = jax.random.normal(ks[0], (b1, h1, sq1, d1), jnp.bfloat16)
+    k1 = jax.random.normal(ks[1], (b1, h1, skv1, d1), jnp.float32)
+    v1 = jax.random.normal(ks[2], (b1, h1, skv1, d1), jnp.float32)
+    kv_bytes_bf16 = 2 * b1 * h1 * skv1 * d1 * 2
+
+    fb = jax.jit(
+        lambda q, k, v: flash_attention_forward(
+            q, k.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+            mask=FULL, interpret=False,
+        )[0]
+    )
+    t_bf16 = measure(fb, q1, k1, v1, iters=20, warmup=3)
+    decode_rows.append(dict(
+        kv="bf16", ms=round(t_bf16 * 1e3, 3),
+        gbs=round(kv_bytes_bf16 / t_bf16 / 1e9, 1), speedup=1.0,
+    ))
+    for bits in (8, 4):
+        cfgq = QuantConfig(
+            bits=bits, granularity=QuantGranularity.ROW,
+            strategy=QuantStrategy.CENTERED,
+        )
+        kq1, vq1 = quantize(k1, cfgq), quantize(v1, cfgq)
+        qb = tuner.recommend("fwd_q", d1, skv1, bits=bits, causal=False)
+        fq = jax.jit(
+            lambda q, kq1=kq1, vq1=vq1, qb=qb:
+            quantized_flash_attention_forward(
+                q, kq1, vq1, mask=FULL, block_sizes=qb, interpret=False,
+            )[0]
+        )
+        fq(q1)
+        t_q = measure(fq, q1, iters=20, warmup=3)
+        payload = kq1.data.nbytes + vq1.data.nbytes
+        decode_rows.append(dict(
+            kv=f"int{bits}", ms=round(t_q * 1e3, 3),
+            gbs=round(payload / t_q / 1e9, 1),
+            speedup=round(t_bf16 / t_q, 2),
+        ))
+        print(
+            f"decode-regime (b1 h{h1} Sq{sq1} Skv{skv1} d{d1}) int{bits}: "
+            f"{t_q*1e3:.3f} ms, {t_bf16/t_q:.2f}x vs bf16", flush=True,
+        )
+
     report = dict(
         chip=chip.name,
         bf16_peak_tflops=chip.bf16_tflops,
         seq=args.seq,
         batch=args.batch,
+        decode_regime=dict(
+            shape=dict(b=b1, h=h1, sq=sq1, skv=skv1, d=d1),
+            rows=decode_rows,
+        ),
         note=(
             "util = TFLOP/s / (bf16 peak × min(1, D/128)); reference "
             "comparison rows: M1 fwd 86/85/86%, fwd+bwd 62/63/64% "

@@ -49,12 +49,22 @@ extern "C" int mfa_resolve_blocks(int32_t head_dim, int32_t bits,
   // round-2 two-level rework measured on v5e (docs/perf_notes.md
   // "Two-level KV tiling"): block_kv_major is the per-grid-step KV slab.
   int32_t bq, bkv, bkvm;
-  if (head_dim > 128) {
+  if (bits <= 8) {
+    if (head_dim <= 64) {
+      bq = 1024; bkv = 512; bkvm = 1024;
+    } else if (head_dim <= 128) {
+      bq = 1024; bkv = 1024; bkvm = 2048;
+    } else {
+      bq = 512; bkv = 512; bkvm = 2048;
+    }
+  } else if (head_dim > 128) {
     bq = 1024; bkv = 512; bkvm = 1024;
-  } else if (causal != 0 || head_dim > 64) {
+  } else if (causal != 0 && head_dim <= 64) {
     bq = 512; bkv = 512; bkvm = 4096;
-  } else {
+  } else if (head_dim <= 64) {
     bq = 1024; bkv = 1024; bkvm = 2048;
+  } else {
+    bq = 512; bkv = 512; bkvm = 2048;
   }
 
   // Shrink (major slab first, then kv, then q) until the VMEM model —

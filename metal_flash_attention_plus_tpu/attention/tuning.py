@@ -58,17 +58,29 @@ def default_block_sizes(
     """
     # Measured on v5e AFTER the round-2 two-level rework (docs/perf_notes
     # .md "Two-level KV tiling"): block_kv_major is the per-grid-step KV
-    # slab (inner unroll → MXU/VPU overlap).  S=4K sweep, TF/s:
-    #   d=64  causal (512,512,M4096)=27.6   full (1024,1024,M2048)=44.8
-    #   d=128 causal (512,512,M4096)=60.7   full (512,512,M4096)=97.5
-    #   d=256 causal (1024,512,M1024)~87*   full (1024,512,M1024)=131.1
-    #   (* packed schedule engages at that geometry)
-    if head_dim > 128:
+    # slab (inner unroll → MXU/VPU overlap).  S=4K solo sweeps, TF/s
+    # (cross-run absolute noise ±10-20%; within-run rankings stable):
+    #   float d=64  causal (512,512,M4096)=28   full (1024,1024,M2048)=48
+    #   float d=128 (512,512,M2048)=57-96        d=256 (1024,512,M1024)=62-103
+    #   int8  d=64 (1024,512,M1024)=27  d=128 (1024,1024,M2048)=48
+    #   int4  d=256 (512,512,M2048)=58
+    # The quantized kernel's dequant ×8 unroll (M4096) crashes Mosaic —
+    # quantized majors cap at 2-4 inner tiles.
+    if bits <= 8:
+        if head_dim <= 64:
+            bq, bkv, bkvm = 1024, 512, 1024
+        elif head_dim <= 128:
+            bq, bkv, bkvm = 1024, 1024, 2048
+        else:
+            bq, bkv, bkvm = 512, 512, 2048
+    elif head_dim > 128:
         bq, bkv, bkvm = 1024, 512, 1024
-    elif causal or head_dim > 64:
+    elif causal and head_dim <= 64:
         bq, bkv, bkvm = 512, 512, 4096
-    else:
+    elif head_dim <= 64:
         bq, bkv, bkvm = 1024, 1024, 2048
+    else:
+        bq, bkv, bkvm = 512, 512, 2048
     # Backward: (512, 512) for both kernels measured best at d=64/256
     # (33.7 / 85.2 TF/s); d=128 marginally prefers (1024, 512)+(512, 1024)
     # (66.2 vs 58.6) — kept uniform pending a finer sweep.

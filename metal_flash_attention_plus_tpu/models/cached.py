@@ -126,27 +126,33 @@ def prefill_chunk(
             vq_, vs_ = _quantize_tokens_sym(vt)
             cache = _dc.replace(
                 cache,
-                k_pages=cache.k_pages.at[li, :, pidx, off_in, :].set(kq_),
-                v_pages=cache.v_pages.at[li, :, pidx, off_in, :].set(vq_),
-                k_scales=cache.k_scales.at[li, :, pidx, off_in, :].set(ks_),
-                v_scales=cache.v_scales.at[li, :, pidx, off_in, :].set(vs_),
+                kv_pages=cache.kv_pages
+                .at[li, :, pidx, 0, off_in, :].set(kq_)
+                .at[li, :, pidx, 1, off_in, :].set(vq_),
+                k_scales=cache.k_scales.at[li, :, pidx, 0, off_in].set(
+                    ks_[:, :, 0]
+                ),
+                v_scales=cache.v_scales.at[li, :, pidx, 0, off_in].set(
+                    vs_[:, :, 0]
+                ),
             )
             o = paged_prefill_attention(
-                q[0], cache.k_pages[li], cache.v_pages[li], page_row, offset,
+                q[0], cache.kv_pages[li], page_row, offset,
                 k_scales=cache.k_scales[li], v_scales=cache.v_scales[li],
             )
         else:
             cache = _dc.replace(
                 cache,
-                k_pages=cache.k_pages.at[li, :, pidx, off_in, :].set(
-                    kt.astype(cache.k_pages.dtype)
-                ),
-                v_pages=cache.v_pages.at[li, :, pidx, off_in, :].set(
-                    vt.astype(cache.v_pages.dtype)
+                kv_pages=cache.kv_pages
+                .at[li, :, pidx, 0, off_in, :].set(
+                    kt.astype(cache.kv_pages.dtype)
+                )
+                .at[li, :, pidx, 1, off_in, :].set(
+                    vt.astype(cache.kv_pages.dtype)
                 ),
             )
             o = paged_prefill_attention(
-                q[0], cache.k_pages[li], cache.v_pages[li], page_row, offset
+                q[0], cache.kv_pages[li], page_row, offset
             )  # [Hq, C, D]
         attn = o.transpose(1, 0, 2).reshape(1, c, -1).astype(x.dtype)
         x = x + linear(attn, layer["wo"], x.dtype)
@@ -185,8 +191,7 @@ def decode_step(
         )
         o = paged_decode_attention(
             q[:, :, 0],  # [B, Hq, D]
-            cache.k_pages[li],
-            cache.v_pages[li],
+            cache.kv_pages[li],
             page_tables,
             lengths,
             k_scales=cache.k_scales[li] if cache.quantized else None,

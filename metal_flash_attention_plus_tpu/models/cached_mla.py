@@ -36,18 +36,21 @@ def init_mla_cache(
     cfg: MLAConfig, num_pages: int, page_tokens: int, dtype=jnp.bfloat16,
     quantized: bool = False,
 ) -> PagedKVCache:
-    """One pool of [c | k_rope] vectors; v_pages aliases are unused (the
-    kernels read k_pages for both sides with the V rope-tail zeroed), so a
-    1-wide placeholder keeps the pytree small.  ``quantized``: int8 payload
-    + per-token symmetric scales — the compressed+quantized cache is
-    d_c + d_r BYTES per token."""
-    shape = (cfg.num_layers, 1, num_pages + 1, page_tokens, cfg.cache_width)
+    """One pool of [c | k_rope] vectors with S_sub == 1 (K IS V — the
+    kernels zero the V rope tail), so each page moves with ONE DMA.
+    ``quantized``: int8 payload + per-token symmetric scales — the
+    compressed+quantized cache is d_c + d_r BYTES per token."""
+    shape = (
+        cfg.num_layers, 1, num_pages + 1, 1, page_tokens, cfg.cache_width
+    )
     placeholder = jnp.zeros((1, 1, 1, 1, 1), jnp.float32)
     return PagedKVCache(
-        k_pages=jnp.zeros(shape, jnp.int8 if quantized else dtype),
-        v_pages=placeholder,
+        kv_pages=jnp.zeros(shape, jnp.int8 if quantized else dtype),
         k_scales=(
-            jnp.zeros(shape[:-1] + (1,), jnp.float32)
+            jnp.zeros(
+                (cfg.num_layers, 1, num_pages + 1, 1, page_tokens),
+                jnp.float32,
+            )
             if quantized else placeholder
         ),
         v_scales=placeholder,
@@ -67,15 +70,15 @@ def _write_state(cache, li, pidx, off, state):
         q, scale = _quantize_tokens_sym(state)
         return _dc.replace(
             cache,
-            k_pages=cache.k_pages.at[li, :, pidx, off, :].set(q[:, None]),
-            k_scales=cache.k_scales.at[li, :, pidx, off, :].set(
-                scale[:, None]
+            kv_pages=cache.kv_pages.at[li, :, pidx, 0, off, :].set(
+                q[:, None]
             ),
+            k_scales=cache.k_scales.at[li, :, pidx, 0, off].set(scale),
         )
     return _dc.replace(
         cache,
-        k_pages=cache.k_pages.at[li, :, pidx, off, :].set(
-            state[:, None].astype(cache.k_pages.dtype)
+        kv_pages=cache.kv_pages.at[li, :, pidx, 0, off, :].set(
+            state[:, None].astype(cache.kv_pages.dtype)
         ),
     )
 
@@ -129,7 +132,7 @@ def mla_prefill_chunk(
         cache = _write_state(cache, li, pidx, off_in, state)
         q_lat = _q_latent(layer, q, qr, cfg)[0].astype(x.dtype)
         o_lat = paged_prefill_attention(
-            q_lat, cache.k_pages[li], cache.k_pages[li], page_row, offset,
+            q_lat, cache.kv_pages[li], page_row, offset,
             scale=_attn_scale(cfg), v_tail_zero=cfg.rope_dim,
             **_kv_scale_args(cache, li),
         )  # [H, C, dc+dr]
@@ -173,7 +176,7 @@ def mla_decode_step(
         cache = _write_state(cache, li, pidx, off, state)
         q_lat = _q_latent(layer, q, qr, cfg)[:, :, 0].astype(x.dtype)
         o_lat = paged_decode_attention(
-            q_lat, cache.k_pages[li], cache.k_pages[li],
+            q_lat, cache.kv_pages[li],
             page_tables, lengths,
             scale=_attn_scale(cfg), v_tail_zero=cfg.rope_dim,
             **_kv_scale_args(cache, li),

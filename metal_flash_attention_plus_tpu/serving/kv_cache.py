@@ -8,12 +8,13 @@ extra last page is the TRASH page: padded batch slots in the jitted decode
 step point their page tables at it so dummy writes never corrupt live data.
 
 Quantized mode (``quantized=True``): pages store int8 payloads with
-SYMMETRIC per-token scales in parallel scale pools ([..., page_tokens, 1]
-fp32) — 2-4× cache capacity per HBM byte, the production KV-cache
-quantization (the reference's per-token path; zero points add nothing for
-zero-mean K/V and would double the parameter traffic).  Quantization
-happens at WRITE time (absmax/127 per token vector); the paged attention
-kernels dequantize on tile load.
+SYMMETRIC per-token scales in parallel scale pools laid out as ROW
+VECTORS ([..., 1, page_tokens] fp32 — scales ride the LANE dim so the
+decode kernel's page-gather DMA can copy them, and the kernels fold them
+into the score/probability row instead of dequantizing whole K/V tiles:
+one [rows, tokens] multiply instead of a [tokens, D] pass).  2-4× cache
+capacity per HBM byte; zero points add nothing for zero-mean K/V.
+Quantization happens at WRITE time (absmax/127 per token vector).
 """
 
 from __future__ import annotations
@@ -28,8 +29,13 @@ import jax.numpy as jnp
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class PagedKVCache:
-    k_pages: jnp.ndarray  # [L, Hkv, num_pages+1, page_tokens, D]
-    v_pages: jnp.ndarray
+    # MERGED page pool [L, Hkv, num_pages+1, 2, page_tokens, D]: K at
+    # sub-index 0, V at 1 — ONE DMA per page covers both operands.  The
+    # decode page-gather is issue-bound (~0.25 µs per copy regardless of
+    # bytes, docs/perf_notes.md round-2), so copy COUNT is the currency;
+    # MLA's latent cache uses a 1-wide sub-axis (K is V) for the same
+    # reason.
+    kv_pages: jnp.ndarray
     # Per-token symmetric scales (quantized mode only; zeros-shaped [1]*5
     # placeholders otherwise so the pytree structure is stable).
     k_scales: jnp.ndarray
@@ -54,12 +60,15 @@ class PagedKVCache:
         dtype=jnp.bfloat16,
         quantized: bool = False,
     ) -> "PagedKVCache":
-        shape = (num_layers, num_kv_heads, num_pages + 1, page_tokens, head_dim)
+        shape = (
+            num_layers, num_kv_heads, num_pages + 1, 2, page_tokens,
+            head_dim,
+        )
         if quantized:
-            sshape = shape[:-1] + (1,)
+            sshape = (num_layers, num_kv_heads, num_pages + 1, 1,
+                      page_tokens)
             return PagedKVCache(
-                k_pages=jnp.zeros(shape, jnp.int8),
-                v_pages=jnp.zeros(shape, jnp.int8),
+                kv_pages=jnp.zeros(shape, jnp.int8),
                 k_scales=jnp.zeros(sshape, jnp.float32),
                 v_scales=jnp.zeros(sshape, jnp.float32),
                 page_tokens=page_tokens,
@@ -68,8 +77,7 @@ class PagedKVCache:
             )
         placeholder = jnp.zeros((1, 1, 1, 1, 1), jnp.float32)
         return PagedKVCache(
-            k_pages=jnp.zeros(shape, dtype),
-            v_pages=jnp.zeros(shape, dtype),
+            kv_pages=jnp.zeros(shape, dtype),
             k_scales=placeholder,
             v_scales=placeholder,
             page_tokens=page_tokens,
@@ -106,18 +114,21 @@ def write_prompt(
         vq, vs = _quantize_tokens_sym(vt)
         return dataclasses.replace(
             cache,
-            k_pages=cache.k_pages.at[layer, :, pidx, off, :].set(kq),
-            v_pages=cache.v_pages.at[layer, :, pidx, off, :].set(vq),
-            k_scales=cache.k_scales.at[layer, :, pidx, off, :].set(ks),
-            v_scales=cache.v_scales.at[layer, :, pidx, off, :].set(vs),
+            kv_pages=cache.kv_pages.at[layer, :, pidx, 0, off, :].set(kq)
+            .at[layer, :, pidx, 1, off, :].set(vq),
+            k_scales=cache.k_scales.at[layer, :, pidx, 0, off].set(
+                ks[:, :, 0]
+            ),
+            v_scales=cache.v_scales.at[layer, :, pidx, 0, off].set(
+                vs[:, :, 0]
+            ),
         )
-    k_pages = cache.k_pages.at[layer, :, pidx, off, :].set(
-        kt.astype(cache.k_pages.dtype)
+    kv_pages = cache.kv_pages.at[layer, :, pidx, 0, off, :].set(
+        kt.astype(cache.kv_pages.dtype)
+    ).at[layer, :, pidx, 1, off, :].set(
+        vt.astype(cache.kv_pages.dtype)
     )
-    v_pages = cache.v_pages.at[layer, :, pidx, off, :].set(
-        vt.astype(cache.v_pages.dtype)
-    )
-    return dataclasses.replace(cache, k_pages=k_pages, v_pages=v_pages)
+    return dataclasses.replace(cache, kv_pages=kv_pages)
 
 
 def append_tokens(
@@ -139,18 +150,21 @@ def append_tokens(
         vq, vs = _quantize_tokens_sym(v)
         return dataclasses.replace(
             cache,
-            k_pages=cache.k_pages.at[layer, :, pidx, off, :].set(kq),
-            v_pages=cache.v_pages.at[layer, :, pidx, off, :].set(vq),
-            k_scales=cache.k_scales.at[layer, :, pidx, off, :].set(ks),
-            v_scales=cache.v_scales.at[layer, :, pidx, off, :].set(vs),
+            kv_pages=cache.kv_pages.at[layer, :, pidx, 0, off, :].set(kq)
+            .at[layer, :, pidx, 1, off, :].set(vq),
+            k_scales=cache.k_scales.at[layer, :, pidx, 0, off].set(
+                ks[:, :, 0]
+            ),
+            v_scales=cache.v_scales.at[layer, :, pidx, 0, off].set(
+                vs[:, :, 0]
+            ),
         )
-    k_pages = cache.k_pages.at[layer, :, pidx, off, :].set(
-        k.astype(cache.k_pages.dtype)
+    kv_pages = cache.kv_pages.at[layer, :, pidx, 0, off, :].set(
+        k.astype(cache.kv_pages.dtype)
+    ).at[layer, :, pidx, 1, off, :].set(
+        v.astype(cache.kv_pages.dtype)
     )
-    v_pages = cache.v_pages.at[layer, :, pidx, off, :].set(
-        v.astype(cache.v_pages.dtype)
-    )
-    return dataclasses.replace(cache, k_pages=k_pages, v_pages=v_pages)
+    return dataclasses.replace(cache, kv_pages=kv_pages)
 
 
 def gather_kv(
@@ -164,13 +178,13 @@ def gather_kv(
     # and stay in place: gathered shape is [Hkv, L, D] directly.  (In the
     # .at[layer, :, pidx, off, :] writes above, the integer layer index
     # makes the advanced indices non-contiguous, moving them to the front.)
-    k = cache.k_pages[layer][:, pidx, off, :]
-    v = cache.v_pages[layer][:, pidx, off, :]
+    k = cache.kv_pages[layer][:, pidx, 0, off, :]
+    v = cache.kv_pages[layer][:, pidx, 1, off, :]
     if cache.quantized:
-        ks = cache.k_scales[layer][:, pidx, off, :]
-        vs = cache.v_scales[layer][:, pidx, off, :]
+        ks = cache.k_scales[layer][:, pidx, 0, off]  # [L, Hkv] (adv front)
+        vs = cache.v_scales[layer][:, pidx, 0, off]
         return (
-            k.astype(jnp.float32) * ks,
-            v.astype(jnp.float32) * vs,
+            k.astype(jnp.float32) * ks.T[..., None],
+            v.astype(jnp.float32) * vs.T[..., None],
         )
     return k, v

@@ -32,6 +32,11 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -jnp.inf
 
 
+DECODE_CHUNK_PAGES = 8  # pages gathered per DMA wave
+DECODE_SLOTS = 4  # waves in flight (page copies are LATENCY-bound: ~0.6-1.7
+#                   us/copy single-stream; depth hides it)
+
+
 def _decode_kernel(
     # scalar prefetch
     pt_ref,  # [B, max_pages] physical page ids
@@ -39,89 +44,126 @@ def _decode_kernel(
     # tensors
     *refs,
     page_tokens: int,
+    chunk_pages: int,
+    max_pages: int,
     group_pad: int,
     head_dim: int,
+    s_sub: int,
     quantized: bool,
     v_tail_zero: int,
     precision,
 ):
+    # Decode is BANDWIDTH-bound (one query row vs the whole cache), and
+    # pages are scattered — BlockSpec streaming can only fetch ONE page per
+    # grid step, which is DMA-latency-bound (measured ~100 GB/s).  Instead
+    # the page pools stay in HBM (`pl.ANY`) and the kernel gathers
+    # ``chunk_pages`` pages per wave with manual double-buffered async
+    # copies (the DMA engine overlaps the whole wave), computing on the
+    # previous wave meanwhile — the stock paged kernel's
+    # MultiPageAsyncCopyDescriptor pattern, re-expressed.
+    # Scales are NOT page-gathered: the wrapper pre-gathers them densely
+    # per sequence with one XLA gather (4 bytes/token — trivial traffic)
+    # so the int8 path issues the SAME number of page DMAs as bf16.  The
+    # page-gather is ISSUE-bound (~0.25 µs/copy regardless of bytes,
+    # docs/perf_notes.md round-2), so extra scale copies were costing more
+    # than the halved payload saved.
     if quantized:
-        (q_ref, k_ref, ks_ref, v_ref, vs_ref,
-         o_ref, m_scr, l_scr, acc_scr) = refs
+        q_ref, kvp_ref, ksd_ref, vsd_ref, o_ref, kvbuf, kvsem = refs
     else:
-        q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr = refs
+        q_ref, kvp_ref, o_ref, kvbuf, kvsem = refs
     b = pl.program_id(0)
-    j = pl.program_id(2)
+    h = pl.program_id(1)
     length = len_ref[b]
-    live = j * page_tokens < length
-    last = jnp.logical_and(live, (j + 1) * page_tokens >= length)
+    n_pages = jnp.maximum((length + page_tokens - 1) // page_tokens, 1)
+    n_chunks = (n_pages + chunk_pages - 1) // chunk_pages
+    ct = chunk_pages * page_tokens
 
-    @pl.when(j == 0)
-    def _init():
-        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
-        l_scr[...] = jnp.zeros_like(l_scr)
-        acc_scr[...] = jnp.zeros_like(acc_scr)
+    def page_id(idx):
+        return pt_ref[b, jnp.minimum(idx, max_pages - 1)]
 
-    @pl.when(live)
-    def _compute():
-        q = q_ref[0, 0]  # [group_pad, D] (pre-scaled)
-        if quantized:
-            k = (
-                k_ref[0, 0].astype(jnp.int32).astype(jnp.float32)
-                * ks_ref[0, 0]
-            ).astype(q.dtype)
-        else:
-            k = k_ref[0, 0]  # [page_tokens, D]
+    def copies(ci, slot):
+        # ONE copy per page covers K and V (merged [S_sub, PT, D] pages).
+        return [
+            pltpu.make_async_copy(
+                kvp_ref.at[h, page_id(ci * chunk_pages + i)],
+                kvbuf.at[slot, i],
+                kvsem.at[slot, i],
+            )
+            for i in range(chunk_pages)
+        ]
+
+    def start(ci, slot):
+        for c in copies(ci, slot):
+            c.start()
+
+    def wait(ci, slot):
+        for c in copies(ci, slot):
+            c.wait()
+
+    q = q_ref[0, 0]  # [group_pad, D] (pre-scaled)
+    # Prologue: fill the pipeline (up to DECODE_SLOTS waves in flight).
+    for w in range(DECODE_SLOTS - 1):
+        @pl.when(w < n_chunks)
+        def _(w=w):
+            start(w, w % DECODE_SLOTS)
+
+    def body(ci, carry):
+        m_prev, l_prev, acc = carry
+        slot = jax.lax.rem(ci, DECODE_SLOTS)
+        nxt = ci + DECODE_SLOTS - 1
+
+        @pl.when(nxt < n_chunks)
+        def _():
+            start(nxt, jax.lax.rem(nxt, DECODE_SLOTS))
+
+        wait(ci, slot)
+        # Widen to the compute dtype (no-op for float pools; int8 payloads
+        # are scaled via the score-row fold below).  kvbuf[slot] is
+        # [cp, S_sub, PT, D]; S_sub == 1 means K IS V (MLA latent pages).
+        k = kvbuf[slot, :, 0].reshape(ct, head_dim).astype(q.dtype)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
-        )  # [group_pad, page_tokens]
-        # Mask tokens past the sequence length within this page.
+        )  # [group_pad, ct]
+        if quantized:
+            s = s * ksd_ref[0, 0, :, pl.ds(ci * ct, ct)]
         col = jax.lax.broadcasted_iota(
-            jnp.int32, (group_pad, page_tokens), 1
-        ) + j * page_tokens
+            jnp.int32, (group_pad, ct), 1
+        ) + ci * ct
         s = jnp.where(col < length, s, NEG_INF)
 
-        m_prev = m_scr[...][:, :1]
-        l_prev = l_scr[...][:, :1]
         m_curr = jnp.max(s, axis=1, keepdims=True)
         m_next = jnp.maximum(m_prev, m_curr)
-        # exp(-inf - -inf) guard: fully-masked groups keep m == -inf.
         alpha = jnp.where(
             jnp.isneginf(m_prev), 0.0, jnp.exp(m_prev - m_next)
         )
         p = jnp.exp(s - m_next)
-        l_scr[...] = jnp.broadcast_to(
-            alpha * l_prev + jnp.sum(p, axis=1, keepdims=True),
-            l_scr.shape,
-        )
-        m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
 
+        v = kvbuf[slot, :, s_sub - 1].reshape(ct, head_dim).astype(q.dtype)
         if quantized:
-            v = (
-                v_ref[0, 0].astype(jnp.int32).astype(jnp.float32)
-                * vs_ref[0, 0]
-            ).astype(q.dtype)
-        else:
-            v = v_ref[0, 0]  # [page_tokens, D]
+            p = p * vsd_ref[0, 0, :, pl.ds(ci * ct, ct)]
         if v_tail_zero:
             # MLA latent pages: K carries [c | k_rope] but V is the bare
             # latent — zero the rope tail so one page pool serves both.
             lane = jax.lax.broadcasted_iota(
-                jnp.int32, (page_tokens, head_dim), 1
+                jnp.int32, (ct, head_dim), 1
             )
             v = jnp.where(lane < head_dim - v_tail_zero, v, 0)
         pv = jax.lax.dot(
             p.astype(v.dtype), v,
             preferred_element_type=jnp.float32, precision=precision,
         )
-        acc_scr[...] = acc_scr[...] * alpha + pv
+        return m_next, l_next, acc * alpha + pv
 
-    @pl.when(last)
-    def _store():
-        lsum = l_scr[...][:, :1]
-        safe = jnp.where(lsum == 0.0, 1.0, lsum)
-        o_ref[0, 0] = (acc_scr[...] / safe).astype(o_ref.dtype)
+    init = (
+        jnp.full((group_pad, 1), NEG_INF, jnp.float32),
+        jnp.zeros((group_pad, 1), jnp.float32),
+        jnp.zeros((group_pad, head_dim), jnp.float32),
+    )
+    _m, lsum, acc = jax.lax.fori_loop(0, n_chunks, body, init)
+    safe = jnp.where(lsum == 0.0, 1.0, lsum)
+    o_ref[0, 0] = (acc / safe).astype(o_ref.dtype)
 
 
 def _prefill_kernel(
@@ -139,10 +181,9 @@ def _prefill_kernel(
     precision,
 ):
     if quantized:
-        (q_ref, k_ref, ks_ref, v_ref, vs_ref,
-         o_ref, m_scr, l_scr, acc_scr) = refs
+        q_ref, kv_ref, ks_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr = refs
     else:
-        q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr = refs
+        q_ref, kv_ref, o_ref, m_scr, l_scr, acc_scr = refs
     j = pl.program_id(1)
     off = off_ref[0]
     total = off + chunk  # KV tokens visible to the last chunk row
@@ -158,17 +199,15 @@ def _prefill_kernel(
     @pl.when(live)
     def _compute():
         q = q_ref[0]  # [rows_pad, D] pre-scaled
-        if quantized:
-            k = (
-                k_ref[0, 0].astype(jnp.int32).astype(jnp.float32)
-                * ks_ref[0, 0]
-            ).astype(q.dtype)
-        else:
-            k = k_ref[0, 0]  # [page_tokens, D]
+        # kv_ref block is [1, 1, S_sub, page_tokens, D]; sub 0 = K,
+        # sub -1 = V (S_sub == 1 → K IS V, MLA latent pages).
+        k = kv_ref[0, 0, 0].astype(q.dtype)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
         )
+        if quantized:
+            s = s * ks_ref[0, 0]  # [1, page_tokens] row-vector scales
         # Causal in GLOBAL coordinates: row r (a group-major flattening of
         # (g, c)) is chunk position c = r mod chunk, global off + c; it sees
         # KV columns ≤ off + c.
@@ -194,13 +233,9 @@ def _prefill_kernel(
             alpha * l_prev + jnp.sum(p, axis=1, keepdims=True), l_scr.shape
         )
         m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
+        v = kv_ref[0, 0, kv_ref.shape[2] - 1].astype(q.dtype)
         if quantized:
-            v = (
-                v_ref[0, 0].astype(jnp.int32).astype(jnp.float32)
-                * vs_ref[0, 0]
-            ).astype(q.dtype)
-        else:
-            v = v_ref[0, 0]
+            p = p * vs_ref[0, 0]  # row-vector V scales
         if v_tail_zero:
             lane = jax.lax.broadcasted_iota(
                 jnp.int32, (page_tokens, head_dim), 1
@@ -221,8 +256,7 @@ def _prefill_kernel(
 
 def paged_prefill_attention(
     q: jnp.ndarray,
-    k_pages: jnp.ndarray,
-    v_pages: jnp.ndarray,
+    kv_pages: jnp.ndarray,
     page_row: jnp.ndarray,
     offset: jnp.ndarray,
     *,
@@ -241,7 +275,8 @@ def paged_prefill_attention(
 
     Args:
       q: [Hq, chunk, D] chunk queries (chunk is trace-time static).
-      k_pages, v_pages: [Hkv, num_pages, page_tokens, D].
+      kv_pages: [Hkv, num_pages, S_sub, page_tokens, D] merged page pool
+        (see paged_decode_attention).
       page_row: [max_pages] int32 physical page ids for this sequence.
       offset: scalar int32 — the chunk's first global position.
 
@@ -249,8 +284,8 @@ def paged_prefill_attention(
     """
     quantized = k_scales is not None
     hq, chunk, d = q.shape
-    hkv, _n, page_tokens, dk = k_pages.shape
-    assert dk == d and v_pages.shape == k_pages.shape and hq % hkv == 0
+    hkv, _n, s_sub, page_tokens, dk = kv_pages.shape
+    assert dk == d and s_sub in (1, 2) and hq % hkv == 0
     group = hq // hkv
     max_pages = page_row.shape[0]
     if scale is None:
@@ -268,17 +303,23 @@ def paged_prefill_attention(
 
     def page_index(h, j, pt, off):
         last_page = jnp.maximum(off[0] + chunk - 1, 0) // page_tokens
+        return (h, pt[jnp.minimum(j, last_page)], 0, 0, 0)
+
+    def page_index_sc(h, j, pt, off):
+        last_page = jnp.maximum(off[0] + chunk - 1, 0) // page_tokens
         return (h, pt[jnp.minimum(j, last_page)], 0, 0)
 
     in_specs = [
         pl.BlockSpec((1, rows_pad, d), lambda h, j, pt, off: (h, 0, 0)),
-        pl.BlockSpec((1, 1, page_tokens, d), page_index),
+        pl.BlockSpec((1, 1, s_sub, page_tokens, d), page_index),
     ]
     if quantized:
-        in_specs.append(pl.BlockSpec((1, 1, page_tokens, 1), page_index))
-    in_specs.append(pl.BlockSpec((1, 1, page_tokens, d), page_index))
-    if quantized:
-        in_specs.append(pl.BlockSpec((1, 1, page_tokens, 1), page_index))
+        in_specs.append(
+            pl.BlockSpec((1, 1, 1, page_tokens), page_index_sc)
+        )
+        in_specs.append(
+            pl.BlockSpec((1, 1, 1, page_tokens), page_index_sc)
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(hkv, max_pages),
@@ -318,16 +359,14 @@ def paged_prefill_attention(
         page_row.astype(jnp.int32),
         jnp.asarray(offset, jnp.int32).reshape(1),
         qg,
-        *([k_pages, k_scales, v_pages, v_scales] if quantized
-          else [k_pages, v_pages]),
+        *([kv_pages, k_scales, v_scales] if quantized else [kv_pages]),
     )
     return out[:, :rows, :].reshape(hq, chunk, d)
 
 
 def paged_decode_attention(
     q: jnp.ndarray,
-    k_pages: jnp.ndarray,
-    v_pages: jnp.ndarray,
+    kv_pages: jnp.ndarray,
     page_table: jnp.ndarray,
     lengths: jnp.ndarray,
     *,
@@ -341,21 +380,26 @@ def paged_decode_attention(
 
     Args:
       q: [B, Hq, D] current-step queries.
-      k_pages, v_pages: [Hkv, num_pages, page_tokens, D] page pools.
+      kv_pages: [Hkv, num_pages, S_sub, page_tokens, D] MERGED page pool —
+        S_sub == 2 → K at sub-index 0, V at 1; S_sub == 1 → one state per
+        token serves both sides (MLA latent pages).  One DMA per page
+        covers everything (the gather is issue-bound, not byte-bound).
       page_table: [B, max_pages_per_seq] int32 physical page ids (entries
         past a sequence's last page are ignored).
       lengths: [B] int32 — tokens currently in each sequence's cache
         (INCLUDING the token being decoded, which the caller has already
         appended; every length must be ≥ 1).
-      k_scales, v_scales: [Hkv, num_pages, page_tokens, 1] per-token
-        symmetric scales for int8 page pools (dequantized on tile load).
+      k_scales, v_scales: [Hkv, num_pages, 1, page_tokens] per-token
+        symmetric scales for int8 pools, LANE-major row vectors — gathered
+        DENSELY per batch with one XLA gather (4 B/token) and folded into
+        the score/probability rows in-kernel.
 
     Returns [B, Hq, D] in q.dtype.
     """
     quantized = k_scales is not None
     b, hq, d = q.shape
-    hkv, _num_pages, page_tokens, dk = k_pages.shape
-    assert dk == d and v_pages.shape == k_pages.shape
+    hkv, _num_pages, s_sub, page_tokens, dk = kv_pages.shape
+    assert dk == d and s_sub in (1, 2)
     assert hq % hkv == 0
     group = hq // hkv
     max_pages = page_table.shape[1]
@@ -370,46 +414,60 @@ def paged_decode_attention(
     if group_pad != group:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, group_pad - group), (0, 0)))
 
-    def page_index(bi, h, j, pt, ln):
-        # Clamp to the last live page: dead steps re-reference the same
-        # block, which the pipeline recognizes and skips re-fetching.
-        last_page = jnp.maximum(ln[bi] - 1, 0) // page_tokens
-        return (h, pt[bi, jnp.minimum(j, last_page)], 0, 0)
+    chunk_pages = min(DECODE_CHUNK_PAGES, max_pages)
 
     in_specs = [
         pl.BlockSpec(
-            (1, 1, group_pad, d), lambda bi, h, j, pt, ln: (bi, h, 0, 0)
+            (1, 1, group_pad, d), lambda bi, h, pt, ln: (bi, h, 0, 0)
         ),
-        pl.BlockSpec((1, 1, page_tokens, d), page_index),
+        pl.BlockSpec(memory_space=pltpu.ANY),  # page pool stays in HBM
     ]
-    inputs = [qg, k_pages]
+    inputs = [qg, kv_pages]
     if quantized:
-        in_specs.append(pl.BlockSpec((1, 1, page_tokens, 1), page_index))
-        inputs.append(k_scales)
-    in_specs.append(pl.BlockSpec((1, 1, page_tokens, d), page_index))
-    inputs.append(v_pages)
-    if quantized:
-        in_specs.append(pl.BlockSpec((1, 1, page_tokens, 1), page_index))
-        inputs.append(v_scales)
+        # Densify this batch's scales with ONE gather (4 B/token) so the
+        # kernel reads them as a plain VMEM input — no per-page scale DMAs.
+        def densify(sc):
+            g = sc[:, page_table]  # [Hkv, B, MP, 1, PT]
+            return g.transpose(1, 0, 2, 3, 4).reshape(
+                b, hkv, 1, max_pages * page_tokens
+            )
+
+        ks_dense = densify(k_scales)
+        vs_dense = densify(v_scales)
+        sc_spec = pl.BlockSpec(
+            (1, 1, 1, max_pages * page_tokens),
+            lambda bi, h, pt, ln: (bi, h, 0, 0),
+        )
+        in_specs.append(sc_spec)
+        inputs.append(ks_dense)
+        in_specs.append(sc_spec)
+        inputs.append(vs_dense)
+
+    scratch = [
+        pltpu.VMEM(
+            (DECODE_SLOTS, chunk_pages, s_sub, page_tokens, d),
+            kv_pages.dtype,
+        ),
+        pltpu.SemaphoreType.DMA((DECODE_SLOTS, chunk_pages)),
+    ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b, hkv, max_pages),
+        grid=(b, hkv),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, 1, group_pad, d), lambda bi, h, j, pt, ln: (bi, h, 0, 0)
+            (1, 1, group_pad, d), lambda bi, h, pt, ln: (bi, h, 0, 0)
         ),
-        scratch_shapes=[
-            pltpu.VMEM((group_pad, 128), jnp.float32),
-            pltpu.VMEM((group_pad, 128), jnp.float32),
-            pltpu.VMEM((group_pad, d), jnp.float32),
-        ],
+        scratch_shapes=scratch,
     )
     kernel = functools.partial(
         _decode_kernel,
         page_tokens=page_tokens,
+        chunk_pages=chunk_pages,
+        max_pages=max_pages,
         group_pad=group_pad,
         head_dim=d,
+        s_sub=s_sub,
         quantized=quantized,
         v_tail_zero=v_tail_zero,
         precision=(
@@ -423,7 +481,7 @@ def paged_decode_attention(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, hkv, group_pad, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(page_table.astype(jnp.int32), lengths.astype(jnp.int32), *inputs)

@@ -57,8 +57,7 @@ def test_paged_decode_matches_reference():
     v_full = jax.random.normal(ks[2], (b, hkv, max_len, d), jnp.float32)
 
     # Scatter each sequence's KV into distinct pages.
-    k_pages = jnp.zeros((hkv, npages + 1, pt, d), jnp.float32)
-    v_pages = jnp.zeros_like(k_pages)
+    kv_pages = jnp.zeros((hkv, npages + 1, 2, pt, d), jnp.float32)
     table = np.full((b, 3), npages, np.int32)  # trash by default
     phys = iter(range(npages))
     for i in range(b):
@@ -67,11 +66,12 @@ def test_paged_decode_matches_reference():
         table[i, :n] = ids
         for j, pid in enumerate(ids):
             lo, hi = j * pt, min((j + 1) * pt, max_len)
-            k_pages = k_pages.at[:, pid, : hi - lo].set(k_full[i, :, lo:hi])
-            v_pages = v_pages.at[:, pid, : hi - lo].set(v_full[i, :, lo:hi])
+            kv_pages = kv_pages.at[:, pid, 0, : hi - lo].set(
+                k_full[i, :, lo:hi]
+            ).at[:, pid, 1, : hi - lo].set(v_full[i, :, lo:hi])
 
     o = paged_decode_attention(
-        q, k_pages, v_pages, jnp.asarray(table), lengths
+        q, kv_pages, jnp.asarray(table), lengths
     )
     for i in range(b):
         n = int(lengths[i])
@@ -158,18 +158,18 @@ def test_paged_prefill_matches_reference():
     k_full = jax.random.normal(ks[1], (hkv, total, d), jnp.float32)
     v_full = jax.random.normal(ks[2], (hkv, total, d), jnp.float32)
 
-    k_pages = jnp.zeros((hkv, npages + 1, pt, d), jnp.float32)
-    v_pages = jnp.zeros_like(k_pages)
+    kv_pages = jnp.zeros((hkv, npages + 1, 2, pt, d), jnp.float32)
     n = -(-total // pt)
     row = np.full(n + 1, npages, np.int32)
     row[:n] = np.arange(n)
     for j in range(n):
         lo, hi = j * pt, min((j + 1) * pt, total)
-        k_pages = k_pages.at[:, j, : hi - lo].set(k_full[:, lo:hi])
-        v_pages = v_pages.at[:, j, : hi - lo].set(v_full[:, lo:hi])
+        kv_pages = kv_pages.at[:, j, 0, : hi - lo].set(
+            k_full[:, lo:hi]
+        ).at[:, j, 1, : hi - lo].set(v_full[:, lo:hi])
 
     o = paged_prefill_attention(
-        q, k_pages, v_pages, jnp.asarray(row), jnp.asarray(offset)
+        q, kv_pages, jnp.asarray(row), jnp.asarray(offset)
     )
     # Dense reference: rows at global positions offset..total-1, causal.
     from metal_flash_attention_plus_tpu.attention.masking import (
@@ -202,9 +202,9 @@ def test_quantized_cache_decode_matches_dequant():
     kq, kscale = _quantize_tokens_sym(k_full)
     vq, vscale = _quantize_tokens_sym(v_full)
 
-    k_pages = jnp.zeros((hkv, npages + 1, pt, d), jnp.int8)
-    v_pages = jnp.zeros_like(k_pages)
-    ks_pages = jnp.zeros((hkv, npages + 1, pt, 1), jnp.float32)
+    kv_pages = jnp.zeros((hkv, npages + 1, 2, pt, d), jnp.int8)
+    # Scale pools are LANE-major row vectors [Hkv, pages, 1, pt].
+    ks_pages = jnp.zeros((hkv, npages + 1, 1, pt), jnp.float32)
     vs_pages = jnp.zeros_like(ks_pages)
     table = np.full((b, 2), npages, np.int32)
     phys = iter(range(npages))
@@ -214,13 +214,18 @@ def test_quantized_cache_decode_matches_dequant():
         table[i, :n] = ids
         for j, pid in enumerate(ids):
             lo, hi = j * pt, min((j + 1) * pt, max_len)
-            k_pages = k_pages.at[:, pid, : hi - lo].set(kq[i, :, lo:hi])
-            v_pages = v_pages.at[:, pid, : hi - lo].set(vq[i, :, lo:hi])
-            ks_pages = ks_pages.at[:, pid, : hi - lo].set(kscale[i, :, lo:hi])
-            vs_pages = vs_pages.at[:, pid, : hi - lo].set(vscale[i, :, lo:hi])
+            kv_pages = kv_pages.at[:, pid, 0, : hi - lo].set(
+                kq[i, :, lo:hi]
+            ).at[:, pid, 1, : hi - lo].set(vq[i, :, lo:hi])
+            ks_pages = ks_pages.at[:, pid, 0, : hi - lo].set(
+                kscale[i, :, lo:hi, 0]
+            )
+            vs_pages = vs_pages.at[:, pid, 0, : hi - lo].set(
+                vscale[i, :, lo:hi, 0]
+            )
 
     o = paged_decode_attention(
-        q, k_pages, v_pages, jnp.asarray(table), lengths,
+        q, kv_pages, jnp.asarray(table), lengths,
         k_scales=ks_pages, v_scales=vs_pages,
     )
     kd = kq.astype(jnp.float32) * kscale
