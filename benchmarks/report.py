@@ -139,54 +139,54 @@ def run(args):
         )
 
     # ------------------------------------------------------------------
-    # Bandwidth-bound decode regime (VERDICT r1 item 2): batch-1, long-S,
-    # short Q — KV-cache reads dominate, so int8/int4 KV must show the
-    # memory win the reference claims (2.5×/3.0×, README.md:291-296).
+    # Paged-decode regime (VERDICT r1 item 2): 4 seqs x 32K context via the
+    # multi-page DMA-wave decode kernel; bf16 vs int8 cache.  On this
+    # tunnel stack scattered page reads are issue-bound, so int8 decode
+    # time is ~parity; its win is CAPACITY (docs/perf_notes.md round-2).
     # ------------------------------------------------------------------
-    decode_rows = []
-    b1, h1, sq1, skv1, d1 = 1, 8, 256, 32768, 128
-    ks = jax.random.split(jax.random.PRNGKey(1), 3)
-    q1 = jax.random.normal(ks[0], (b1, h1, sq1, d1), jnp.bfloat16)
-    k1 = jax.random.normal(ks[1], (b1, h1, skv1, d1), jnp.float32)
-    v1 = jax.random.normal(ks[2], (b1, h1, skv1, d1), jnp.float32)
-    kv_bytes_bf16 = 2 * b1 * h1 * skv1 * d1 * 2
+    import numpy as np
 
-    fb = jax.jit(
-        lambda q, k, v: flash_attention_forward(
-            q, k.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
-            mask=FULL, interpret=False,
-        )[0]
+    from metal_flash_attention_plus_tpu.serving.paged_attention import (
+        paged_decode_attention,
     )
-    t_bf16 = measure(fb, q1, k1, v1, iters=20, warmup=3)
-    decode_rows.append(dict(
+
+    b1, hq1, hkv1, d1, pt1, skv1 = 4, 8, 8, 128, 128, 32768
+    pps = skv1 // pt1
+    npg = b1 * pps + 1
+    ks = jax.random.split(jax.random.PRNGKey(1), 2)
+    q1 = jax.random.normal(ks[0], (b1, hq1, d1), jnp.bfloat16)
+    kvp = jax.random.normal(ks[1], (hkv1, npg, 2, pt1, d1), jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(np.stack(
+        [rng.permutation(npg - 1)[:pps] for _ in range(b1)]
+    ).astype(np.int32))
+    lens = jnp.full((b1,), skv1, jnp.int32)
+    fb = jax.jit(lambda q, kvp: paged_decode_attention(q, kvp, pts, lens))
+    fb(q1, kvp)
+    t_bf16 = measure(fb, q1, kvp, iters=20, warmup=3)
+    kv_bytes = 2 * b1 * skv1 * hkv1 * d1 * 2
+    decode_rows = [dict(
         kv="bf16", ms=round(t_bf16 * 1e3, 3),
-        gbs=round(kv_bytes_bf16 / t_bf16 / 1e9, 1), speedup=1.0,
+        gbs=round(kv_bytes / t_bf16 / 1e9, 1), speedup=1.0,
+        capacity=1.0,
+    )]
+    kvq = jnp.clip(jnp.round(kvp.astype(jnp.float32) * 10), -127, 127
+                   ).astype(jnp.int8)
+    sc = jnp.full((hkv1, npg, 1, pt1), 0.1, jnp.float32)
+    f8 = jax.jit(lambda q, kvq, sc: paged_decode_attention(
+        q, kvq, pts, lens, k_scales=sc, v_scales=sc))
+    f8(q1, kvq, sc)
+    t8 = measure(f8, q1, kvq, sc, iters=20, warmup=3)
+    decode_rows.append(dict(
+        kv="int8", ms=round(t8 * 1e3, 3),
+        gbs=round(kv_bytes / 2 / t8 / 1e9, 1),
+        speedup=round(t_bf16 / t8, 2), capacity=2.0,
     ))
-    for bits in (8, 4):
-        cfgq = QuantConfig(
-            bits=bits, granularity=QuantGranularity.ROW,
-            strategy=QuantStrategy.CENTERED,
-        )
-        kq1, vq1 = quantize(k1, cfgq), quantize(v1, cfgq)
-        qb = tuner.recommend("fwd_q", d1, skv1, bits=bits, causal=False)
-        fq = jax.jit(
-            lambda q, kq1=kq1, vq1=vq1, qb=qb:
-            quantized_flash_attention_forward(
-                q, kq1, vq1, mask=FULL, block_sizes=qb, interpret=False,
-            )[0]
-        )
-        fq(q1)
-        t_q = measure(fq, q1, iters=20, warmup=3)
-        payload = kq1.data.nbytes + vq1.data.nbytes
-        decode_rows.append(dict(
-            kv=f"int{bits}", ms=round(t_q * 1e3, 3),
-            gbs=round(payload / t_q / 1e9, 1),
-            speedup=round(t_bf16 / t_q, 2),
-        ))
-        print(
-            f"decode-regime (b1 h{h1} Sq{sq1} Skv{skv1} d{d1}) int{bits}: "
-            f"{t_q*1e3:.3f} ms, {t_bf16/t_q:.2f}x vs bf16", flush=True,
-        )
+    print(
+        f"32K paged decode: bf16 {t_bf16*1e3:.2f} ms "
+        f"({kv_bytes/t_bf16/1e9:.0f} GB/s), int8 {t8*1e3:.2f} ms",
+        flush=True,
+    )
 
     report = dict(
         chip=chip.name,
@@ -194,7 +194,8 @@ def run(args):
         seq=args.seq,
         batch=args.batch,
         decode_regime=dict(
-            shape=dict(b=b1, h=h1, sq=sq1, skv=skv1, d=d1),
+            shape=dict(b=b1, hq=hq1, hkv=hkv1, skv=skv1, d=d1,
+                       page_tokens=pt1),
             rows=decode_rows,
         ),
         note=(
