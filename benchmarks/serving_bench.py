@@ -1,6 +1,11 @@
 """Serving-engine throughput: continuous-batching decode + chunked prefill.
 
-python benchmarks/serving_bench.py [--mla] [--quantized-cache] [--decode 64]
+python benchmarks/serving_bench.py [--suite] [--mla] [--quantized-cache]
+                                   [--w8a8] [--decode 64]
+
+--suite (default when no model flags given): gqa float, gqa + int8 cache,
+gqa + W8A8 weights, mla, mla + int8 latent cache — one row each in
+serving.json.
 
 Measures end-to-end tokens/second through the ServingEngine (C++ scheduler
 + paged KV cache + ragged decode kernels) under a mixed workload — the
@@ -28,6 +33,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mla", action="store_true")
     ap.add_argument("--quantized-cache", action="store_true")
+    ap.add_argument("--w8a8", action="store_true",
+                    help="int8 weights via quantize_weights")
+    ap.add_argument("--suite", action="store_true")
+    ap.add_argument("--single", action="store_true",
+                    help="internal: run exactly this config")
     ap.add_argument("--decode", type=int, default=64,
                     help="new tokens per request")
     ap.add_argument("--requests", type=int, default=8)
@@ -44,6 +54,37 @@ def main():
         GenerationRequest,
         ServingEngine,
     )
+
+    if not args.single and (
+        args.suite or not (args.mla or args.quantized_cache or args.w8a8)
+    ):
+        rows = []
+        base = [sys.executable, __file__]
+        import subprocess
+
+        for extra, name in (
+            ([], "gqa"),
+            (["--quantized-cache"], "gqa+int8cache"),
+            (["--w8a8"], "gqa+w8a8"),
+            (["--mla"], "mla"),
+            (["--mla", "--quantized-cache"], "mla+int8latent"),
+        ):
+            r = subprocess.run(
+                base + extra + ["--single", "--decode", str(args.decode),
+                                "--requests", str(args.requests),
+                                "--prompt", str(args.prompt)],
+                capture_output=True, text=True,
+            )
+            line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
+            try:
+                rows.append(json.loads(line))
+            except json.JSONDecodeError:
+                rows.append({"config": name, "error": r.stderr[-300:]})
+            print(line or r.stderr[-200:], flush=True)
+        Path(__file__).with_name("serving.json").write_text(
+            json.dumps(rows, indent=1)
+        )
+        return
 
     if args.mla:
         from metal_flash_attention_plus_tpu.models.mla_transformer import (
@@ -71,6 +112,12 @@ def main():
             dtype=jnp.bfloat16,
         )
         params = init_params(cfg, jax.random.PRNGKey(0))
+        if args.w8a8:
+            from metal_flash_attention_plus_tpu.models.quantized_inference import (  # noqa: E501
+                quantize_weights,
+            )
+
+            params = quantize_weights(params)
         executor = None
 
     def run_once():
@@ -100,6 +147,7 @@ def main():
 
     result = {
         "model": "mla" if args.mla else "gqa",
+        "w8a8_weights": bool(args.w8a8),
         "quantized_cache": bool(args.quantized_cache),
         "requests": args.requests,
         "prompt_tokens": total_prompt,
@@ -109,9 +157,6 @@ def main():
         "decode_tokens_per_s": round(total_new / wall, 1),
         "backend": jax.default_backend(),
     }
-    Path(__file__).with_name("serving.json").write_text(
-        json.dumps(result, indent=1)
-    )
     print(json.dumps(result))
 
 

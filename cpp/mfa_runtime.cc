@@ -52,7 +52,7 @@ extern "C" int mfa_resolve_blocks(int32_t head_dim, int32_t bits,
   if (bits <= 8) {
     if (head_dim <= 64) {
       bq = 1024; bkv = 512; bkvm = 1024;
-    } else if (head_dim <= 128) {
+    } else if (head_dim <= 128 || bits == 4) {
       bq = 1024; bkv = 1024; bkvm = 2048;
     } else {
       bq = 512; bkv = 512; bkvm = 2048;

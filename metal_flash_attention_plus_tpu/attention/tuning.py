@@ -69,7 +69,7 @@ def default_block_sizes(
     if bits <= 8:
         if head_dim <= 64:
             bq, bkv, bkvm = 1024, 512, 1024
-        elif head_dim <= 128:
+        elif head_dim <= 128 or bits == 4:
             bq, bkv, bkvm = 1024, 1024, 2048
         else:
             bq, bkv, bkvm = 512, 512, 2048

@@ -127,8 +127,8 @@ def prefill_chunk(
             cache = _dc.replace(
                 cache,
                 kv_pages=cache.kv_pages
-                .at[li, :, pidx, 0, off_in, :].set(kq_)
-                .at[li, :, pidx, 1, off_in, :].set(vq_),
+                .at[li, :, pidx, off_in, :].set(kq_)
+                .at[li, :, pidx, cache.page_tokens + off_in, :].set(vq_),
                 k_scales=cache.k_scales.at[li, :, pidx, 0, off_in].set(
                     ks_[:, :, 0]
                 ),
@@ -138,21 +138,23 @@ def prefill_chunk(
             )
             o = paged_prefill_attention(
                 q[0], cache.kv_pages[li], page_row, offset,
+                page_tokens=cache.page_tokens,
                 k_scales=cache.k_scales[li], v_scales=cache.v_scales[li],
             )
         else:
             cache = _dc.replace(
                 cache,
                 kv_pages=cache.kv_pages
-                .at[li, :, pidx, 0, off_in, :].set(
+                .at[li, :, pidx, off_in, :].set(
                     kt.astype(cache.kv_pages.dtype)
                 )
-                .at[li, :, pidx, 1, off_in, :].set(
+                .at[li, :, pidx, cache.page_tokens + off_in, :].set(
                     vt.astype(cache.kv_pages.dtype)
                 ),
             )
             o = paged_prefill_attention(
-                q[0], cache.kv_pages[li], page_row, offset
+                q[0], cache.kv_pages[li], page_row, offset,
+                page_tokens=cache.page_tokens,
             )  # [Hq, C, D]
         attn = o.transpose(1, 0, 2).reshape(1, c, -1).astype(x.dtype)
         x = x + linear(attn, layer["wo"], x.dtype)
@@ -194,6 +196,7 @@ def decode_step(
             cache.kv_pages[li],
             page_tables,
             lengths,
+            page_tokens=cache.page_tokens,
             k_scales=cache.k_scales[li] if cache.quantized else None,
             v_scales=cache.v_scales[li] if cache.quantized else None,
         )

@@ -41,7 +41,7 @@ def init_mla_cache(
     ``quantized``: int8 payload + per-token symmetric scales — the
     compressed+quantized cache is d_c + d_r BYTES per token."""
     shape = (
-        cfg.num_layers, 1, num_pages + 1, 1, page_tokens, cfg.cache_width
+        cfg.num_layers, 1, num_pages + 1, page_tokens, cfg.cache_width
     )
     placeholder = jnp.zeros((1, 1, 1, 1, 1), jnp.float32)
     return PagedKVCache(
@@ -70,14 +70,14 @@ def _write_state(cache, li, pidx, off, state):
         q, scale = _quantize_tokens_sym(state)
         return _dc.replace(
             cache,
-            kv_pages=cache.kv_pages.at[li, :, pidx, 0, off, :].set(
+            kv_pages=cache.kv_pages.at[li, :, pidx, off, :].set(
                 q[:, None]
             ),
             k_scales=cache.k_scales.at[li, :, pidx, 0, off].set(scale),
         )
     return _dc.replace(
         cache,
-        kv_pages=cache.kv_pages.at[li, :, pidx, 0, off, :].set(
+        kv_pages=cache.kv_pages.at[li, :, pidx, off, :].set(
             state[:, None].astype(cache.kv_pages.dtype)
         ),
     )
@@ -133,6 +133,7 @@ def mla_prefill_chunk(
         q_lat = _q_latent(layer, q, qr, cfg)[0].astype(x.dtype)
         o_lat = paged_prefill_attention(
             q_lat, cache.kv_pages[li], page_row, offset,
+            page_tokens=cache.page_tokens,
             scale=_attn_scale(cfg), v_tail_zero=cfg.rope_dim,
             **_kv_scale_args(cache, li),
         )  # [H, C, dc+dr]
@@ -178,6 +179,7 @@ def mla_decode_step(
         o_lat = paged_decode_attention(
             q_lat, cache.kv_pages[li],
             page_tables, lengths,
+            page_tokens=cache.page_tokens,
             scale=_attn_scale(cfg), v_tail_zero=cfg.rope_dim,
             **_kv_scale_args(cache, li),
         )  # [B, H, dc+dr]

@@ -29,12 +29,14 @@ import jax.numpy as jnp
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class PagedKVCache:
-    # MERGED page pool [L, Hkv, num_pages+1, 2, page_tokens, D]: K at
-    # sub-index 0, V at 1 — ONE DMA per page covers both operands.  The
-    # decode page-gather is issue-bound (~0.25 µs per copy regardless of
-    # bytes, docs/perf_notes.md round-2), so copy COUNT is the currency;
-    # MLA's latent cache uses a 1-wide sub-axis (K is V) for the same
-    # reason.
+    # MERGED page pool [L, Hkv, num_pages+1, 2·page_tokens, D]: K tokens
+    # in rows [0, PT), V tokens in rows [PT, 2PT) — ONE DMA per page
+    # covers both operands (the page-gather is issue-bound, ~0.25 µs per
+    # copy regardless of bytes — docs/perf_notes.md round-2 — so copy
+    # COUNT is the currency).  MLA's latent cache stores ONE state per
+    # token (rows = PT; K is V).  The pair rides the TOKEN axis (not its
+    # own dim) so the DMA slice keeps plain 2D minor dims — Mosaic cannot
+    # slice tiled 5D pools at D < 128.
     kv_pages: jnp.ndarray
     # Per-token symmetric scales (quantized mode only; zeros-shaped [1]*5
     # placeholders otherwise so the pytree structure is stable).
@@ -61,7 +63,7 @@ class PagedKVCache:
         quantized: bool = False,
     ) -> "PagedKVCache":
         shape = (
-            num_layers, num_kv_heads, num_pages + 1, 2, page_tokens,
+            num_layers, num_kv_heads, num_pages + 1, 2 * page_tokens,
             head_dim,
         )
         if quantized:
@@ -114,8 +116,8 @@ def write_prompt(
         vq, vs = _quantize_tokens_sym(vt)
         return dataclasses.replace(
             cache,
-            kv_pages=cache.kv_pages.at[layer, :, pidx, 0, off, :].set(kq)
-            .at[layer, :, pidx, 1, off, :].set(vq),
+            kv_pages=cache.kv_pages.at[layer, :, pidx, off, :].set(kq)
+            .at[layer, :, pidx, cache.page_tokens + off, :].set(vq),
             k_scales=cache.k_scales.at[layer, :, pidx, 0, off].set(
                 ks[:, :, 0]
             ),
@@ -123,9 +125,9 @@ def write_prompt(
                 vs[:, :, 0]
             ),
         )
-    kv_pages = cache.kv_pages.at[layer, :, pidx, 0, off, :].set(
+    kv_pages = cache.kv_pages.at[layer, :, pidx, off, :].set(
         kt.astype(cache.kv_pages.dtype)
-    ).at[layer, :, pidx, 1, off, :].set(
+    ).at[layer, :, pidx, cache.page_tokens + off, :].set(
         vt.astype(cache.kv_pages.dtype)
     )
     return dataclasses.replace(cache, kv_pages=kv_pages)
@@ -150,8 +152,8 @@ def append_tokens(
         vq, vs = _quantize_tokens_sym(v)
         return dataclasses.replace(
             cache,
-            kv_pages=cache.kv_pages.at[layer, :, pidx, 0, off, :].set(kq)
-            .at[layer, :, pidx, 1, off, :].set(vq),
+            kv_pages=cache.kv_pages.at[layer, :, pidx, off, :].set(kq)
+            .at[layer, :, pidx, cache.page_tokens + off, :].set(vq),
             k_scales=cache.k_scales.at[layer, :, pidx, 0, off].set(
                 ks[:, :, 0]
             ),
@@ -159,9 +161,9 @@ def append_tokens(
                 vs[:, :, 0]
             ),
         )
-    kv_pages = cache.kv_pages.at[layer, :, pidx, 0, off, :].set(
+    kv_pages = cache.kv_pages.at[layer, :, pidx, off, :].set(
         k.astype(cache.kv_pages.dtype)
-    ).at[layer, :, pidx, 1, off, :].set(
+    ).at[layer, :, pidx, cache.page_tokens + off, :].set(
         v.astype(cache.kv_pages.dtype)
     )
     return dataclasses.replace(cache, kv_pages=kv_pages)
@@ -178,8 +180,8 @@ def gather_kv(
     # and stay in place: gathered shape is [Hkv, L, D] directly.  (In the
     # .at[layer, :, pidx, off, :] writes above, the integer layer index
     # makes the advanced indices non-contiguous, moving them to the front.)
-    k = cache.kv_pages[layer][:, pidx, 0, off, :]
-    v = cache.kv_pages[layer][:, pidx, 1, off, :]
+    k = cache.kv_pages[layer][:, pidx, off, :]
+    v = cache.kv_pages[layer][:, pidx, cache.page_tokens + off, :]
     if cache.quantized:
         ks = cache.k_scales[layer][:, pidx, 0, off]  # [L, Hkv] (adv front)
         vs = cache.v_scales[layer][:, pidx, 0, off]

@@ -119,8 +119,11 @@ def _decode_kernel(
         wait(ci, slot)
         # Widen to the compute dtype (no-op for float pools; int8 payloads
         # are scaled via the score-row fold below).  kvbuf[slot] is
-        # [cp, S_sub, PT, D]; S_sub == 1 means K IS V (MLA latent pages).
-        k = kvbuf[slot, :, 0].reshape(ct, head_dim).astype(q.dtype)
+        # [cp, s_sub*PT, D] with K in token rows [0, PT) and V in
+        # [PT, 2PT); s_sub == 1 means K IS V (MLA latent pages).
+        k = kvbuf[slot, :, :page_tokens].reshape(
+            ct, head_dim
+        ).astype(q.dtype)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
@@ -140,7 +143,9 @@ def _decode_kernel(
         p = jnp.exp(s - m_next)
         l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
 
-        v = kvbuf[slot, :, s_sub - 1].reshape(ct, head_dim).astype(q.dtype)
+        v = kvbuf[slot, :, (s_sub - 1) * page_tokens:].reshape(
+            ct, head_dim
+        ).astype(q.dtype)
         if quantized:
             p = p * vsd_ref[0, 0, :, pl.ds(ci * ct, ct)]
         if v_tail_zero:
@@ -164,6 +169,93 @@ def _decode_kernel(
     _m, lsum, acc = jax.lax.fori_loop(0, n_chunks, body, init)
     safe = jnp.where(lsum == 0.0, 1.0, lsum)
     o_ref[0, 0] = (acc / safe).astype(o_ref.dtype)
+
+
+def _decode_kernel_streamed(
+    # scalar prefetch
+    pt_ref,  # [B, max_pages] physical page ids
+    len_ref,  # [B] sequence lengths
+    # tensors
+    *refs,
+    page_tokens: int,
+    group_pad: int,
+    head_dim: int,
+    quantized: bool,
+    v_tail_zero: int,
+    precision,
+):
+    if quantized:
+        q_ref, kv_ref, ks_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr = refs
+    else:
+        q_ref, kv_ref, o_ref, m_scr, l_scr, acc_scr = refs
+    b = pl.program_id(0)
+    j = pl.program_id(2)
+    length = len_ref[b]
+    live = j * page_tokens < length
+    last = jnp.logical_and(live, (j + 1) * page_tokens >= length)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    @pl.when(live)
+    def _compute():
+        q = q_ref[0, 0]  # [group_pad, D] (pre-scaled)
+        # Merged page block [1, 1, s_sub*PT, D]: K rows [0, PT).
+        k = kv_ref[0, 0, :page_tokens].astype(q.dtype)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )  # [group_pad, page_tokens]
+        if quantized:
+            s = s * ks_ref[0, 0]  # [1, page_tokens] row-vector scales
+        # Mask tokens past the sequence length within this page.
+        col = jax.lax.broadcasted_iota(
+            jnp.int32, (group_pad, page_tokens), 1
+        ) + j * page_tokens
+        s = jnp.where(col < length, s, NEG_INF)
+
+        m_prev = m_scr[...][:, :1]
+        l_prev = l_scr[...][:, :1]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        # exp(-inf - -inf) guard: fully-masked groups keep m == -inf.
+        alpha = jnp.where(
+            jnp.isneginf(m_prev), 0.0, jnp.exp(m_prev - m_next)
+        )
+        p = jnp.exp(s - m_next)
+        l_scr[...] = jnp.broadcast_to(
+            alpha * l_prev + jnp.sum(p, axis=1, keepdims=True),
+            l_scr.shape,
+        )
+        m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
+
+        v = kv_ref[
+            0, 0, kv_ref.shape[2] - page_tokens:
+        ].astype(q.dtype)
+        if quantized:
+            p = p * vs_ref[0, 0]  # row-vector V scales
+        if v_tail_zero:
+            # MLA latent pages: K carries [c | k_rope] but V is the bare
+            # latent — zero the rope tail so one page pool serves both.
+            lane = jax.lax.broadcasted_iota(
+                jnp.int32, (page_tokens, head_dim), 1
+            )
+            v = jnp.where(lane < head_dim - v_tail_zero, v, 0)
+        pv = jax.lax.dot(
+            p.astype(v.dtype), v,
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        acc_scr[...] = acc_scr[...] * alpha + pv
+
+    @pl.when(last)
+    def _store():
+        lsum = l_scr[...][:, :1]
+        safe = jnp.where(lsum == 0.0, 1.0, lsum)
+        o_ref[0, 0] = (acc_scr[...] / safe).astype(o_ref.dtype)
+
 
 
 def _prefill_kernel(
@@ -199,9 +291,9 @@ def _prefill_kernel(
     @pl.when(live)
     def _compute():
         q = q_ref[0]  # [rows_pad, D] pre-scaled
-        # kv_ref block is [1, 1, S_sub, page_tokens, D]; sub 0 = K,
-        # sub -1 = V (S_sub == 1 → K IS V, MLA latent pages).
-        k = kv_ref[0, 0, 0].astype(q.dtype)
+        # kv_ref block is [1, 1, s_sub*PT, D]: K rows [0, PT), V rows
+        # [PT, 2PT) (s_sub == 1 → K IS V, MLA latent pages).
+        k = kv_ref[0, 0, :page_tokens].astype(q.dtype)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
@@ -233,7 +325,7 @@ def _prefill_kernel(
             alpha * l_prev + jnp.sum(p, axis=1, keepdims=True), l_scr.shape
         )
         m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
-        v = kv_ref[0, 0, kv_ref.shape[2] - 1].astype(q.dtype)
+        v = kv_ref[0, 0, kv_ref.shape[2] - page_tokens:].astype(q.dtype)
         if quantized:
             p = p * vs_ref[0, 0]  # row-vector V scales
         if v_tail_zero:
@@ -260,6 +352,7 @@ def paged_prefill_attention(
     page_row: jnp.ndarray,
     offset: jnp.ndarray,
     *,
+    page_tokens: Optional[int] = None,
     k_scales: Optional[jnp.ndarray] = None,
     v_scales: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
@@ -275,7 +368,7 @@ def paged_prefill_attention(
 
     Args:
       q: [Hq, chunk, D] chunk queries (chunk is trace-time static).
-      kv_pages: [Hkv, num_pages, S_sub, page_tokens, D] merged page pool
+      kv_pages: [Hkv, num_pages, s_sub·page_tokens, D] merged page pool
         (see paged_decode_attention).
       page_row: [max_pages] int32 physical page ids for this sequence.
       offset: scalar int32 — the chunk's first global position.
@@ -284,7 +377,10 @@ def paged_prefill_attention(
     """
     quantized = k_scales is not None
     hq, chunk, d = q.shape
-    hkv, _n, s_sub, page_tokens, dk = kv_pages.shape
+    hkv, _n, page_rows, dk = kv_pages.shape
+    if page_tokens is None:
+        page_tokens = page_rows  # s_sub == 1 (MLA latent pages)
+    s_sub = page_rows // page_tokens
     assert dk == d and s_sub in (1, 2) and hq % hkv == 0
     group = hq // hkv
     max_pages = page_row.shape[0]
@@ -303,15 +399,13 @@ def paged_prefill_attention(
 
     def page_index(h, j, pt, off):
         last_page = jnp.maximum(off[0] + chunk - 1, 0) // page_tokens
-        return (h, pt[jnp.minimum(j, last_page)], 0, 0, 0)
-
-    def page_index_sc(h, j, pt, off):
-        last_page = jnp.maximum(off[0] + chunk - 1, 0) // page_tokens
         return (h, pt[jnp.minimum(j, last_page)], 0, 0)
+
+    page_index_sc = page_index
 
     in_specs = [
         pl.BlockSpec((1, rows_pad, d), lambda h, j, pt, off: (h, 0, 0)),
-        pl.BlockSpec((1, 1, s_sub, page_tokens, d), page_index),
+        pl.BlockSpec((1, 1, s_sub * page_tokens, d), page_index),
     ]
     if quantized:
         in_specs.append(
@@ -370,6 +464,7 @@ def paged_decode_attention(
     page_table: jnp.ndarray,
     lengths: jnp.ndarray,
     *,
+    page_tokens: Optional[int] = None,
     k_scales: Optional[jnp.ndarray] = None,
     v_scales: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
@@ -398,7 +493,10 @@ def paged_decode_attention(
     """
     quantized = k_scales is not None
     b, hq, d = q.shape
-    hkv, _num_pages, s_sub, page_tokens, dk = kv_pages.shape
+    hkv, _num_pages, page_rows, dk = kv_pages.shape
+    if page_tokens is None:
+        page_tokens = page_rows  # s_sub == 1 (MLA latent pages)
+    s_sub = page_rows // page_tokens
     assert dk == d and s_sub in (1, 2)
     assert hq % hkv == 0
     group = hq // hkv
@@ -413,6 +511,67 @@ def paged_decode_attention(
     qg = qg.reshape(b, hkv, group, d)
     if group_pad != group:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, group_pad - group), (0, 0)))
+
+    if d % 128 != 0:
+        # Lane-padded head dims cannot be DMA-sliced out of the tiled HBM
+        # pool (Mosaic alignment) — fall back to the BlockSpec-STREAMED
+        # kernel: one page per grid step, the pipeline prefetches via the
+        # clamped index map.  Slower per byte than the wave gather, but
+        # d < 128 pages are small.
+        def page_index(bi, h, j, pt, ln):
+            last_page = jnp.maximum(ln[bi] - 1, 0) // page_tokens
+            return (h, pt[bi, jnp.minimum(j, last_page)], 0, 0)
+
+        in_specs = [
+            pl.BlockSpec(
+                (1, 1, group_pad, d),
+                lambda bi, h, j, pt, ln: (bi, h, 0, 0),
+            ),
+            pl.BlockSpec((1, 1, s_sub * page_tokens, d), page_index),
+        ]
+        inputs = [qg, kv_pages]
+        if quantized:
+            in_specs.append(pl.BlockSpec((1, 1, 1, page_tokens), page_index))
+            inputs.append(k_scales)
+            in_specs.append(pl.BlockSpec((1, 1, 1, page_tokens), page_index))
+            inputs.append(v_scales)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, hkv, max_pages),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (1, 1, group_pad, d),
+                lambda bi, h, j, pt, ln: (bi, h, 0, 0),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((group_pad, 128), jnp.float32),
+                pltpu.VMEM((group_pad, 128), jnp.float32),
+                pltpu.VMEM((group_pad, d), jnp.float32),
+            ],
+        )
+        kernel = functools.partial(
+            _decode_kernel_streamed,
+            page_tokens=page_tokens,
+            group_pad=group_pad,
+            head_dim=d,
+            quantized=quantized,
+            v_tail_zero=v_tail_zero,
+            precision=(
+                jax.lax.Precision.HIGHEST
+                if q.dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT
+            ),
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((b, hkv, group_pad, d), q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(page_table.astype(jnp.int32), lengths.astype(jnp.int32), *inputs)
+        return out[:, :, :group, :].reshape(b, hq, d)
 
     chunk_pages = min(DECODE_CHUNK_PAGES, max_pages)
 
@@ -445,7 +604,7 @@ def paged_decode_attention(
 
     scratch = [
         pltpu.VMEM(
-            (DECODE_SLOTS, chunk_pages, s_sub, page_tokens, d),
+            (DECODE_SLOTS, chunk_pages, s_sub * page_tokens, d),
             kv_pages.dtype,
         ),
         pltpu.SemaphoreType.DMA((DECODE_SLOTS, chunk_pages)),

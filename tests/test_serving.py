@@ -57,7 +57,7 @@ def test_paged_decode_matches_reference():
     v_full = jax.random.normal(ks[2], (b, hkv, max_len, d), jnp.float32)
 
     # Scatter each sequence's KV into distinct pages.
-    kv_pages = jnp.zeros((hkv, npages + 1, 2, pt, d), jnp.float32)
+    kv_pages = jnp.zeros((hkv, npages + 1, 2 * pt, d), jnp.float32)
     table = np.full((b, 3), npages, np.int32)  # trash by default
     phys = iter(range(npages))
     for i in range(b):
@@ -66,12 +66,12 @@ def test_paged_decode_matches_reference():
         table[i, :n] = ids
         for j, pid in enumerate(ids):
             lo, hi = j * pt, min((j + 1) * pt, max_len)
-            kv_pages = kv_pages.at[:, pid, 0, : hi - lo].set(
+            kv_pages = kv_pages.at[:, pid, : hi - lo].set(
                 k_full[i, :, lo:hi]
-            ).at[:, pid, 1, : hi - lo].set(v_full[i, :, lo:hi])
+            ).at[:, pid, pt : pt + hi - lo].set(v_full[i, :, lo:hi])
 
     o = paged_decode_attention(
-        q, kv_pages, jnp.asarray(table), lengths
+        q, kv_pages, jnp.asarray(table), lengths, page_tokens=pt
     )
     for i in range(b):
         n = int(lengths[i])
@@ -158,18 +158,18 @@ def test_paged_prefill_matches_reference():
     k_full = jax.random.normal(ks[1], (hkv, total, d), jnp.float32)
     v_full = jax.random.normal(ks[2], (hkv, total, d), jnp.float32)
 
-    kv_pages = jnp.zeros((hkv, npages + 1, 2, pt, d), jnp.float32)
+    kv_pages = jnp.zeros((hkv, npages + 1, 2 * pt, d), jnp.float32)
     n = -(-total // pt)
     row = np.full(n + 1, npages, np.int32)
     row[:n] = np.arange(n)
     for j in range(n):
         lo, hi = j * pt, min((j + 1) * pt, total)
-        kv_pages = kv_pages.at[:, j, 0, : hi - lo].set(
+        kv_pages = kv_pages.at[:, j, : hi - lo].set(
             k_full[:, lo:hi]
-        ).at[:, j, 1, : hi - lo].set(v_full[:, lo:hi])
+        ).at[:, j, pt : pt + hi - lo].set(v_full[:, lo:hi])
 
     o = paged_prefill_attention(
-        q, kv_pages, jnp.asarray(row), jnp.asarray(offset)
+        q, kv_pages, jnp.asarray(row), jnp.asarray(offset), page_tokens=pt
     )
     # Dense reference: rows at global positions offset..total-1, causal.
     from metal_flash_attention_plus_tpu.attention.masking import (
@@ -202,7 +202,7 @@ def test_quantized_cache_decode_matches_dequant():
     kq, kscale = _quantize_tokens_sym(k_full)
     vq, vscale = _quantize_tokens_sym(v_full)
 
-    kv_pages = jnp.zeros((hkv, npages + 1, 2, pt, d), jnp.int8)
+    kv_pages = jnp.zeros((hkv, npages + 1, 2 * pt, d), jnp.int8)
     # Scale pools are LANE-major row vectors [Hkv, pages, 1, pt].
     ks_pages = jnp.zeros((hkv, npages + 1, 1, pt), jnp.float32)
     vs_pages = jnp.zeros_like(ks_pages)
@@ -214,9 +214,9 @@ def test_quantized_cache_decode_matches_dequant():
         table[i, :n] = ids
         for j, pid in enumerate(ids):
             lo, hi = j * pt, min((j + 1) * pt, max_len)
-            kv_pages = kv_pages.at[:, pid, 0, : hi - lo].set(
+            kv_pages = kv_pages.at[:, pid, : hi - lo].set(
                 kq[i, :, lo:hi]
-            ).at[:, pid, 1, : hi - lo].set(vq[i, :, lo:hi])
+            ).at[:, pid, pt : pt + hi - lo].set(vq[i, :, lo:hi])
             ks_pages = ks_pages.at[:, pid, 0, : hi - lo].set(
                 kscale[i, :, lo:hi, 0]
             )
@@ -225,7 +225,7 @@ def test_quantized_cache_decode_matches_dequant():
             )
 
     o = paged_decode_attention(
-        q, kv_pages, jnp.asarray(table), lengths,
+        q, kv_pages, jnp.asarray(table), lengths, page_tokens=pt,
         k_scales=ks_pages, v_scales=vs_pages,
     )
     kd = kq.astype(jnp.float32) * kscale
