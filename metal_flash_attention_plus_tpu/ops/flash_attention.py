@@ -626,6 +626,11 @@ def flash_attention_forward(
         max(block_sizes.kv_major, bkv), _round_up(skv, bkv)
     )
     bkv_major -= bkv_major % bkv
+    if interpret:
+        # Interpret mode executes the unrolled inner loop as traced Python —
+        # the MXU/VPU overlap the unroll exists for does not apply, and the
+        # trace/compile cost scales with n_inner.  Keep CPU runs single-level.
+        bkv_major = bkv
     n_inner = bkv_major // bkv
     sq_p = _round_up(sq, bq)
     skv_p = _round_up(skv, bkv_major)
