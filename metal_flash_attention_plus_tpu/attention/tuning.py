@@ -92,6 +92,10 @@ def default_block_sizes(
         block_kv_dkv=min(bkv, 512),
         block_q_dq=min(bq, 512),
         block_kv_dq=min(bkv, 512),
+        # Backward two-level majors: +4-5% fwd+bwd at every head dim
+        # (40.9/83.2/94.0 TF/s at d=64/128/256 vs single-level, v5e).
+        block_kv_dq_major=2048,
+        block_q_dkv_major=2048,
     )
 
 

@@ -84,15 +84,23 @@ class BlockSizes:
     block_kv_dkv: int = 512
     block_q_dq: int = 512
     block_kv_dq: int = 512
+    # Two-level majors for the backward kernels (0 → single-level): the dQ
+    # kernel slabs its KV traversal, the dKV kernel its (group × Q) one.
+    block_kv_dq_major: int = 0
+    block_q_dkv_major: int = 0
 
     def __post_init__(self):
+        majors = {
+            "block_kv_major": self.block_kv,
+            "block_kv_dq_major": self.block_kv_dq,
+            "block_q_dkv_major": self.block_q_dkv,
+        }
         for f in dataclasses.fields(self):
             v = getattr(self, f.name)
-            if f.name == "block_kv_major":
-                if v and v % self.block_kv != 0:
+            if f.name in majors:
+                if v and v % majors[f.name] != 0:
                     raise ValueError(
-                        f"block_kv_major={v} must be a multiple of "
-                        f"block_kv={self.block_kv}"
+                        f"{f.name}={v} must be a multiple of its inner tile"
                     )
                 continue
             if v % 128 != 0:
@@ -101,6 +109,20 @@ class BlockSizes:
     @property
     def kv_major(self) -> int:
         return self.block_kv_major or self.block_kv
+
+    @property
+    def kv_dq_major(self) -> int:
+        return self.block_kv_dq_major or self.block_kv_dq
+
+    @property
+    def q_dkv_major(self) -> int:
+        return self.block_q_dkv_major or self.block_q_dkv
+
+
+def _interpret_two_level() -> bool:
+    import os
+
+    return os.environ.get("MFA_INTERPRET_TWO_LEVEL") == "1"
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -626,10 +648,11 @@ def flash_attention_forward(
         max(block_sizes.kv_major, bkv), _round_up(skv, bkv)
     )
     bkv_major -= bkv_major % bkv
-    if interpret:
+    if interpret and not _interpret_two_level():
         # Interpret mode executes the unrolled inner loop as traced Python —
         # the MXU/VPU overlap the unroll exists for does not apply, and the
-        # trace/compile cost scales with n_inner.  Keep CPU runs single-level.
+        # trace/compile cost scales with n_inner.  Keep CPU runs single-level
+        # (MFA_INTERPRET_TWO_LEVEL=1 overrides, for structure tests).
         bkv_major = bkv
     n_inner = bkv_major // bkv
     sq_p = _round_up(sq, bq)

@@ -76,7 +76,8 @@ def _precision_for(dtype):
 def _dq_kernel(
     *all_refs,
     block_q: int,
-    block_kv: int,
+    block_kv: int,  # INNER compute tile
+    n_inner: int,  # subtiles per grid step (major = n_inner * block_kv)
     head_dim: int,
     scale: float,
     mask_mode: str,
@@ -85,6 +86,7 @@ def _dq_kernel(
     want_dbias: bool,
     kv_bits: Optional[int],
     precision,
+    inner_skip: bool = False,
     packed: bool = False,
 ):
     # Dense (i, j) schedule with unconditional masking — see the forward
@@ -95,8 +97,9 @@ def _dq_kernel(
     # segments per grid row, zero dead steps for causal.
     has_mask = mask_mode != "none"
     if packed:
-        q0_ref, q1_ref, n0_ref, t_ref, lo_ref, hi_ref = all_refs[:6]
-        refs = all_refs[6:]
+        (q0_ref, q1_ref, n0_ref, t_ref,
+         lo_ref, hi_ref, loi_ref, hii_ref) = all_refs[:8]
+        refs = all_refs[8:]
         r = pl.program_id(2)
         j = pl.program_id(3)
         n0 = n0_ref[r]
@@ -113,8 +116,8 @@ def _dq_kernel(
         )
         store_cond = jnp.logical_and(valid, jj == jnp.maximum(run, 1) - 1)
     else:
-        lo_ref, hi_ref = all_refs[:2]
-        refs = all_refs[2:]
+        lo_ref, hi_ref, loi_ref, hii_ref = all_refs[:4]
+        refs = all_refs[4:]
         row_block = pl.program_id(2)
         j = pl.program_id(3)
         jj = j
@@ -124,6 +127,8 @@ def _dq_kernel(
         init_cond = j == 0
         store_cond = j == jnp.maximum(run, 1) - 1
     kvj = lo + jj
+    loi = loi_ref[row_block]
+    hii = hii_ref[row_block]
     if mask_mode == "ranges":
         rs_ref, re_ref = refs[:2]
         refs = refs[2:]
@@ -149,22 +154,27 @@ def _dq_kernel(
     def _init():
         dq_acc[...] = jnp.zeros_like(dq_acc)
 
-    @pl.when(live)
-    def _compute():
+    def _inner(t):
+        sl = pl.ds(t * block_kv, block_kv)
         q = q_ref[0, 0]  # [bq, D] pre-scaled
         if kv_bits is None:
-            k = k_ref[0, 0]  # [bkv, D]
+            k = k_ref[0, 0, sl, :]  # [bkv, D]
         else:
-            k = _dequant_kv_tile(
-                kq_ref, ks_ref, kz_ref, block_kv, head_dim, kv_bits[0],
-                q.dtype,
+            from metal_flash_attention_plus_tpu.ops.quantized_gemm import (
+                dequant_kv_vals,
+            )
+
+            k = dequant_kv_vals(
+                kq_ref[0, 0, sl, :], ks_ref[0, 0, sl, :],
+                kz_ref[0, 0, sl, :], head_dim, kv_bits[0], q.dtype,
             )
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
         )
+        inner_idx = kvj * n_inner + t
         if has_bias:
-            s += bias_ref[0, 0].astype(jnp.float32)
+            s += bias_ref[0, 0, :, sl].astype(jnp.float32)
 
         l = l_ref[0, 0]  # [bq, 128] lane-replicated
         d = d_ref[0, 0]
@@ -173,7 +183,7 @@ def _dq_kernel(
         if has_mask:
             col = (
                 jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
-                + kvj * block_kv
+                + inner_idx * block_kv
             )
             if mask_mode == "affine":
                 a_off, b_off, seq_q, cap = affine
@@ -194,11 +204,15 @@ def _dq_kernel(
 
         do = do_ref[0, 0]  # [bq, D]
         if kv_bits is None:
-            v = v_ref[0, 0]  # [bkv, D]
+            v = v_ref[0, 0, sl, :]  # [bkv, D]
         else:
-            v = _dequant_kv_tile(
-                vq_ref, vs_ref, vz_ref, block_kv, head_dim, kv_bits[1],
-                q.dtype,
+            from metal_flash_attention_plus_tpu.ops.quantized_gemm import (
+                dequant_kv_vals,
+            )
+
+            v = dequant_kv_vals(
+                vq_ref[0, 0, sl, :], vs_ref[0, 0, sl, :],
+                vz_ref[0, 0, sl, :], head_dim, kv_bits[1], q.dtype,
             )
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())),
@@ -207,11 +221,23 @@ def _dq_kernel(
         d_wide = pltpu.repeat(d, block_kv // LANES, axis=1)
         ds = p * (dp - d_wide)
         if want_dbias:
-            dbias_ref[0, 0] = ds.astype(dbias_ref.dtype)
+            dbias_ref[0, 0, :, sl] = ds.astype(dbias_ref.dtype)
         dq_acc[...] += jax.lax.dot(
             ds.astype(k.dtype), k,
             preferred_element_type=jnp.float32, precision=precision,
         )
+
+    @pl.when(live)
+    def _compute():
+        for t in range(n_inner):
+            if inner_skip and n_inner > 1:
+                g = kvj * n_inner + t
+
+                @pl.when(jnp.logical_and(g >= loi, g < hii))
+                def _(t=t):
+                    _inner(t)
+            else:
+                _inner(t)
 
     @pl.when(store_cond)
     def _store():
@@ -278,16 +304,21 @@ def _dkv_kernel(
     block_kv: int,
     head_dim: int,
     group: int,
-    ni_max: int,
+    ni_max: int,  # max live MAJOR q-slabs per kv block
+    n_inner: int,  # q subtiles per grid step (major = n_inner * block_q)
     mask_mode: str,
     affine,
     has_bias: bool,
     precision,
     kv_bits: Optional[int] = None,
+    inner_skip: bool = False,
     packed: bool = False,
 ):
-    # Grid (b, hkv, j, group·ni_max): the 4th dim enumerates (g, q-block)
-    # pairs; per-KV-block live q-block bounds arrive via scalar prefetch.
+    # Grid (b, hkv, j, group·ni_max): the 4th dim enumerates (g, q-slab)
+    # pairs; per-KV-block live q-slab bounds arrive via scalar prefetch.
+    # TWO-LEVEL: each step covers a MAJOR slab of n_inner q subtiles
+    # processed by an unrolled inner loop (MXU/VPU overlap — see the
+    # forward kernel).
     # ``packed``: the packed-pair schedule over KV blocks — two contiguous
     # segments per grid row, each segment enumerating (q-step × group)
     # (group-minor so divisions stay static); zero dead steps for causal.
@@ -300,8 +331,9 @@ def _dkv_kernel(
     # every step).
     has_mask = mask_mode != "none"
     if packed:
-        j0_ref, j1_ref, n0_ref, t_ref, ilo_ref, ihi_ref = all_refs[:6]
-        refs = all_refs[6:]
+        (j0_ref, j1_ref, n0_ref, t_ref,
+         ilo_ref, ihi_ref, iloi_ref, ihii_ref) = all_refs[:8]
+        refs = all_refs[8:]
         r = pl.program_id(2)
         t = pl.program_id(3)
         n0 = n0_ref[r]
@@ -321,8 +353,8 @@ def _dkv_kernel(
             valid, tt == group * jnp.maximum(run, 1) - 1
         )
     else:
-        ilo_ref, ihi_ref = all_refs[:2]
-        refs = all_refs[2:]
+        ilo_ref, ihi_ref, iloi_ref, ihii_ref = all_refs[:4]
+        refs = all_refs[4:]
         kv_block = pl.program_id(2)
         t = pl.program_id(3)
         ioff = t % ni_max
@@ -331,7 +363,9 @@ def _dkv_kernel(
         live = ioff < run
         init_cond = t == 0
         store_cond = t == (group - 1) * ni_max + jnp.maximum(run, 1) - 1
-    iq = ilo + ioff
+    iq = ilo + ioff  # major q-slab index
+    iloi = iloi_ref[kv_block]
+    ihii = ihii_ref[kv_block]
     if mask_mode == "ranges":
         rs_ref, re_ref = refs[:2]  # row vectors [1, bq]
         refs = refs[2:]
@@ -366,23 +400,24 @@ def _dkv_kernel(
                 vf_scr.dtype,
             )
 
-    @pl.when(live)
-    def _compute():
+    def _inner(ti):
+        sl = pl.ds(ti * block_q, block_q)
         if kv_bits is None:
             k = k_ref[0, 0]  # [bkv, D]
         else:
             k = kf_scr[...]
-        q = q_ref[0, 0]  # [bq, D] pre-scaled
+        q = q_ref[0, 0, sl, :]  # [bq, D] pre-scaled
         st = jax.lax.dot_general(
             k, q, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
         )  # [bkv, bq] = Sᵀ
         if has_bias:
-            st += biasT_ref[0, 0].astype(jnp.float32)
+            st += biasT_ref[0, 0, :, sl].astype(jnp.float32)
 
-        l_row = l_ref[0, 0]  # [1, bq]
-        d_row = d_ref[0, 0]
+        l_row = l_ref[0, 0, :, sl]  # [1, bq]
+        d_row = d_ref[0, 0, :, sl]
         pt = jnp.exp(st - l_row)
+        inner_iq = iq * n_inner + ti
         if has_mask:
             kvpos = (
                 jax.lax.broadcasted_iota(jnp.int32, (block_kv, block_q), 0)
@@ -394,7 +429,7 @@ def _dkv_kernel(
                     jax.lax.broadcasted_iota(
                         jnp.int32, (block_kv, block_q), 1
                     )
-                    + iq * block_q
+                    + inner_iq * block_q
                 )
                 keep = jnp.logical_and(
                     kvpos >= jnp.maximum(0, qrow + a_off),
@@ -403,11 +438,11 @@ def _dkv_kernel(
                 keep = jnp.logical_and(keep, qrow < seq_q)
             else:
                 keep = jnp.logical_and(
-                    kvpos >= rs_ref[...], kvpos < re_ref[...]
+                    kvpos >= rs_ref[:, sl], kvpos < re_ref[:, sl]
                 )
             pt = jnp.where(keep, pt, 0.0)
 
-        do = do_ref[0, 0]  # [bq, D]
+        do = do_ref[0, 0, sl, :]  # [bq, D]
         if kv_bits is None:
             v = v_ref[0, 0]  # [bkv, D]
         else:
@@ -425,6 +460,18 @@ def _dkv_kernel(
             dst.astype(q.dtype), q,
             preferred_element_type=jnp.float32, precision=precision,
         )
+
+    @pl.when(live)
+    def _compute():
+        for ti in range(n_inner):
+            if inner_skip and n_inner > 1:
+                g_i = iq * n_inner + ti
+
+                @pl.when(jnp.logical_and(g_i >= iloi, g_i < ihii))
+                def _(ti=ti):
+                    _inner(ti)
+            else:
+                _inner(ti)
 
     @pl.when(store_cond)
     def _store():
@@ -493,8 +540,28 @@ def flash_attention_backward(
     bkv_dq = min(block_sizes.block_kv_dq, _round_up(skv, 128))
     bq_dkv = min(block_sizes.block_q_dkv, _round_up(sq, 128))
     bkv_dkv = min(block_sizes.block_kv_dkv, _round_up(skv, 128))
-    sq_p = _round_up(sq, int(np.lcm(bq_dq, bq_dkv)))
-    skv_p = _round_up(skv, int(np.lcm(bkv_dq, bkv_dkv)))
+    # Two-level majors (see the forward kernel): the dQ kernel slabs its KV
+    # traversal, the dKV kernel its Q traversal; single-level in interpret
+    # mode (the unroll only exists for MXU/VPU overlap).
+    bkvM_dq = min(
+        max(block_sizes.kv_dq_major, bkv_dq), _round_up(skv, bkv_dq)
+    )
+    bkvM_dq -= bkvM_dq % bkv_dq
+    bqM_dkv = min(
+        max(block_sizes.q_dkv_major, bq_dkv), _round_up(sq, bq_dkv)
+    )
+    bqM_dkv -= bqM_dkv % bq_dkv
+    from metal_flash_attention_plus_tpu.ops.flash_attention import (
+        _interpret_two_level,
+    )
+
+    if interpret and not _interpret_two_level():
+        bkvM_dq = bkv_dq
+        bqM_dkv = bq_dkv
+    n_inner_dq = bkvM_dq // bkv_dq
+    n_inner_dkv = bqM_dkv // bq_dkv
+    sq_p = _round_up(sq, int(np.lcm(bq_dq, bqM_dkv)))
+    skv_p = _round_up(skv, int(np.lcm(bkvM_dq, bkv_dkv)))
 
     # Pre-scale Q once (same convention as forward).
     qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
@@ -586,20 +653,33 @@ def flash_attention_backward(
             build_block_bounds_dynamic,
         )
 
-        lo_arr, hi_arr = build_block_bounds_dynamic(row_ranges, bq_dq, bkv_dq)
-        mask_mode, affine = "ranges", (0, 0, 0, 0)
-        ni_dq = sq_p // bq_dq
-        nj_all_dq = skv_p // bkv_dq
-        nj_max_dq = nj_all_dq
-        packed_dq = False
-    else:
-        lo_arr, hi_arr, _ms, _me = build_block_bounds(
+        lo_arr, hi_arr = build_block_bounds_dynamic(
+            row_ranges, bq_dq, bkvM_dq
+        )
+        loi_dq, hii_dq = build_block_bounds_dynamic(
             row_ranges, bq_dq, bkv_dq
         )
+        mask_mode, affine = "ranges", (0, 0, 0, 0)
+        ni_dq = sq_p // bq_dq
+        nj_all_dq = skv_p // bkvM_dq
+        nj_max_dq = nj_all_dq
+        packed_dq = False
+        inner_skip_dq = has_mask and n_inner_dq > 1
+    else:
+        lo_arr, hi_arr, _ms, _me = build_block_bounds(
+            row_ranges, bq_dq, bkvM_dq
+        )
+        loi_dq, hii_dq, _, _ = build_block_bounds(row_ranges, bq_dq, bkv_dq)
         mask_mode, affine = resolve_mask_mode(mask, has_mask, sq, skv)
         ni_dq = sq_p // bq_dq
-        nj_all_dq = skv_p // bkv_dq
+        nj_all_dq = skv_p // bkvM_dq
         nj_max_dq = max(1, int((hi_arr - lo_arr).max()))
+        _cap = int((hi_arr - lo_arr).sum()) * n_inner_dq
+        _livei = int((hii_dq - loi_dq).sum())
+        inner_skip_dq = (
+            has_mask and n_inner_dq > 1
+            and (_cap - _livei) > 0.05 * max(1, _livei)
+        )
 
         # Packed-pair schedule (flash_attention.build_packed_schedule) when
         # it removes ≥10% of grid steps — zero dead steps for causal.
@@ -612,15 +692,16 @@ def flash_attention_backward(
         scalars_dq = (
             jnp.asarray(q0a), jnp.asarray(q1a), jnp.asarray(n0a),
             jnp.asarray(ta), jnp.asarray(lo_arr), jnp.asarray(hi_arr),
+            jnp.asarray(loi_dq), jnp.asarray(hii_dq),
         )
 
         def q_block_dq(a):
-            _, _, r, j, q0, q1, n0, t, lo, hi = a
+            _, _, r, j, q0, q1, n0, t = a[:8]
             seg1 = jnp.logical_and(j >= n0[r], t[r] > n0[r])
             return jnp.where(seg1, q1[r], q0[r])
 
         def kv_block_dq(a):
-            _, _, r, j, q0, q1, n0, t, lo, hi = a
+            _, _, r, j, q0, q1, n0, t, lo, hi = a[:10]
             seg1 = jnp.logical_and(j >= n0[r], t[r] > n0[r])
             qi = jnp.where(seg1, q1[r], q0[r])
             jj = j - jnp.where(seg1, n0[r], 0)
@@ -630,13 +711,16 @@ def flash_attention_backward(
             )
     else:
         grid_dq = (b, hq, ni_dq, nj_max_dq)
-        scalars_dq = (jnp.asarray(lo_arr), jnp.asarray(hi_arr))
+        scalars_dq = (
+            jnp.asarray(lo_arr), jnp.asarray(hi_arr),
+            jnp.asarray(loi_dq), jnp.asarray(hii_dq),
+        )
 
         def q_block_dq(a):
             return a[2]
 
         def kv_block_dq(a):
-            _, _, i, j, lo, hi = a
+            _, _, i, j, lo, hi = a[:6]
             run = hi[i] - lo[i]
             return jnp.clip(
                 lo[i] + jnp.minimum(j, run - 1), 0, nj_all_dq - 1
@@ -653,7 +737,7 @@ def flash_attention_backward(
         ]
     def kv_spec(width_):
         return pl.BlockSpec(
-            (1, 1, bkv_dq, width_),
+            (1, 1, bkvM_dq, width_),
             lambda *a: (a[0], kv_head(a[1]), kv_block_dq(a), 0),
         )
 
@@ -682,7 +766,7 @@ def flash_attention_backward(
         bh = bias.shape[1] == 1
         in_specs.append(
             pl.BlockSpec(
-                (1, 1, bq_dq, bkv_dq),
+                (1, 1, bq_dq, bkvM_dq),
                 lambda *a: (
                     0 if bb else a[0], 0 if bh else a[1], q_block_dq(a),
                     kv_block_dq(a),
@@ -703,7 +787,7 @@ def flash_attention_backward(
             jax.ShapeDtypeStruct((b, hq, sq_p, skv_p), jnp.float32)
         )
         dbias_spec = pl.BlockSpec(
-            (1, 1, bq_dq, bkv_dq),
+            (1, 1, bq_dq, bkvM_dq),
             lambda *a: (a[0], a[1], q_block_dq(a), kv_block_dq(a)),
         )
         out_specs.append(dbias_spec)
@@ -718,6 +802,7 @@ def flash_attention_backward(
         _dq_kernel,
         block_q=bq_dq,
         block_kv=bkv_dq,
+        n_inner=n_inner_dq,
         head_dim=d,
         scale=scale,
         mask_mode=mask_mode,
@@ -726,6 +811,7 @@ def flash_attention_backward(
         want_dbias=want_dbias,
         kv_bits=kv_bits,
         precision=precision,
+        inner_skip=inner_skip_dq,
         packed=packed_dq,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -782,19 +868,34 @@ def flash_attention_backward(
                 mask_ranges, sq, skv, sq_p, skv
             )
         ilo_arr, ihi_arr = build_kv_block_bounds_dynamic(
+            rr_dkv, bqM_dkv, bkv_dkv, nj
+        )
+        iloi_arr, ihii_arr = build_kv_block_bounds_dynamic(
             rr_dkv, bq_dkv, bkv_dkv, nj
         )
         ni_max = ni_all
         mask_mode2, affine2 = "ranges", (0, 0, 0, 0)
         packed_dkv = False
+        inner_skip_dkv = has_mask and n_inner_dkv > 1
     else:
         rr_dkv = compute_row_ranges(
             mask, sq, skv, mask_ranges=mask_ranges,
             seq_q_padded=sq_p, seq_kv_cap=skv,
         )
-        ilo_arr, ihi_arr = build_kv_block_bounds(rr_dkv, bq_dkv, bkv_dkv, nj)
+        ilo_arr, ihi_arr = build_kv_block_bounds(
+            rr_dkv, bqM_dkv, bkv_dkv, nj
+        )
+        iloi_arr, ihii_arr = build_kv_block_bounds(
+            rr_dkv, bq_dkv, bkv_dkv, nj
+        )
         ni_max = max(1, int((ihi_arr - ilo_arr).max()))
         mask_mode2, affine2 = resolve_mask_mode(mask, has_mask, sq, skv)
+        _cap2 = int((ihi_arr - ilo_arr).sum()) * n_inner_dkv
+        _livei2 = int((ihii_arr - iloi_arr).sum())
+        inner_skip_dkv = (
+            has_mask and n_inner_dkv > 1
+            and (_cap2 - _livei2) > 0.05 * max(1, _livei2)
+        )
 
         # Packed-pair schedule over KV blocks; within a segment the 4th dim
         # enumerates (q-step × group) GROUP-MINOR so g/ioff come from static
@@ -809,15 +910,16 @@ def flash_attention_backward(
             jnp.asarray(j0a), jnp.asarray(j1a),
             jnp.asarray(n0a2 * group), jnp.asarray(ta2 * group),
             jnp.asarray(ilo_arr), jnp.asarray(ihi_arr),
+            jnp.asarray(iloi_arr), jnp.asarray(ihii_arr),
         )
 
         def kv_block2(a):
-            _, _, r, t, j0, j1, n0, tarr, ilo, ihi = a
+            _, _, r, t, j0, j1, n0, tarr = a[:8]
             seg1 = jnp.logical_and(t >= n0[r], tarr[r] > n0[r])
             return jnp.where(seg1, j1[r], j0[r])
 
         def _tt(a):
-            _, _, r, t, j0, j1, n0, tarr, ilo, ihi = a
+            _, _, r, t, j0, j1, n0, tarr = a[:8]
             seg1 = jnp.logical_and(t >= n0[r], tarr[r] > n0[r])
             return t - jnp.where(seg1, n0[r], 0)
 
@@ -825,7 +927,7 @@ def flash_attention_backward(
             return _tt(a) % group
 
         def q_block(a):
-            _, _, r, t, j0, j1, n0, tarr, ilo, ihi = a
+            ilo, ihi = a[8], a[9]
             jb = kv_block2(a)
             run = ihi[jb] - ilo[jb]
             ioff = _tt(a) // group
@@ -834,7 +936,10 @@ def flash_attention_backward(
             )
     else:
         grid2 = (b, hkv, nj, group * ni_max)
-        scalars2 = (jnp.asarray(ilo_arr), jnp.asarray(ihi_arr))
+        scalars2 = (
+            jnp.asarray(ilo_arr), jnp.asarray(ihi_arr),
+            jnp.asarray(iloi_arr), jnp.asarray(ihii_arr),
+        )
 
         def kv_block2(a):
             return a[2]
@@ -843,7 +948,7 @@ def flash_attention_backward(
             return a[3] // ni_max
 
         def q_block(a):
-            _, _, j, t, ilo, ihi = a
+            _, _, j, t, ilo, ihi = a[:6]
             run = ihi[j] - ilo[j]
             ioff = t % ni_max
             return jnp.clip(
@@ -853,8 +958,8 @@ def flash_attention_backward(
     in_specs2 = []
     inputs2 = []
     if mask_mode2 == "ranges":
-        # Row-vector layout [1, Sq]: ranges enter as [1, bq] row tiles.
-        rspec2 = pl.BlockSpec((1, bq_dkv), lambda *a: (0, q_block(a)))
+        # Row-vector layout [1, Sq]: ranges enter as [1, bqM] slab tiles.
+        rspec2 = pl.BlockSpec((1, bqM_dkv), lambda *a: (0, q_block(a)))
         in_specs2 += [rspec2, rspec2]
         inputs2 += [
             jnp.asarray(row_ranges[:, 0][None, :]),
@@ -864,11 +969,11 @@ def flash_attention_backward(
     def q_side(width_last):
         if width_last:
             return pl.BlockSpec(
-                (1, 1, 1, bq_dkv),
+                (1, 1, 1, bqM_dkv),
                 lambda *a: (a[0], q_head(a[1], g_of(a)), 0, q_block(a)),
             )
         return pl.BlockSpec(
-            (1, 1, bq_dkv, d),
+            (1, 1, bqM_dkv, d),
             lambda *a: (a[0], q_head(a[1], g_of(a)), q_block(a), 0),
         )
 
@@ -900,7 +1005,7 @@ def flash_attention_backward(
         bh = biasT.shape[1] == 1
         in_specs2.append(
             pl.BlockSpec(
-                (1, 1, bkv_dkv, bq_dkv),
+                (1, 1, bkv_dkv, bqM_dkv),
                 lambda *a: (
                     0 if bb else a[0],
                     0 if bh else q_head(a[1], g_of(a)),
@@ -918,11 +1023,13 @@ def flash_attention_backward(
         head_dim=d,
         group=group,
         ni_max=ni_max,
+        n_inner=n_inner_dkv,
         mask_mode=mask_mode2,
         affine=affine2,
         has_bias=bias is not None,
         precision=precision,
         kv_bits=kv_bits,
+        inner_skip=inner_skip_dkv,
         packed=packed_dkv,
     )
     dkv_scratch = [

@@ -52,6 +52,7 @@ from metal_flash_attention_plus_tpu.attention.masking import (
 )
 from metal_flash_attention_plus_tpu.ops.flash_attention import (
     LANES,
+    _interpret_two_level,
     LN2 as _LN2,
     LOG2E as _LOG2E,
     NEG_INF,
@@ -471,10 +472,11 @@ def quantized_flash_attention_forward(
         max(block_sizes.kv_major, bkv), _round_up(skv, bkv)
     )
     bkv_major -= bkv_major % bkv
-    if interpret:
+    if interpret and not _interpret_two_level():
         # Interpret mode executes the unrolled inner loop as traced Python —
         # the MXU/VPU overlap the unroll exists for does not apply, and the
-        # trace/compile cost scales with n_inner.  Keep CPU runs single-level.
+        # trace/compile cost scales with n_inner.  Keep CPU runs single-level
+        # (MFA_INTERPRET_TWO_LEVEL=1 overrides, for structure tests).
         bkv_major = bkv
     n_inner = bkv_major // bkv
     sq_p = _round_up(sq, bq)

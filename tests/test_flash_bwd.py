@@ -208,3 +208,31 @@ def test_odd_blockcount_packed_bias_grads():
     dqr, dbr = jax.grad(fr, argnums=(0, 1))(q, bias)
     np.testing.assert_allclose(np.asarray(dq), np.asarray(dqr), atol=5e-5)
     np.testing.assert_allclose(np.asarray(db), np.asarray(dbr), atol=5e-5)
+
+
+def test_two_level_structure_interpret(monkeypatch):
+    """Force the two-level (n_inner > 1) fwd/bwd code paths under the
+    interpreter (normally capped to single-level there) and pin against
+    the golden vjp — structure coverage for what only TPU runs exercise."""
+    from metal_flash_attention_plus_tpu.ops.flash_attention import (
+        BlockSizes,
+    )
+
+    monkeypatch.setenv("MFA_INTERPRET_TWO_LEVEL", "1")
+    bs = BlockSizes(
+        block_q=128, block_kv=128, block_kv_major=256,
+        block_q_dkv=128, block_kv_dkv=128,
+        block_q_dq=128, block_kv_dq=128,
+        block_kv_dq_major=256, block_q_dkv_major=256,
+    )
+    q, k, v = random_qkv(jax.random.key(3), 1, 2, 2, 384, 384, 64)
+    do = jax.random.normal(jax.random.PRNGKey(9), q.shape, jnp.float32)
+    dq, dk, dv = grads_of(
+        q, k, v, do, mask=masking.CAUSAL, block_sizes=bs
+    )
+    dq_r, dk_r, dv_r = reference_attention_vjp(
+        q, k, v, do, mask=masking.CAUSAL
+    )
+    assert_close(dq, dq_r, GRAD_TOL)
+    assert_close(dk, dk_r, GRAD_TOL)
+    assert_close(dv, dv_r, GRAD_TOL)
