@@ -126,7 +126,7 @@ def run_bandwidth_arm() -> dict:
     np_ = b * pps + 1
     ks = jax.random.split(jax.random.PRNGKey(1), 2)
     q = jax.random.normal(ks[0], (b, hq, d), jnp.bfloat16)
-    kvp = jax.random.normal(ks[1], (hkv, np_, 2, pt, d), jnp.bfloat16)
+    kvp = jax.random.normal(ks[1], (hkv, np_, 2 * pt, d), jnp.bfloat16)
     rng = np.random.default_rng(0)
     pts = jnp.asarray(
         np.stack(
@@ -135,7 +135,9 @@ def run_bandwidth_arm() -> dict:
     )
     lengths = jnp.full((b,), skv, jnp.int32)
     fb = jax.jit(
-        lambda q, kvp: paged_decode_attention(q, kvp, pts, lengths)
+        lambda q, kvp: paged_decode_attention(
+            q, kvp, pts, lengths, page_tokens=pt
+        )
     )
     fb(q, kvp)
     t_bf16 = measure(fb, q, kvp, iters=20, warmup=3)
@@ -150,7 +152,7 @@ def run_bandwidth_arm() -> dict:
     sc = jnp.full((hkv, np_, 1, pt), 0.1, jnp.float32)
     f8 = jax.jit(
         lambda q, kvq, sc: paged_decode_attention(
-            q, kvq, pts, lengths, k_scales=sc, v_scales=sc
+            q, kvq, pts, lengths, page_tokens=pt, k_scales=sc, v_scales=sc
         )
     )
     f8(q, kvq, sc)

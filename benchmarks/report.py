@@ -155,13 +155,14 @@ def run(args):
     npg = b1 * pps + 1
     ks = jax.random.split(jax.random.PRNGKey(1), 2)
     q1 = jax.random.normal(ks[0], (b1, hq1, d1), jnp.bfloat16)
-    kvp = jax.random.normal(ks[1], (hkv1, npg, 2, pt1, d1), jnp.bfloat16)
+    kvp = jax.random.normal(ks[1], (hkv1, npg, 2 * pt1, d1), jnp.bfloat16)
     rng = np.random.default_rng(0)
     pts = jnp.asarray(np.stack(
         [rng.permutation(npg - 1)[:pps] for _ in range(b1)]
     ).astype(np.int32))
     lens = jnp.full((b1,), skv1, jnp.int32)
-    fb = jax.jit(lambda q, kvp: paged_decode_attention(q, kvp, pts, lens))
+    fb = jax.jit(lambda q, kvp: paged_decode_attention(
+        q, kvp, pts, lens, page_tokens=pt1))
     fb(q1, kvp)
     t_bf16 = measure(fb, q1, kvp, iters=20, warmup=3)
     kv_bytes = 2 * b1 * skv1 * hkv1 * d1 * 2
@@ -174,7 +175,7 @@ def run(args):
                    ).astype(jnp.int8)
     sc = jnp.full((hkv1, npg, 1, pt1), 0.1, jnp.float32)
     f8 = jax.jit(lambda q, kvq, sc: paged_decode_attention(
-        q, kvq, pts, lens, k_scales=sc, v_scales=sc))
+        q, kvq, pts, lens, page_tokens=pt1, k_scales=sc, v_scales=sc))
     f8(q1, kvq, sc)
     t8 = measure(f8, q1, kvq, sc, iters=20, warmup=3)
     decode_rows.append(dict(
