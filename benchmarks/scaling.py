@@ -46,13 +46,14 @@ from metal_flash_attention_plus_tpu.parallel.spmd import (
 def measure_step(step, params, opt_state, tokens, iters=10, warmup=2):
     for _ in range(warmup):
         params, opt_state, loss = step(params, opt_state, tokens)
-    jax.block_until_ready(loss)
+    float(loss)
+    # Fence EVERY iteration: long async chains of train steps hit a
+    # pathological slow mode on this runtime (35x!), while stepped
+    # execution runs at kernel speed; the per-step readback costs ~1 ms.
     t0 = time.perf_counter()
     for _ in range(iters):
         params, opt_state, loss = step(params, opt_state, tokens)
-    # Readback fences the dispatch train (block_until_ready does not
-    # synchronize on this runtime — see utils/profiling.py).
-    float(loss)
+        float(loss)
     return (time.perf_counter() - t0) / iters
 
 

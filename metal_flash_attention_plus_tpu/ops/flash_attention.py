@@ -125,6 +125,20 @@ def _interpret_two_level() -> bool:
     return os.environ.get("MFA_INTERPRET_TWO_LEVEL") == "1"
 
 
+def default_interpret() -> bool:
+    """Whether Pallas kernels should run in interpreter mode when the caller
+    didn't say. True on the CPU backend; ``MFA_FORCE_INTERPRET=1`` overrides
+    for runs that place work on CPU devices while another platform plugin
+    remains the process default backend (e.g. the driver's virtual-CPU
+    multichip dryrun under an active TPU tunnel)."""
+    import os
+
+    return (
+        os.environ.get("MFA_FORCE_INTERPRET") == "1"
+        or jax.default_backend() == "cpu"
+    )
+
+
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
@@ -638,7 +652,7 @@ def flash_attention_forward(
     if scale is None:
         scale = float(d) ** -0.5
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        interpret = default_interpret()
 
     bq = min(block_sizes.block_q, _round_up(sq, 128))
     bkv = min(block_sizes.block_kv, _round_up(skv, 128))

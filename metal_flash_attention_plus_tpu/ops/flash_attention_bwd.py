@@ -532,7 +532,11 @@ def flash_attention_backward(
     if scale is None:
         scale = float(d) ** -0.5
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        from metal_flash_attention_plus_tpu.ops.flash_attention import (
+            default_interpret,
+        )
+
+        interpret = default_interpret()
     group = hq // hkv
     precision = _precision_for(q.dtype)
 

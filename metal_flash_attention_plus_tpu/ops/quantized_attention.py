@@ -450,7 +450,11 @@ def quantized_flash_attention_forward(
     if scale is None:
         scale = float(d) ** -0.5
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        from metal_flash_attention_plus_tpu.ops.flash_attention import (
+            default_interpret,
+        )
+
+        interpret = default_interpret()
     if quantize_q:
         if bits_k != 8 or k.config.strategy != QuantStrategy.SYMMETRIC:
             raise ValueError(

@@ -236,7 +236,11 @@ def quantized_matmul(
     happens on tiles in VMEM (the ``load_quantized_*`` analog).
     """
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        from metal_flash_attention_plus_tpu.ops.flash_attention import (
+            default_interpret,
+        )
+
+        interpret = default_interpret()
     m, kdim = a.shape
     n, k2 = b_t.shape
     assert kdim == k2, (kdim, k2)
@@ -418,7 +422,11 @@ def compensated_matmul(
     use :func:`quantized_matmul`-style dequant-on-load for smaller blocks.
     """
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        from metal_flash_attention_plus_tpu.ops.flash_attention import (
+            default_interpret,
+        )
+
+        interpret = default_interpret()
     assert a.bits == 8 and b_t.bits == 8, "compensated path is int8×int8"
     cfg_a, cfg_b = a.config, b_t.config
     assert cfg_a.granularity == QuantGranularity.BLOCK
@@ -560,7 +568,11 @@ def dynamic_quantized_matmul(
     256 == 0) before the MXU dot — W4A8 at half the weight bandwidth.
     """
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        from metal_flash_attention_plus_tpu.ops.flash_attention import (
+            default_interpret,
+        )
+
+        interpret = default_interpret()
     cfg = b_t.config
     if cfg.bits not in (8, 4):
         raise ValueError("dynamic_quantized_matmul requires int8/int4 weights")

@@ -118,7 +118,11 @@ def runtime_quantize(
     stats are global reductions XLA already fuses well).
     """
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        from metal_flash_attention_plus_tpu.ops.flash_attention import (
+            default_interpret,
+        )
+
+        interpret = default_interpret()
     if x.ndim != 2 or config.granularity not in (
         QuantGranularity.BLOCK,
         QuantGranularity.ROW,

@@ -387,7 +387,11 @@ def paged_prefill_attention(
     if scale is None:
         scale = float(d) ** -0.5
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        from metal_flash_attention_plus_tpu.ops.flash_attention import (
+            default_interpret,
+        )
+
+        interpret = default_interpret()
 
     rows = group * chunk
     rows_pad = max(8, rows)
@@ -504,7 +508,11 @@ def paged_decode_attention(
     if scale is None:
         scale = float(d) ** -0.5
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        from metal_flash_attention_plus_tpu.ops.flash_attention import (
+            default_interpret,
+        )
+
+        interpret = default_interpret()
 
     group_pad = max(8, group)
     qg = (q.astype(jnp.float32) * scale).astype(q.dtype)
