@@ -113,6 +113,52 @@ extern "C" int mfa_resolve_blocks(int32_t head_dim, int32_t bits,
   return 0;
 }
 
+extern "C" int mfa_resolve_gemm_blocks(int32_t m, int32_t bits, int32_t mode,
+                                       int64_t vmem_budget_bytes,
+                                       MfaGemmBlockConfig* out) {
+  if (out == nullptr || m <= 0 || (bits != 8 && bits != 4)) return -1;
+  if (vmem_budget_bytes <= 0) vmem_budget_bytes = 14LL << 20;
+
+  // Cold table mirroring attention/tuning.py::default_gemm_blocks
+  // (v5e measurements, docs/perf_notes.md "Quantized GEMM"): decode
+  // shapes (M <= 256) want a narrow M tile with deep N/K slabs.
+  int32_t bm, bn, bk;
+  if (m <= 256) {
+    bm = 128; bn = 1024; bk = 2048;
+  } else {
+    bm = 512; bn = 512; bk = 1024;
+  }
+
+  // VMEM model per grid step, double-buffered inputs: int8 A tile +
+  // weight tile at `bits` width + int32 accumulator + f32 output pass.
+  auto step_bytes = [&]() {
+    int64_t a_tile = 2LL * bm * bk;                    // int8
+    int64_t w_tile = 2LL * bn * bk * (bits == 4 ? 1 : 1);  // packed <= 1B
+    int64_t acc = 4LL * bm * bn;                       // int32
+    int64_t outp = 4LL * bm * bn;                      // f32 store pass
+    return a_tile + w_tile + acc + outp;
+  };
+  while (step_bytes() > vmem_budget_bytes &&
+         (bk > 256 || bn > 128 || bm > 128)) {
+    if (bk > (bits == 4 ? 512 : 256)) {
+      bk /= 2;
+    } else if (bn > 128) {
+      bn /= 2;
+    } else if (bm > 128) {
+      bm /= 2;
+    } else {
+      break;
+    }
+  }
+  if (bits == 4 && bk % 256 != 0) bk = ((bk / 256) + 1) * 256;
+  (void)mode;  // same table for both paths today; split when measurements
+               // diverge (the weight-only path is VPU-bound at decode).
+  out->block_m = bm;
+  out->block_n = bn;
+  out->block_k = bk;
+  return 0;
+}
+
 // ---------------------------------------------------------------------------
 // 2. Calibration cache
 // ---------------------------------------------------------------------------

@@ -53,6 +53,22 @@ int mfa_resolve_blocks(int32_t head_dim, int32_t bits, int32_t kind,
 int64_t mfa_fwd_step_vmem_bytes(int32_t block_q, int32_t block_kv,
                                 int32_t head_dim, int32_t bits);
 
+typedef struct {
+  int32_t block_m;
+  int32_t block_n;
+  int32_t block_k;
+} MfaGemmBlockConfig;
+
+/* Quantized-GEMM block resolution (counterpart of the Python
+ * attention/tuning.py::default_gemm_blocks m-bucketed table).
+ * mode: 0 = dynamic (W8A8/W4A8 runtime activation quant),
+ *       1 = weight-only dequant-on-load.
+ * bits: weight width (8 or 4; int4 keeps block_k % 256 for the
+ * group-planar unpack).  Returns 0 on success. */
+int mfa_resolve_gemm_blocks(int32_t m, int32_t bits, int32_t mode,
+                            int64_t vmem_budget_bytes,
+                            MfaGemmBlockConfig* out);
+
 // ---------------------------------------------------------------------------
 // 2. Calibration cache (flat "key value..." text file)
 // ---------------------------------------------------------------------------

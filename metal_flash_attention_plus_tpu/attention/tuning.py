@@ -99,6 +99,31 @@ def default_block_sizes(
     )
 
 
+_M_BUCKETS = (128, 256, 512, 1024, 2048, 4096, 8192)
+
+
+def m_bucket(m: int) -> int:
+    """Bucket a GEMM M (token-count) dimension — decode (small M) and
+    prefill (large M) live in different regimes (docs/perf_notes.md
+    "Quantized GEMM")."""
+    for b in _M_BUCKETS:
+        if m <= b:
+            return b
+    return _M_BUCKETS[-1]
+
+
+def default_gemm_blocks(m: int, bits: int = 8) -> Tuple[int, int, int]:
+    """Cold-start (block_m, block_n, block_k) for the dynamic quantized
+    GEMM.  Measured on v5e (docs/perf_notes.md): decode shapes (M ≤ 256)
+    want a narrow M tile with deep N/K slabs — (128, 1024, 2048) is ~15%
+    faster than the square default at M=128, N=K=8192; prefill optimum is
+    the (512, 512, 1024) square.  int4 needs block_k % 256 (group-planar
+    unpack) — both tables already satisfy it."""
+    if m <= 256:
+        return (128, 1024, 2048)
+    return (512, 512, 1024)
+
+
 @dataclasses.dataclass(frozen=True)
 class TuneKey:
     """Cache key: what the block geometry actually depends on."""
@@ -223,6 +248,105 @@ class AttentionTuner:
                 "tflops": round(tflops, 3),
             }
             self._store.save(self._device_kind(), self._cache)
+
+    # -- GEMM kind (VERDICT r1 item 7: calibration for every dispatched
+    # variant, not just attention fwd) ---------------------------------
+
+    @staticmethod
+    def _gemm_key(m: int, n: int, k: int, bits: int, mode: str) -> str:
+        return f"gemm:{mode}:n{n}:k{k}:b{bits}:m{m_bucket(m)}"
+
+    def recommend_gemm(
+        self, m: int, n: int, k: int, bits: int = 8, mode: str = "dynamic"
+    ) -> Tuple[int, int, int]:
+        """Calibrated (block_m, block_n, block_k) for the quantized GEMMs
+        if available, else the measured cold-start table.  ``mode``:
+        "dynamic" (W8A8/W4A8 runtime activation quant) or "weight_only"
+        (dequant-on-load)."""
+        key = self._gemm_key(m, n, k, bits, mode)
+        with self._lock:
+            self._ensure_loaded()
+            entry = self._cache.get(key)
+        if entry is not None and "gemm_blocks" in entry:
+            return tuple(entry["gemm_blocks"])
+        return default_gemm_blocks(m, bits)
+
+    def calibrate_gemm(
+        self,
+        m: int,
+        n: int,
+        k: int,
+        *,
+        bits: int = 8,
+        mode: str = "dynamic",
+        candidates: Optional[Tuple[Tuple[int, int, int], ...]] = None,
+        iters: int = 20,
+    ) -> Tuple[int, int, int]:
+        """Time the ACTUALLY-DISPATCHED quantized GEMM over candidate
+        block triples on the live device and persist the winner (same
+        contract as :meth:`calibrate` — ``MaskingStrategyHeuristic.swift:
+        207-302`` measures the dispatched variant, never a proxy)."""
+        import jax
+        import jax.numpy as jnp
+
+        from metal_flash_attention_plus_tpu.ops.quantized_gemm import (
+            dynamic_quantized_matmul,
+            quantized_matmul,
+        )
+        from metal_flash_attention_plus_tpu.quant.params import (
+            QuantConfig,
+            QuantGranularity,
+        )
+        from metal_flash_attention_plus_tpu.quant.tensor import quantize
+        from metal_flash_attention_plus_tpu.utils.profiling import measure
+
+        if mode not in ("dynamic", "weight_only"):
+            raise ValueError(f"unknown GEMM calibration mode {mode!r}")
+        if candidates is None:
+            candidates = (
+                (128, 1024, 2048), (128, 512, 2048), (256, 1024, 2048),
+                (512, 512, 1024), (512, 1024, 1024), (512, 512, 512),
+                (1024, 512, 1024),
+            )
+        ks = jax.random.split(jax.random.PRNGKey(0), 2)
+        a = jax.random.normal(ks[0], (m, k), jnp.bfloat16)
+        w = jax.random.normal(ks[1], (n, k), jnp.float32)
+        wq = quantize(
+            w,
+            QuantConfig(bits=bits, granularity=QuantGranularity.ROW),
+        )
+        flops = 2.0 * m * n * k
+        mm = dynamic_quantized_matmul if mode == "dynamic" else (
+            quantized_matmul
+        )
+
+        best: Tuple[float, Optional[Tuple[int, int, int]]] = (0.0, None)
+        for bm, bn, bk in candidates:
+            if bits == 4 and bk % 256 != 0:
+                continue
+            try:
+                f = jax.jit(
+                    lambda a, bm=bm, bn=bn, bk=bk: mm(
+                        a, wq, block_m=bm, block_n=bn, block_k=bk,
+                        interpret=False,
+                    )
+                )
+                sec = measure(f, a, iters=iters, warmup=3)
+            except Exception:
+                continue
+            tf = flops / sec / 1e12
+            if tf > best[0]:
+                best = (tf, (bm, bn, bk))
+        if best[1] is None:
+            return default_gemm_blocks(m, bits)
+        with self._lock:
+            self._ensure_loaded()
+            self._cache[self._gemm_key(m, n, k, bits, mode)] = {
+                "gemm_blocks": list(best[1]),
+                "tflops": round(best[0], 3),
+            }
+            self._store.save(self._device_kind(), self._cache)
+        return best[1]
 
     def calibrate(
         self,
@@ -377,11 +501,13 @@ class AttentionTuner:
         seq_lens=(4096,),
         *,
         causals=(True, False),
+        gemm_shapes=((128, 8192, 8192), (4096, 8192, 8192)),
         iters: int = 20,
     ) -> Dict[str, dict]:
         """Sweep {fwd, fwd_q(8), fwd_q(4), bwd} × head dims × seqs × masks
-        and persist every winner — the per-device calibration pass the
-        reference runs via ``warmUp(persistTo:)``."""
+        plus the GEMM kinds over ``gemm_shapes`` and persist every winner —
+        the per-device calibration pass the reference runs via
+        ``warmUp(persistTo:)``."""
         for d in head_dims:
             for s in seq_lens:
                 for causal in causals:
@@ -392,6 +518,9 @@ class AttentionTuner:
                                        causal=causal, iters=iters)
                     self.calibrate(d, s, kind="bwd", causal=causal,
                                    iters=iters)
+        for (m, n, k) in gemm_shapes:
+            for mode in ("dynamic", "weight_only"):
+                self.calibrate_gemm(m, n, k, mode=mode, iters=iters)
         with self._lock:
             self._ensure_loaded()
             return dict(self._cache)

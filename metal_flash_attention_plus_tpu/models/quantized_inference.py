@@ -84,9 +84,17 @@ def quantize_weights(params: Params, cfg: QuantConfig = WEIGHT_CFG) -> Params:
 
 def _linear(x: jnp.ndarray, wq: QuantizedTensor, out_dtype) -> jnp.ndarray:
     """[..., K] × int8 [N, K] → [..., N] via the dynamic W8A8 GEMM."""
+    from metal_flash_attention_plus_tpu.attention.tuning import (
+        AttentionTuner,
+    )
+
     lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    bm, bn, bk = AttentionTuner.shared().recommend_gemm(
+        x2.shape[0], wq.shape[0], wq.shape[1], bits=wq.config.bits
+    )
     y = dynamic_quantized_matmul(
-        x.reshape(-1, x.shape[-1]), wq, out_dtype=jnp.float32
+        x2, wq, block_m=bm, block_n=bn, block_k=bk, out_dtype=jnp.float32
     )
     return y.reshape(*lead, y.shape[-1]).astype(out_dtype)
 

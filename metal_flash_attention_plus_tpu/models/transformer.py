@@ -108,13 +108,21 @@ def linear(x: jnp.ndarray, w, out_dtype=None) -> jnp.ndarray:
 
     odt = out_dtype or x.dtype
     if isinstance(w, QuantizedTensor):
+        from metal_flash_attention_plus_tpu.attention.tuning import (
+            AttentionTuner,
+        )
         from metal_flash_attention_plus_tpu.ops.quantized_gemm import (
             dynamic_quantized_matmul,
         )
 
         lead = x.shape[:-1]
+        x2 = x.reshape(-1, x.shape[-1])
+        bm, bn, bk = AttentionTuner.shared().recommend_gemm(
+            x2.shape[0], w.shape[0], w.shape[1], bits=w.config.bits
+        )
         y = dynamic_quantized_matmul(
-            x.reshape(-1, x.shape[-1]), w, out_dtype=jnp.float32
+            x2, w, block_m=bm, block_n=bn, block_k=bk,
+            out_dtype=jnp.float32,
         )
         return y.reshape(*lead, y.shape[-1]).astype(odt)
     return (x @ w).astype(odt)

@@ -396,6 +396,7 @@ def _fwd_kernel(
     inner_skip: bool = False,
     ones: bool = False,
     packed: bool = False,
+    skip_row_guard: bool = False,  # every row statically live: skip store guard
 ):
     # TWO-LEVEL schedule (round-2 rework, docs/perf_notes.md): each grid
     # step owns a MAJOR KV slab and runs an unrolled inner loop over
@@ -591,9 +592,11 @@ def _fwd_kernel(
             lse = jnp.where(
                 lsum > 0.0, m * LN2 + jnp.log(safe), NEG_INF
             )
-        if has_mask:
+        if has_mask and not skip_row_guard:
             # Rows whose whole range is empty self-accumulate the uniform
             # exp(0) garbage of the sentinel trick; zero them explicitly.
+            # Skipped when the schedule proves every row live (causal/full:
+            # saves 2-3 VPU passes per q-row store).
             if mask_mode == "affine":
                 a_off, b_off, seq_q, cap = affine
                 row = (
@@ -735,6 +738,13 @@ def flash_attention_forward(
         )
         loi_arr, hii_arr, _, _ = build_block_bounds(row_ranges, bq, bkv)
         mask_mode, affine = resolve_mask_mode(mask, has_mask, sq, skv)
+    # Every row statically live (causal, full, most windows) → the store's
+    # empty-row where-guards are dead code; skip them.
+    all_live = (
+        not dynamic
+        and sq_p == sq
+        and bool((row_ranges[:, 1] > row_ranges[:, 0]).all())
+    )
     # Inner-subtile skipping only pays when the major-granularity window
     # over-covers the inner-granularity one (e.g. causal with block_q <
     # block_kv_major); when every inner tile of every live major is live,
@@ -849,6 +859,7 @@ def flash_attention_forward(
             precision=precision,
             inner_skip=inner_skip,
             ones=ones,
+            skip_row_guard=all_live,
         )
 
         out_shape = [
@@ -976,7 +987,7 @@ def flash_attention_forward(
             mask_mode=mask_mode, affine=affine, row_base=0,
             has_bias=bias is not None, mask_value=mask_value,
             precision=precision, inner_skip=inner_skip, ones=ones,
-            packed=True,
+            packed=True, skip_row_guard=all_live,
         )
         out_shape = [
             jax.ShapeDtypeStruct((b, hq, sq_p, d), out_dtype),

@@ -75,6 +75,9 @@ from metal_flash_attention_plus_tpu.quant.params import (
 )
 from metal_flash_attention_plus_tpu.quant.tensor import QuantizedTensor
 
+LOG2_127 = float(np.log2(127.0))
+LN_127 = float(np.log(127.0))
+
 
 def _qfwd_kernel(
     # scalar prefetch: (lo, hi, loi, hii) per q-block (major + inner);
@@ -99,6 +102,9 @@ def _qfwd_kernel(
     inner_skip: bool = False,
     ones: bool = False,
     packed: bool = False,
+    int8_pv: bool = False,  # full-integer pipeline: int8 P × int8 V MXU dot
+    ks_folded: bool = False,  # TENSOR K scale folded into the Q scales
+    skip_row_guard: bool = False,  # every row statically live: skip store guard
 ):
     # Two-level schedule + ones-fused rowsum + base-2 softmax — same
     # round-2 structure as flash_attention._fwd_kernel (see its docstring
@@ -144,16 +150,38 @@ def _qfwd_kernel(
     if mask_mode == "ranges":
         rs_ref, re_ref = refs[0], refs[1]
         refs = refs[2:]
-    if quantize_q:
+    if quantize_q and int8_pv:
+        # FULL-INTEGER pipeline (the TPU realization of the reference's
+        # "INT8 = 2.5× faster" headline, ``README.md:291-296``): BOTH MXU
+        # dots run int8×int8→int32 at 2× the bf16 MXU rate.  Scores as in
+        # quantize_q below; P is rounded to int8 in 1/127 units straight
+        # out of the exp2 (the ×127 folds into the exponent constant), and
+        # V stays integer through the PV dot — its per-CHANNEL (or TENSOR)
+        # scales fold out of the matmul and multiply the accumulator ONCE
+        # at store (O = (P·V_int)·diag(vs); the 127 cancels against the
+        # P-unit rowsum in the softmax denominator).
+        if ks_folded:
+            (q_ref, qs_ref, kq_ref, vq_ref, vsc_ref) = refs[:5]
+            refs = refs[5:]
+            ksr_ref = None
+        else:
+            (q_ref, qs_ref, kq_ref, ksr_ref, vq_ref, vsc_ref) = refs[:6]
+            refs = refs[6:]
+    elif quantize_q:
         # Activation quantization: Q arrives int8 with per-token scales
         # (softmax scale folded into them) and K stays int8 — the S matmul
         # runs int8×int8→int32 on the MXU at 2× the bf16 rate; per-row ×
         # per-col scales reconstruct the float scores exactly afterwards.
         # K scales arrive TRANSPOSED ([1, bkv] row tiles) so no in-kernel
         # relayout is needed for the column broadcast.
-        (q_ref, qs_ref, kq_ref, ksr_ref,
-         vq_ref, vs_ref, vz_ref) = refs[:7]
-        refs = refs[7:]
+        if ks_folded:
+            (q_ref, qs_ref, kq_ref, vq_ref, vs_ref, vz_ref) = refs[:6]
+            refs = refs[6:]
+            ksr_ref = None
+        else:
+            (q_ref, qs_ref, kq_ref, ksr_ref,
+             vq_ref, vs_ref, vz_ref) = refs[:7]
+            refs = refs[7:]
     else:
         (q_ref, kq_ref, ks_ref, kz_ref, vq_ref, vs_ref, vz_ref) = refs[:7]
         refs = refs[7:]
@@ -183,18 +211,25 @@ def _qfwd_kernel(
     def _inner(t):
         sl = pl.ds(t * block_kv, block_kv)
         if quantize_q:
+            k_int = kq_ref[0, 0, sl, :]
+            if bits_k == 4:
+                from metal_flash_attention_plus_tpu.ops.quantized_gemm import (
+                    unpack_int4_tile_int8,
+                )
+
+                k_int = unpack_int4_tile_int8(k_int, head_dim)
             s_int = jax.lax.dot_general(
-                q_ref[0, 0], kq_ref[0, 0, sl, :], (((1,), (1,)), ((), ())),
+                q_ref[0, 0], k_int, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )  # pure int8 MXU
             # scores = s_int · q_scale[row] · k_scale[col]  (zp-free:
             # activation quant is per-token symmetric; log2e folded into
-            # the Q scales by the wrapper — base-2 softmax).
-            s = (
-                s_int.astype(jnp.float32)
-                * qs_ref[0, 0]
-                * ksr_ref[0, 0, :, sl]
-            )
+            # the Q scales by the wrapper — base-2 softmax).  With a
+            # TENSOR K scale it is folded into the Q scales on the host
+            # (ks_folded) and the column multiply disappears.
+            s = s_int.astype(jnp.float32) * qs_ref[0, 0]
+            if not ks_folded:
+                s = s * ksr_ref[0, 0, :, sl]
         else:
             q = q_ref[0, 0]  # [bq, D] pre-scaled by scale·log2e
             if kv_gran == "block2d":
@@ -256,8 +291,57 @@ def _qfwd_kernel(
         m_curr = jnp.max(s, axis=1, keepdims=True)
         m_next = jnp.maximum(m_prev, m_curr)
         alpha = jnp.exp2(m_prev - m_next)
-        p = jnp.exp2(s - pltpu.repeat(m_next, block_kv // LANES, axis=1))
+        m_wide = pltpu.repeat(m_next, block_kv // LANES, axis=1)
+        if int8_pv:
+            # P in 1/127 units straight out of the exp2 (the ×127 rides the
+            # exponent: exp2(x + log2 127) = 127·exp2(x)); round-to-nearest
+            # via +0.5 then truncate (p ≥ 0).  The 127 cancels at store
+            # against the P-unit rowsum.
+            p127 = jnp.exp2(s + (LOG2_127 - m_wide))
+            p_q = (p127 + 0.5).astype(jnp.int32).astype(jnp.int8)
+        else:
+            p = jnp.exp2(s - m_wide)
         m_scr[...] = m_next
+
+        if int8_pv:
+            v_int = vq_ref[0, 0, sl, :]
+            if bits_v == 4:
+                from metal_flash_attention_plus_tpu.ops.quantized_gemm import (
+                    unpack_int4_tile_int8,
+                )
+
+                v_int = unpack_int4_tile_int8(v_int, head_dim)
+                if ones:
+                    v_int = jnp.concatenate(
+                        [v_int,
+                         jnp.ones((block_kv, dv - head_dim), jnp.int8)],
+                        axis=1,
+                    )
+            # (int8 V payloads arrive host-padded with integer ones lanes.)
+            pv = jax.lax.dot_general(
+                p_q, v_int, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            if ones:
+                a_wide = (
+                    alpha if dv == LANES
+                    else pltpu.repeat(alpha, dv // LANES, axis=1)
+                )
+                acc_scr[...] = acc_scr[...] * a_wide + pv
+            else:
+                l_scr[...] = (
+                    alpha * l_scr[...]
+                    + jnp.sum(p127, axis=1, keepdims=True)
+                )
+                if head_dim == LANES:
+                    acc_scr[...] = acc_scr[...] * alpha + pv
+                else:
+                    acc_scr[...] = (
+                        acc_scr[...]
+                        * pltpu.repeat(alpha, head_dim // LANES, axis=1)
+                        + pv
+                    )
+            return
 
         if not quantize_q and kv_gran == "block2d":
             from metal_flash_attention_plus_tpu.ops.quantized_gemm import (
@@ -342,9 +426,16 @@ def _qfwd_kernel(
             else:
                 denom = safe1
             out = acc[:, :head_dim] / denom
+            if int8_pv:
+                # Fold the per-channel V scales out of the integer PV dot
+                # (one [bq, d] pass per q-row, not per tile); the 127 of
+                # the P units cancelled in the division above.
+                out = out * vsc_ref[0, 0, :, :head_dim]
             m1 = m_scr[...][:, :1]
             lse1 = jnp.where(
-                lsum > 0.0, m1 * _LN2 + jnp.log(safe1), NEG_INF
+                lsum > 0.0,
+                m1 * _LN2 + jnp.log(safe1) - (LN_127 if int8_pv else 0.0),
+                NEG_INF,
             )
             lse = jnp.broadcast_to(lse1, (block_q, LANES))
         else:
@@ -358,11 +449,15 @@ def _qfwd_kernel(
                 )
             else:
                 out = acc_scr[...] / safe[:, :1]
+            if int8_pv:
+                out = out * vsc_ref[0, 0, :, :head_dim]
             m = m_scr[...]
             lse = jnp.where(
-                lsum > 0.0, m * _LN2 + jnp.log(safe), NEG_INF
+                lsum > 0.0,
+                m * _LN2 + jnp.log(safe) - (LN_127 if int8_pv else 0.0),
+                NEG_INF,
             )
-        if has_mask:
+        if has_mask and not skip_row_guard:
             if mask_mode == "affine":
                 a_off, b_off, seq_q, cap = affine
                 row = (
@@ -455,12 +550,34 @@ def quantized_flash_attention_forward(
         )
 
         interpret = default_interpret()
+    ks_folded = False
+    int8_pv = False
     if quantize_q:
-        if bits_k != 8 or k.config.strategy != QuantStrategy.SYMMETRIC:
+        if (
+            k.config.strategy != QuantStrategy.SYMMETRIC
+            or k.config.granularity
+            not in (QuantGranularity.ROW, QuantGranularity.TENSOR)
+        ):
             raise ValueError(
-                "quantize_q needs int8 K with the SYMMETRIC strategy "
+                "quantize_q needs SYMMETRIC K with ROW or TENSOR scales "
                 "(the zero-point-free int8 MXU score path)"
             )
+        # TENSOR K: the scalar scale folds into the Q scales on the host —
+        # the in-kernel column multiply disappears entirely.
+        ks_folded = k.config.granularity == QuantGranularity.TENSOR
+        # Full-integer pipeline: V scales that fold OUT of the PV matmul
+        # (per-channel or per-tensor, symmetric) let P×V run int8×int8 on
+        # the MXU too — both dots at 2× the bf16 rate.
+        int8_pv = (
+            v.config.strategy == QuantStrategy.SYMMETRIC
+            and v.config.granularity
+            in (QuantGranularity.CHANNEL, QuantGranularity.TENSOR)
+        )
+    elif v.config.granularity == QuantGranularity.CHANNEL:
+        raise ValueError(
+            "CHANNEL-granularity V requires quantize_q=True (the "
+            "full-integer pipeline folds its scales at store)"
+        )
 
     if hadamard_block:
         from metal_flash_attention_plus_tpu.ops.hadamard import (
@@ -504,6 +621,8 @@ def quantized_flash_attention_forward(
         # softmax scale AND log2(e) fold into the Q scales (base-2
         # softmax in-kernel).
         qs_arr = (q_scale * (scale * _LOG2E)).astype(jnp.float32)
+        if ks_folded:
+            qs_arr = qs_arr * k.scale.reshape(()).astype(jnp.float32)
         q = qq
     else:
         q = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
@@ -521,7 +640,29 @@ def quantized_flash_attention_forward(
         if k.config.granularity == QuantGranularity.BLOCK_2D
         else "token"
     )
-    if kv_gran == "block2d":
+    vsc = None
+    if int8_pv:
+        # K scales: ROW → transposed row-vector kernel input; TENSOR →
+        # already folded into the Q scales (no input at all).
+        ks = kz = None
+        if not ks_folded:
+            ks, kz = _per_token_params(k)
+        # V scales fold at store: one [B, Hkv, 1, dv] row vector (TENSOR
+        # broadcasts; the ones lanes get a placeholder 1.0 — the store
+        # only reads [:d]).
+        if v.config.granularity == QuantGranularity.CHANNEL:
+            vsc = v.scale.reshape(b, hkv, 1, d).astype(jnp.float32)
+        else:
+            vsc = jnp.broadcast_to(
+                v.scale.reshape(1, 1, 1, 1).astype(jnp.float32),
+                (b, hkv, 1, d),
+            )
+        if dv != d:
+            vsc = jnp.concatenate(
+                [vsc, jnp.ones((b, hkv, 1, dv - d), jnp.float32)], axis=-1
+            )
+        vs = vz = None
+    elif kv_gran == "block2d":
         # In-kernel 2D blockwise scales (reference BLOCK_2D parity,
         # ``AttentionKernel+Accumulate.swift:451-511``): scale/zp arrive as
         # [B, Hkv, Skv/br, D/bs] tiles and are expanded on the MXU inside
@@ -547,16 +688,28 @@ def quantized_flash_attention_forward(
         pad4 = ((0, 0), (0, 0), (0, skv_p - skv), (0, 0))
         kq = jnp.pad(kq, pad4)
         vq = jnp.pad(vq, pad4)
-        pad_s = (
-            ((0, 0), (0, 0), (0, (skv_p - skv) // br), (0, 0))
-            if kv_gran == "block2d"
-            else pad4
+        if int8_pv:
+            if ks is not None:
+                ks = jnp.pad(ks, pad4, constant_values=1.0)
+        else:
+            pad_s = (
+                ((0, 0), (0, 0), (0, (skv_p - skv) // br), (0, 0))
+                if kv_gran == "block2d"
+                else pad4
+            )
+            ks = jnp.pad(ks, pad_s, constant_values=1.0)
+            kz = jnp.pad(kz, pad_s)
+            vs = jnp.pad(vs, pad_s, constant_values=1.0)
+            vz = jnp.pad(vz, pad_s)
+    if int8_pv and ones and bits_v == 8:
+        # Host-pad the int8 V payload with integer ONES lanes — the PV dot
+        # then emits the P-unit rowsum in the spare MXU lanes (ones-fused
+        # rowsum; packed-int4 payloads concat their ones in-kernel after
+        # the unpack instead).
+        vq = jnp.concatenate(
+            [vq, jnp.ones((b, hkv, skv_p, dv - d), jnp.int8)], axis=-1
         )
-        ks = jnp.pad(ks, pad_s, constant_values=1.0)
-        kz = jnp.pad(kz, pad_s)
-        vs = jnp.pad(vs, pad_s, constant_values=1.0)
-        vz = jnp.pad(vz, pad_s)
-    if quantize_q:
+    if quantize_q and not ks_folded:
         ks_t = jnp.swapaxes(ks, 2, 3)  # [B,Hkv,1,Skv_p] row-vector scales
     if bias is not None:
         bias = jnp.pad(
@@ -599,6 +752,14 @@ def quantized_flash_attention_forward(
         )
         loi_arr, hii_arr, _, _ = build_block_bounds(row_ranges, bq, bkv)
         mask_mode, affine = resolve_mask_mode(mask, has_mask, sq, skv)
+    # Every row statically live (causal, full, most windows) → the store's
+    # empty-row where-guards are dead code; skip them (saves 2-3 VPU passes
+    # per q-row store).
+    all_live = (
+        not dynamic
+        and sq_p == sq
+        and bool((row_ranges[:, 1] > row_ranges[:, 0]).all())
+    )
     # Inner-subtile skipping only pays when the major-granularity window
     # over-covers the inner-granularity one (e.g. causal with block_q <
     # block_kv_major); when every inner tile of every live major is live,
@@ -696,13 +857,29 @@ def quantized_flash_attention_forward(
                 (1, 1, bq, 1), lambda *a: (a[0], a[1], q_block(a), 0)
             ),
             kv_spec(pd_k),
-            pl.BlockSpec(
-                (1, 1, 1, bkv_major),
-                lambda *a: (a[0], kv_head(a[1]), 0, kv_block(a)),
-            ),
-            kv_spec(pd_v), kv_spec(1), kv_spec(1),  # V payload, scale, zp
         ]
-        inputs += [q, qs_arr, kq, ks_t, vq, vs, vz]
+        inputs += [q, qs_arr, kq]
+        if not ks_folded:
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, 1, 1, bkv_major),
+                    lambda *a: (a[0], kv_head(a[1]), 0, kv_block(a)),
+                )
+            )
+            inputs.append(ks_t)
+        if int8_pv:
+            pv_width = dv if bits_v == 8 else pd_v
+            in_specs += [
+                kv_spec(pv_width),
+                pl.BlockSpec(
+                    (1, 1, 1, dv),
+                    lambda *a: (a[0], kv_head(a[1]), 0, 0),
+                ),
+            ]
+            inputs += [vq, vsc]
+        else:
+            in_specs += [kv_spec(pd_v), kv_spec(1), kv_spec(1)]
+            inputs += [vq, vs, vz]
     elif kv_gran == "block2d":
         def sc_spec():
             return pl.BlockSpec(
@@ -771,6 +948,9 @@ def quantized_flash_attention_forward(
         inner_skip=inner_skip,
         ones=ones,
         packed=packed,
+        int8_pv=int8_pv,
+        ks_folded=ks_folded,
+        skip_row_guard=all_live,
     )
 
     out_shape = [

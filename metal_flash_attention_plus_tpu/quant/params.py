@@ -27,6 +27,11 @@ class QuantGranularity(enum.Enum):
 
     TENSOR = "tensor"  # one (scale, zp) for the whole tensor
     ROW = "row"  # one (scale, zp) per row (= per token for K/V)
+    CHANNEL = "channel"  # one (scale, zp) per last-dim channel, shared
+    #                      across rows (per head-dim lane for V) — the
+    #                      granularity whose scales FOLD OUT of the PV
+    #                      matmul (O = (P·V_int)·diag(s)), enabling the
+    #                      full-integer int8 attention pipeline
     BLOCK = "block"  # 1D blocks of size block_size along the last (reduction)
     #                  dim — the GEMM blockSizeK mode
     BLOCK_2D = "block_2d"  # 2D (block_rows × block_size) blocks — the

@@ -132,6 +132,9 @@ def _scale_reduce(x: jnp.ndarray, config: QuantConfig):
     elif g == QuantGranularity.ROW:
         red_axes = (-1,)
         sel = x
+    elif g == QuantGranularity.CHANNEL:
+        red_axes = (-2,)
+        sel = x
     elif g == QuantGranularity.BLOCK:
         k = x.shape[-1]
         bs = config.block_size
@@ -190,6 +193,8 @@ def quantize(x: jnp.ndarray, config: QuantConfig) -> QuantizedTensor:
             sums = jnp.sum(q).reshape(1, 1)
         elif g == QuantGranularity.ROW:
             sums = jnp.sum(q, axis=-1, keepdims=True)
+        elif g == QuantGranularity.CHANNEL:
+            sums = jnp.sum(q, axis=-2, keepdims=True)
         elif g == QuantGranularity.BLOCK:
             sums = jnp.sum(q, axis=(-3, -1) if x.ndim >= 2 else (-1,), keepdims=True)
         elif g == QuantGranularity.BLOCK_2D:
@@ -223,6 +228,9 @@ def _squeeze_cells(arr, config: QuantConfig, xshape):
         return arr.reshape(1, 1)
     if g == QuantGranularity.ROW:
         return arr.reshape(*xshape[:-1], 1)
+    if g == QuantGranularity.CHANNEL:
+        lead = xshape[:-2] if len(xshape) >= 2 else ()
+        return arr.reshape(*lead, 1, xshape[-1])
     if g == QuantGranularity.BLOCK:
         nb = xshape[-1] // config.block_size
         lead = xshape[:-2] if len(xshape) >= 2 else ()
@@ -239,7 +247,7 @@ def _broadcast_cells(arr, config: QuantConfig, xshape):
     g = config.granularity
     if g == QuantGranularity.TENSOR:
         return arr.reshape((1,) * len(xshape))
-    if g == QuantGranularity.ROW:
+    if g in (QuantGranularity.ROW, QuantGranularity.CHANNEL):
         return arr
     if g == QuantGranularity.BLOCK:
         out = jnp.repeat(arr, config.block_size, axis=-1)

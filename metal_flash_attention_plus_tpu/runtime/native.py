@@ -45,6 +45,14 @@ class _MfaBlockConfig(ctypes.Structure):
     ]
 
 
+class _MfaGemmBlockConfig(ctypes.Structure):
+    _fields_ = [
+        ("block_m", ctypes.c_int32),
+        ("block_n", ctypes.c_int32),
+        ("block_k", ctypes.c_int32),
+    ]
+
+
 class _MfaRequest(ctypes.Structure):
     _fields_ = [
         ("request_id", ctypes.c_int64),
@@ -106,6 +114,11 @@ def _load():
             ctypes.c_int64, ctypes.POINTER(_MfaBlockConfig),
         ]
         lib.mfa_fwd_step_vmem_bytes.restype = ctypes.c_int64
+        lib.mfa_resolve_gemm_blocks.restype = ctypes.c_int
+        lib.mfa_resolve_gemm_blocks.argtypes = [
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int64, ctypes.POINTER(_MfaGemmBlockConfig),
+        ]
         lib.mfa_calib_open.restype = ctypes.c_void_p
         lib.mfa_calib_open.argtypes = [ctypes.c_char_p]
         lib.mfa_calib_get.restype = ctypes.c_int
@@ -229,6 +242,31 @@ def resolve_blocks(
     if rc != 0:
         raise ValueError(f"mfa_resolve_blocks failed for head_dim={head_dim}")
     return BlockConfig._from_c(out)
+
+
+GEMM_DYNAMIC, GEMM_WEIGHT_ONLY = 0, 1
+
+
+def resolve_gemm_blocks(
+    m: int, bits: int = 8, mode: int = GEMM_DYNAMIC,
+    vmem_budget_bytes: int = 0,
+) -> Tuple[int, int, int]:
+    """Native quantized-GEMM block resolution; falls back to the Python
+    m-bucketed table when the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        from metal_flash_attention_plus_tpu.attention.tuning import (
+            default_gemm_blocks,
+        )
+
+        return default_gemm_blocks(m, bits)
+    out = _MfaGemmBlockConfig()
+    rc = lib.mfa_resolve_gemm_blocks(
+        m, bits, mode, vmem_budget_bytes, ctypes.byref(out)
+    )
+    if rc != 0:
+        raise ValueError(f"mfa_resolve_gemm_blocks failed for m={m}")
+    return (out.block_m, out.block_n, out.block_k)
 
 
 class CalibCache:

@@ -301,3 +301,112 @@ def test_hadamard_rotated_kv_exact_and_outlier_win():
         )
     assert rels[True] < rels[False]  # outlier smoothing wins
     assert rels[True] < 0.05
+
+
+# ---------------------------------------------------------------------------
+# Full-integer pipeline: int8 P × int8 V — BOTH MXU dots at the int8 rate
+# (the TPU realization of the reference's "INT8 = 2.5× faster" headline,
+# ``README.md:291-296``).
+# ---------------------------------------------------------------------------
+
+SYMROW8 = QuantConfig(
+    bits=8, granularity=QuantGranularity.ROW, strategy=QuantStrategy.SYMMETRIC
+)
+SYMTEN8 = QuantConfig(bits=8)  # TENSOR + SYMMETRIC defaults
+CH8 = QuantConfig(
+    bits=8, granularity=QuantGranularity.CHANNEL,
+    strategy=QuantStrategy.SYMMETRIC,
+)
+CH4 = QuantConfig(
+    bits=4, granularity=QuantGranularity.CHANNEL,
+    strategy=QuantStrategy.SYMMETRIC,
+)
+
+
+def _fake_quant_q(q):
+    absmax = jnp.max(jnp.abs(q), axis=-1, keepdims=True)
+    qsc = jnp.maximum(absmax, 1e-12) / 127.0
+    return jnp.clip(jnp.round(q / qsc), -128, 127) * qsc
+
+
+@pytest.mark.parametrize(
+    "kcfg", [SYMROW8, SYMTEN8], ids=["krow", "ktensor-folded"]
+)
+@pytest.mark.parametrize("vcfg", [CH8, SYMTEN8], ids=["vchannel", "vtensor"])
+@pytest.mark.parametrize("mask", [FULL, CAUSAL], ids=["full", "causal"])
+def test_full_integer_pipeline(kcfg, vcfg, mask):
+    """int8 Q×K scores AND int8 P×V accumulation: per-channel/tensor V
+    scales fold out of the PV matmul and multiply the accumulator once at
+    store.  P itself is rounded to 1/127 units, so the gate vs the
+    dequantized golden is the P-rounding error only (~1e-2 rel)."""
+    q, k, v = _data(seed=21)
+    kq, vq = quantize(k, kcfg), quantize(v, vcfg)
+    o, l = quantized_flash_attention_forward(
+        q, kq, vq, mask=mask, quantize_q=True
+    )
+    o_ref, l_ref = reference_attention(
+        _fake_quant_q(q), kq.dequantize(), vq.dequantize(), mask=mask
+    )
+    rel = float(jnp.linalg.norm(o - o_ref) / jnp.linalg.norm(o_ref))
+    assert rel < 0.02, rel  # P-rounding only
+    np.testing.assert_allclose(np.asarray(l), np.asarray(l_ref), atol=0.08)
+    # end-to-end vs fp32: inside the reference's int8 gate
+    o_fp, _ = reference_attention(q, k, v, mask=mask)
+    rel_fp = float(jnp.linalg.norm(o - o_fp) / jnp.linalg.norm(o_fp))
+    assert rel_fp < 0.05, rel_fp
+
+
+@pytest.mark.parametrize("d", [64, 128], ids=["d64", "d128"])
+def test_full_integer_int4_v(d):
+    """int4 V in the full-integer pipeline: in-kernel nibble unpack feeds
+    the int8 PV dot (ones lanes concatenated after the unpack)."""
+    q, k, v = _data(d=d, seed=22)
+    kq, vq = quantize(k, SYMROW8), quantize(v, CH4)
+    o, _ = quantized_flash_attention_forward(
+        q, kq, vq, mask=CAUSAL, quantize_q=True
+    )
+    o_ref, _ = reference_attention(
+        _fake_quant_q(q), kq.dequantize(), vq.dequantize(), mask=CAUSAL
+    )
+    rel = float(jnp.linalg.norm(o - o_ref) / jnp.linalg.norm(o_ref))
+    assert rel < 0.02, rel
+
+
+def test_full_integer_int4_k():
+    """int4 K with quantize_q: in-kernel nibble unpack feeds the int8
+    QK dot."""
+    q, k, v = _data(seed=23)
+    k4 = QuantConfig(
+        bits=4, granularity=QuantGranularity.ROW,
+        strategy=QuantStrategy.SYMMETRIC,
+    )
+    kq, vq = quantize(k, k4), quantize(v, CH8)
+    o, _ = quantized_flash_attention_forward(
+        q, kq, vq, mask=CAUSAL, quantize_q=True
+    )
+    o_ref, _ = reference_attention(
+        _fake_quant_q(q), kq.dequantize(), vq.dequantize(), mask=CAUSAL
+    )
+    rel = float(jnp.linalg.norm(o - o_ref) / jnp.linalg.norm(o_ref))
+    assert rel < 0.02, rel
+
+
+def test_full_integer_ragged_window():
+    q, k, v = _data(sq=200, skv=200, seed=24)
+    kq, vq = quantize(k, SYMROW8), quantize(v, CH8)
+    mask = sliding_window(64)
+    o, _ = quantized_flash_attention_forward(
+        q, kq, vq, mask=mask, quantize_q=True
+    )
+    o_ref, _ = reference_attention(
+        _fake_quant_q(q), kq.dequantize(), vq.dequantize(), mask=mask
+    )
+    rel = float(jnp.linalg.norm(o - o_ref) / jnp.linalg.norm(o_ref))
+    assert rel < 0.02, rel
+
+
+def test_channel_v_requires_quantize_q():
+    q, k, v = _data(seed=25)
+    kq, vq = quantize(k, ROW8), quantize(v, CH8)
+    with pytest.raises(ValueError, match="full-integer"):
+        quantized_flash_attention_forward(q, kq, vq, mask=CAUSAL)
