@@ -53,7 +53,7 @@ REFERENCE_ALU_FRACTION = 0.83  # README.md:104 — 4400/5308 GINSTR/s, M1 Max
 SEQ = 4096
 
 
-def kv_config(bits: int) -> QuantConfig:
+def kv_config(bits: int, operand: str = "k") -> QuantConfig:
     if bits == 4:
         # Finest-granularity in-kernel scales for the int4 arm (BLOCK_2D
         # 1×32, MXU-expanded): ~1.7× lower max err than per-token at d=256.
@@ -61,9 +61,17 @@ def kv_config(bits: int) -> QuantConfig:
             bits=4, granularity=QuantGranularity.BLOCK_2D,
             strategy=QuantStrategy.CENTERED, block_rows=1, block_size=32,
         )
+    # int8 runs the FULL-INTEGER pipeline (int8 Q×K scores AND int8 P×V):
+    # per-token symmetric K, per-channel symmetric V (scales fold out of
+    # the PV matmul at store).
+    if operand == "v":
+        return QuantConfig(
+            bits=8, granularity=QuantGranularity.CHANNEL,
+            strategy=QuantStrategy.SYMMETRIC,
+        )
     return QuantConfig(
         bits=8, granularity=QuantGranularity.ROW,
-        strategy=QuantStrategy.CENTERED,
+        strategy=QuantStrategy.SYMMETRIC,
     )
 
 
@@ -73,12 +81,14 @@ def run_config(d: int, h: int, bits: int, chip) -> dict:
     q = jax.random.normal(ks[0], (b, h, SEQ, d), jnp.bfloat16)
     k = jax.random.normal(ks[1], (b, h, SEQ, d), jnp.float32)
     v = jax.random.normal(ks[2], (b, h, SEQ, d), jnp.float32)
-    kq, vq = quantize(k, kv_config(bits)), quantize(v, kv_config(bits))
+    kq = quantize(k, kv_config(bits, "k"))
+    vq = quantize(v, kv_config(bits, "v"))
 
     blocks = AttentionTuner.shared().recommend("fwd_q", d, SEQ, bits=bits)
     f = jax.jit(
         lambda q: quantized_flash_attention_forward(
-            q, kq, vq, mask=CAUSAL, block_sizes=blocks, interpret=False
+            q, kq, vq, mask=CAUSAL, block_sizes=blocks,
+            quantize_q=(bits == 8), interpret=False,
         )[0]
     )
     fp = jax.jit(

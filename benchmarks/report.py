@@ -113,10 +113,32 @@ def run(args):
         )
         t_q8 = measure(f_q8, q, iters=iters, warmup=3)
 
+        # Full-integer pipeline (production int8 path): int8 Q×K scores
+        # AND int8 P×V accumulation — both MXU dots at 2× the bf16 rate.
+        cfg_k8 = QuantConfig(
+            bits=8, granularity=QuantGranularity.ROW,
+            strategy=QuantStrategy.SYMMETRIC,
+        )
+        cfg_v8 = QuantConfig(
+            bits=8, granularity=QuantGranularity.CHANNEL,
+            strategy=QuantStrategy.SYMMETRIC,
+        )
+        kqs, vqs = quantize(k.astype(jnp.float32), cfg_k8), quantize(
+            v.astype(jnp.float32), cfg_v8
+        )
+        f_qi = jax.jit(
+            lambda q: quantized_flash_attention_forward(
+                q, kqs, vqs, mask=CAUSAL, block_sizes=qblocks,
+                quantize_q=True, interpret=False,
+            )[0]
+        )
+        t_qi = measure(f_qi, q, iters=iters, warmup=3)
+
         fwd_tf = tf(t_fwd, "forward")
         full_tf = tf(t_full, "forward", causal=False)
         both_tf = tf(t_both, "fwd_bwd")
         q8_tf = tf(t_q8, "forward")
+        qi_tf = tf(t_qi, "forward")
         rows.append(
             dict(
                 d=d,
@@ -128,13 +150,18 @@ def run(args):
                 fwd_bwd_util=round(both_tf / peak, 3),
                 int8_kv_tflops=round(q8_tf, 1),
                 int8_kv_util=round(q8_tf / peak, 3),
+                int8_full_tflops=round(qi_tf, 1),
+                int8_full_util=round(qi_tf / peak, 3),
+                int8_full_speedup_vs_bf16=round(t_fwd / t_qi, 2),
             )
         )
         print(
             f"d={d}: fwd(causal) {fwd_tf:.1f} TF ({fwd_tf/peak:.0%}), "
             f"fwd(full) {full_tf:.1f} ({full_tf/peak:.0%}), "
             f"fwd+bwd {both_tf:.1f} ({both_tf/peak:.0%}), "
-            f"int8-KV {q8_tf:.1f} ({q8_tf/peak:.0%})",
+            f"int8-KV {q8_tf:.1f} ({q8_tf/peak:.0%}), "
+            f"int8-full {qi_tf:.1f} ({qi_tf/peak:.0%}, "
+            f"{t_fwd/t_qi:.2f}x bf16)",
             flush=True,
         )
 
@@ -210,14 +237,15 @@ def run(args):
     out.write_text(json.dumps(report, indent=1))
     print(f"wrote {out}")
 
-    print("\n| D | fwd causal | fwd full | fwd+bwd | int8-KV |")
-    print("|---|---|---|---|---|")
+    print("\n| D | fwd causal | fwd full | fwd+bwd | int8-KV | int8-full |")
+    print("|---|---|---|---|---|---|")
     for r in rows:
         print(
             f"| {r['d']} | {r['fwd_causal_tflops']} TF ({r['fwd_causal_util']:.0%}) "
             f"| {r['fwd_full_tflops']} TF ({r['fwd_full_util']:.0%}) "
             f"| {r['fwd_bwd_tflops']} TF ({r['fwd_bwd_util']:.0%}) "
-            f"| {r['int8_kv_tflops']} TF ({r['int8_kv_util']:.0%}) |"
+            f"| {r['int8_kv_tflops']} TF ({r['int8_kv_util']:.0%}) "
+            f"| {r['int8_full_tflops']} TF ({r['int8_full_util']:.0%}) |"
         )
 
 
