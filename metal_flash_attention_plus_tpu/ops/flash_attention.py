@@ -273,6 +273,24 @@ def build_block_bounds_dynamic(
     return lo.astype(jnp.int32), hi.astype(jnp.int32)
 
 
+def build_rowstat_bounds_dynamic(
+    row_ranges: jnp.ndarray, block_q: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Traced all-rows-live [ms, me) per q-block: the slab-interior fast
+    path's bounds (ms = max(start), me = min(end) when every row in the
+    block is live; [INT32_MAX, -1) otherwise so no slab ever tests fully
+    live)."""
+    sq_pad = row_ranges.shape[0]
+    ni = sq_pad // block_q
+    st = row_ranges[:, 0].reshape(ni, block_q)
+    en = row_ranges[:, 1].reshape(ni, block_q)
+    all_live = jnp.all(en > st, axis=1)
+    big32 = jnp.int32(np.iinfo(np.int32).max)
+    ms = jnp.where(all_live, jnp.max(st, axis=1), big32)
+    me = jnp.where(all_live, jnp.min(en, axis=1), jnp.int32(-1))
+    return ms, me
+
+
 def build_packed_schedule(lo: np.ndarray, hi: np.ndarray):
     """Fold ragged live windows into a dense grid by pairing q-blocks.
 
@@ -390,6 +408,7 @@ def _fwd_kernel(
     mask_mode: str,  # "none" | "affine" | "ranges"
     affine: Tuple[int, int, int, int],  # (A, B, seq_q, cap): see wrapper
     row_base: int,  # global row of this dispatch's first q-block (wavefront)
+    has_rowstats: bool,  # ranges mode: (ms, me) all-rows-live prefetch arrays
     has_bias: bool,
     mask_value: float,
     precision,
@@ -422,6 +441,9 @@ def _fwd_kernel(
         (q0_ref, q1_ref, n0_ref, t_ref,
          lo_ref, hi_ref, loi_ref, hii_ref) = all_refs[:8]
         refs = all_refs[8:]
+        if has_rowstats:
+            ms_ref, me_ref = refs[0], refs[1]
+            refs = refs[2:]
         r = pl.program_id(2)
         j = pl.program_id(3)
         n0 = n0_ref[r]
@@ -448,6 +470,9 @@ def _fwd_kernel(
         live = j < run
         init_cond = j == 0
         store_cond = j == jnp.maximum(run, 1) - 1
+        if has_rowstats:
+            ms_ref, me_ref = refs[0], refs[1]
+            refs = refs[2:]
     if mask_mode == "ranges":
         rs_ref, re_ref = refs[0], refs[1]
         refs = refs[2:]
@@ -473,7 +498,7 @@ def _fwd_kernel(
             l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    def _inner(t):
+    def _inner(t, masked):
         q = q_ref[0, 0]  # [bq, D] (pre-scaled by scale·log2e)
         k = k_ref[0, 0, pl.ds(t * block_kv, block_kv), :]
         s = jax.lax.dot_general(
@@ -487,7 +512,7 @@ def _fwd_kernel(
             s += bias_ref[
                 0, 0, :, pl.ds(t * block_kv, block_kv)
             ].astype(jnp.float32) * LOG2E
-        if has_mask:
+        if masked:
             # Masking is applied UNCONDITIONALLY on live tiles: the fused
             # iota/where pass is free, while branching around it spills the
             # score tile (~70 µs/tile) — docs/perf_notes.md.
@@ -545,17 +570,54 @@ def _fwd_kernel(
             else:
                 acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
 
-    @pl.when(live)
-    def _compute():
+    def _loop(masked):
         for t in range(n_inner):
             if inner_skip and n_inner > 1:
                 g = kvj * n_inner + t
 
                 @pl.when(jnp.logical_and(g >= loi, g < hii))
                 def _(t=t):
-                    _inner(t)
+                    _inner(t, masked)
             else:
-                _inner(t)
+                _inner(t, masked)
+
+    if not has_mask:
+
+        @pl.when(live)
+        def _compute():
+            _loop(False)
+
+    else:
+        # Splash-style dual path (splash_attention_kernel.py's
+        # should_not_mask branch): a KV slab provably INSIDE the mask skips
+        # the per-element mask pass entirely — for causal only the ~1
+        # diagonal slab per q-block pays the iota/compare/select VPU work,
+        # the interior ~ni/2 slabs run at FULL-mask per-tile rate.
+        c0 = kvj * (n_inner * block_kv)
+        c1 = c0 + n_inner * block_kv
+        r0 = row_base + row_block * block_q
+        r1 = r0 + block_q
+        if mask_mode == "affine":
+            a_off, b_off, seq_q, cap = affine
+            fully_live = jnp.logical_and(
+                jnp.logical_and(c1 <= r0 + b_off, c0 >= r1 - 1 + a_off),
+                jnp.logical_and(r1 <= seq_q, c1 <= cap),
+            )
+        else:
+            # keep = rs <= col < re per row; the slab is fully live iff
+            # every row is live (encoded ms=INT_MAX/me=-1 otherwise) and
+            # [c0, c1) ⊆ [max(rs), min(re)) = [ms, me).
+            fully_live = jnp.logical_and(
+                c0 >= ms_ref[row_block], c1 <= me_ref[row_block]
+            )
+
+        @pl.when(jnp.logical_and(live, fully_live))
+        def _compute_interior():
+            _loop(False)
+
+        @pl.when(jnp.logical_and(live, jnp.logical_not(fully_live)))
+        def _compute_edge():
+            _loop(True)
 
     @pl.when(store_cond)
     def _store():
@@ -724,6 +786,8 @@ def flash_attention_forward(
         )
         loi_arr, hii_arr = build_block_bounds_dynamic(row_ranges, bq, bkv)
         mask_mode, affine = "ranges", (0, 0, 0, 0)
+        # All-rows-live [ms, me) per q-block for the interior fast path.
+        ms_arr, me_arr = build_rowstat_bounds_dynamic(row_ranges, bq)
     else:
         row_ranges = compute_row_ranges(
             mask,
@@ -733,7 +797,7 @@ def flash_attention_forward(
             seq_q_padded=sq_p,
             seq_kv_cap=skv,
         )
-        lo_arr, hi_arr, _ms_arr, _me_arr = build_block_bounds(
+        lo_arr, hi_arr, ms_arr, me_arr = build_block_bounds(
             row_ranges, bq, bkv_major
         )
         loi_arr, hii_arr, _, _ = build_block_bounds(row_ranges, bq, bkv)
@@ -854,6 +918,7 @@ def flash_attention_forward(
             # adjusting the prefetch-side row base below (row_base kwarg).
             affine=affine,
             row_base=row0,
+            has_rowstats=mask_mode == "ranges",
             has_bias=bias is not None,
             mask_value=mask_value,
             precision=precision,
@@ -881,8 +946,9 @@ def flash_attention_forward(
         scratch.append(
             pltpu.VMEM((bq, dv if ones else d), jnp.float32)  # acc
         )
+        n_prefetch = 4 + (2 if mask_mode == "ranges" else 0)
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
+            num_scalar_prefetch=n_prefetch,
             grid=(b, hq, ni_part, nj_max),
             in_specs=in_specs,
             out_specs=out_specs,
@@ -914,6 +980,11 @@ def flash_attention_forward(
             jnp.asarray(hi_part),
             jnp.asarray(loi_arr[i0:i1]),
             jnp.asarray(hii_arr[i0:i1]),
+            *(
+                [jnp.asarray(ms_arr[i0:i1]), jnp.asarray(me_arr[i0:i1])]
+                if mask_mode == "ranges"
+                else []
+            ),
             *inputs,
         )
 
@@ -985,6 +1056,7 @@ def flash_attention_forward(
             _fwd_kernel,
             block_q=bq, block_kv=bkv, n_inner=n_inner, head_dim=d, dv=dv,
             mask_mode=mask_mode, affine=affine, row_base=0,
+            has_rowstats=mask_mode == "ranges",
             has_bias=bias is not None, mask_value=mask_value,
             precision=precision, inner_skip=inner_skip, ones=ones,
             packed=True, skip_row_guard=all_live,
@@ -1003,8 +1075,9 @@ def flash_attention_forward(
         scratch.append(
             pltpu.VMEM((bq, dv if ones else d), jnp.float32)  # acc
         )
+        n_prefetch = 8 + (2 if mask_mode == "ranges" else 0)
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=8,
+            num_scalar_prefetch=n_prefetch,
             grid=(b, hq, nrows, width),
             in_specs=in_specs,
             out_specs=out_specs,
@@ -1031,6 +1104,11 @@ def flash_attention_forward(
             jnp.asarray(q0a), jnp.asarray(q1a), jnp.asarray(n0a),
             jnp.asarray(ta), jnp.asarray(lo_arr), jnp.asarray(hi_arr),
             jnp.asarray(loi_arr), jnp.asarray(hii_arr),
+            *(
+                [jnp.asarray(ms_arr), jnp.asarray(me_arr)]
+                if mask_mode == "ranges"
+                else []
+            ),
             *inputs,
         )
 

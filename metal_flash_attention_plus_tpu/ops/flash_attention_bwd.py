@@ -82,6 +82,7 @@ def _dq_kernel(
     scale: float,
     mask_mode: str,
     affine,
+    has_rowstats: bool,
     has_bias: bool,
     want_dbias: bool,
     kv_bits: Optional[int],
@@ -129,6 +130,9 @@ def _dq_kernel(
     kvj = lo + jj
     loi = loi_ref[row_block]
     hii = hii_ref[row_block]
+    if has_rowstats:
+        ms_ref, me_ref = refs[:2]
+        refs = refs[2:]
     if mask_mode == "ranges":
         rs_ref, re_ref = refs[:2]
         refs = refs[2:]
@@ -154,7 +158,7 @@ def _dq_kernel(
     def _init():
         dq_acc[...] = jnp.zeros_like(dq_acc)
 
-    def _inner(t):
+    def _inner(t, masked):
         sl = pl.ds(t * block_kv, block_kv)
         q = q_ref[0, 0]  # [bq, D] pre-scaled
         if kv_bits is None:
@@ -180,7 +184,7 @@ def _dq_kernel(
         d = d_ref[0, 0]
         l_wide = pltpu.repeat(l, block_kv // LANES, axis=1)
         p = jnp.exp(s - l_wide)
-        if has_mask:
+        if masked:
             col = (
                 jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
                 + inner_idx * block_kv
@@ -227,17 +231,48 @@ def _dq_kernel(
             preferred_element_type=jnp.float32, precision=precision,
         )
 
-    @pl.when(live)
-    def _compute():
+    def _loop(masked):
         for t in range(n_inner):
             if inner_skip and n_inner > 1:
                 g = kvj * n_inner + t
 
                 @pl.when(jnp.logical_and(g >= loi, g < hii))
                 def _(t=t):
-                    _inner(t)
+                    _inner(t, masked)
             else:
-                _inner(t)
+                _inner(t, masked)
+
+    if not has_mask:
+
+        @pl.when(live)
+        def _compute():
+            _loop(False)
+
+    else:
+        # Dual path (see the forward kernel): KV slabs provably inside the
+        # mask skip the per-element mask pass.
+        c0 = kvj * (n_inner * block_kv)
+        c1 = c0 + n_inner * block_kv
+        r0 = row_block * block_q
+        r1 = r0 + block_q
+        if mask_mode == "affine":
+            a_off, b_off, seq_q, cap = affine
+            fully_live = jnp.logical_and(
+                jnp.logical_and(c1 <= r0 + b_off, c0 >= r1 - 1 + a_off),
+                jnp.logical_and(r1 <= seq_q, c1 <= cap),
+            )
+        else:
+            fully_live = jnp.logical_and(
+                c0 >= ms_ref[row_block], c1 <= me_ref[row_block]
+            )
+
+        @pl.when(jnp.logical_and(live, fully_live))
+        def _compute_interior():
+            _loop(False)
+
+        @pl.when(jnp.logical_and(live, jnp.logical_not(fully_live)))
+        def _compute_edge():
+            _loop(True)
 
     @pl.when(store_cond)
     def _store():
@@ -308,6 +343,7 @@ def _dkv_kernel(
     n_inner: int,  # q subtiles per grid step (major = n_inner * block_q)
     mask_mode: str,
     affine,
+    has_rowstats: bool,
     has_bias: bool,
     precision,
     kv_bits: Optional[int] = None,
@@ -366,6 +402,10 @@ def _dkv_kernel(
     iq = ilo + ioff  # major q-slab index
     iloi = iloi_ref[kv_block]
     ihii = ihii_ref[kv_block]
+    if has_rowstats:
+        # All-rows-live [ms, me) per MAJOR q-slab for the interior fast path.
+        ms_ref, me_ref = refs[:2]
+        refs = refs[2:]
     if mask_mode == "ranges":
         rs_ref, re_ref = refs[:2]  # row vectors [1, bq]
         refs = refs[2:]
@@ -400,7 +440,7 @@ def _dkv_kernel(
                 vf_scr.dtype,
             )
 
-    def _inner(ti):
+    def _inner(ti, masked):
         sl = pl.ds(ti * block_q, block_q)
         if kv_bits is None:
             k = k_ref[0, 0]  # [bkv, D]
@@ -418,7 +458,7 @@ def _dkv_kernel(
         d_row = d_ref[0, 0, :, sl]
         pt = jnp.exp(st - l_row)
         inner_iq = iq * n_inner + ti
-        if has_mask:
+        if masked:
             kvpos = (
                 jax.lax.broadcasted_iota(jnp.int32, (block_kv, block_q), 0)
                 + kv_block * block_kv
@@ -461,17 +501,51 @@ def _dkv_kernel(
             preferred_element_type=jnp.float32, precision=precision,
         )
 
-    @pl.when(live)
-    def _compute():
+    def _loop(masked):
         for ti in range(n_inner):
             if inner_skip and n_inner > 1:
                 g_i = iq * n_inner + ti
 
                 @pl.when(jnp.logical_and(g_i >= iloi, g_i < ihii))
                 def _(ti=ti):
-                    _inner(ti)
+                    _inner(ti, masked)
             else:
-                _inner(ti)
+                _inner(ti, masked)
+
+    if not has_mask:
+
+        @pl.when(live)
+        def _compute():
+            _loop(False)
+
+    else:
+        # Dual path (see the forward kernel), transposed: a (kv-block,
+        # q-slab) step provably inside the mask skips the mask pass.
+        kv0 = kv_block * block_kv
+        kv1 = kv0 + block_kv
+        qr0 = iq * (n_inner * block_q)
+        qr1 = qr0 + n_inner * block_q
+        if mask_mode == "affine":
+            a_off, b_off, seq_q, cap = affine
+            fully_live = jnp.logical_and(
+                jnp.logical_and(kv1 <= qr0 + b_off, kv0 >= qr1 - 1 + a_off),
+                jnp.logical_and(qr1 <= seq_q, kv1 <= cap),
+            )
+        else:
+            # iq is unclamped on dead steps (live gates compute, not this
+            # scalar read) — clamp to stay in the prefetch array.
+            iq_c = jnp.minimum(iq, ms_ref.shape[0] - 1)
+            fully_live = jnp.logical_and(
+                kv0 >= ms_ref[iq_c], kv1 <= me_ref[iq_c]
+            )
+
+        @pl.when(jnp.logical_and(live, fully_live))
+        def _compute_interior():
+            _loop(False)
+
+        @pl.when(jnp.logical_and(live, jnp.logical_not(fully_live)))
+        def _compute_edge():
+            _loop(True)
 
     @pl.when(store_cond)
     def _store():
@@ -663,6 +737,11 @@ def flash_attention_backward(
         loi_dq, hii_dq = build_block_bounds_dynamic(
             row_ranges, bq_dq, bkv_dq
         )
+        from metal_flash_attention_plus_tpu.ops.flash_attention import (
+            build_rowstat_bounds_dynamic,
+        )
+
+        ms_dq, me_dq = build_rowstat_bounds_dynamic(row_ranges, bq_dq)
         mask_mode, affine = "ranges", (0, 0, 0, 0)
         ni_dq = sq_p // bq_dq
         nj_all_dq = skv_p // bkvM_dq
@@ -670,7 +749,7 @@ def flash_attention_backward(
         packed_dq = False
         inner_skip_dq = has_mask and n_inner_dq > 1
     else:
-        lo_arr, hi_arr, _ms, _me = build_block_bounds(
+        lo_arr, hi_arr, ms_dq, me_dq = build_block_bounds(
             row_ranges, bq_dq, bkvM_dq
         )
         loi_dq, hii_dq, _, _ = build_block_bounds(row_ranges, bq_dq, bkv_dq)
@@ -698,6 +777,8 @@ def flash_attention_backward(
             jnp.asarray(ta), jnp.asarray(lo_arr), jnp.asarray(hi_arr),
             jnp.asarray(loi_dq), jnp.asarray(hii_dq),
         )
+        if mask_mode == "ranges":
+            scalars_dq += (jnp.asarray(ms_dq), jnp.asarray(me_dq))
 
         def q_block_dq(a):
             _, _, r, j, q0, q1, n0, t = a[:8]
@@ -719,6 +800,8 @@ def flash_attention_backward(
             jnp.asarray(lo_arr), jnp.asarray(hi_arr),
             jnp.asarray(loi_dq), jnp.asarray(hii_dq),
         )
+        if mask_mode == "ranges":
+            scalars_dq += (jnp.asarray(ms_dq), jnp.asarray(me_dq))
 
         def q_block_dq(a):
             return a[2]
@@ -811,6 +894,7 @@ def flash_attention_backward(
         scale=scale,
         mask_mode=mask_mode,
         affine=affine,
+        has_rowstats=mask_mode == "ranges",
         has_bias=bias is not None,
         want_dbias=want_dbias,
         kv_bits=kv_bits,
@@ -877,6 +961,11 @@ def flash_attention_backward(
         iloi_arr, ihii_arr = build_kv_block_bounds_dynamic(
             rr_dkv, bq_dkv, bkv_dkv, nj
         )
+        from metal_flash_attention_plus_tpu.ops.flash_attention import (
+            build_rowstat_bounds_dynamic,
+        )
+
+        ms_dkv, me_dkv = build_rowstat_bounds_dynamic(rr_dkv, bqM_dkv)
         ni_max = ni_all
         mask_mode2, affine2 = "ranges", (0, 0, 0, 0)
         packed_dkv = False
@@ -891,6 +980,9 @@ def flash_attention_backward(
         )
         iloi_arr, ihii_arr = build_kv_block_bounds(
             rr_dkv, bq_dkv, bkv_dkv, nj
+        )
+        _, _, ms_dkv, me_dkv = build_block_bounds(
+            rr_dkv, bqM_dkv, bkv_dkv
         )
         ni_max = max(1, int((ihi_arr - ilo_arr).max()))
         mask_mode2, affine2 = resolve_mask_mode(mask, has_mask, sq, skv)
@@ -916,6 +1008,8 @@ def flash_attention_backward(
             jnp.asarray(ilo_arr), jnp.asarray(ihi_arr),
             jnp.asarray(iloi_arr), jnp.asarray(ihii_arr),
         )
+        if mask_mode2 == "ranges":
+            scalars2 += (jnp.asarray(ms_dkv), jnp.asarray(me_dkv))
 
         def kv_block2(a):
             _, _, r, t, j0, j1, n0, tarr = a[:8]
@@ -944,6 +1038,8 @@ def flash_attention_backward(
             jnp.asarray(ilo_arr), jnp.asarray(ihi_arr),
             jnp.asarray(iloi_arr), jnp.asarray(ihii_arr),
         )
+        if mask_mode2 == "ranges":
+            scalars2 += (jnp.asarray(ms_dkv), jnp.asarray(me_dkv))
 
         def kv_block2(a):
             return a[2]
@@ -1030,6 +1126,7 @@ def flash_attention_backward(
         n_inner=n_inner_dkv,
         mask_mode=mask_mode2,
         affine=affine2,
+        has_rowstats=mask_mode2 == "ranges",
         has_bias=bias is not None,
         precision=precision,
         kv_bits=kv_bits,
