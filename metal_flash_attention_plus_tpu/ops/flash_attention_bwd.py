@@ -89,6 +89,8 @@ def _dq_kernel(
     precision,
     inner_skip: bool = False,
     packed: bool = False,
+    kv_gran: str = "token",
+    has_er: bool = False,
 ):
     # Dense (i, j) schedule with unconditional masking — see the forward
     # kernel for the measured rationale (flattened schedules stall ~185 µs
@@ -145,6 +147,13 @@ def _dq_kernel(
         (q_ref, kq_ref, ks_ref, kz_ref, vq_ref, vs_ref, vz_ref,
          do_ref, l_ref, d_ref) = refs[:10]
         refs = refs[10:]
+        if kv_gran == "block2d":
+            if has_er:
+                er_ref, ec_ref = refs[:2]
+                refs = refs[2:]
+            else:
+                er_ref, ec_ref = None, refs[0]
+                refs = refs[1:]
     if has_bias:
         bias_ref = refs[0]
         refs = refs[1:]
@@ -163,6 +172,19 @@ def _dq_kernel(
         q = q_ref[0, 0]  # [bq, D] pre-scaled
         if kv_bits is None:
             k = k_ref[0, 0, sl, :]  # [bkv, D]
+        elif kv_gran == "block2d":
+            from metal_flash_attention_plus_tpu.ops.quantized_gemm import (
+                dequant_block2d_vals,
+            )
+
+            ns = ks_ref.shape[2] // n_inner
+            k = dequant_block2d_vals(
+                kq_ref[0, 0, sl, :],
+                ks_ref[0, 0, pl.ds(t * ns, ns), :],
+                kz_ref[0, 0, pl.ds(t * ns, ns), :],
+                None if er_ref is None else er_ref[...], ec_ref[...],
+                head_dim, kv_bits[0], q.dtype,
+            )
         else:
             from metal_flash_attention_plus_tpu.ops.quantized_gemm import (
                 dequant_kv_vals,
@@ -209,6 +231,19 @@ def _dq_kernel(
         do = do_ref[0, 0]  # [bq, D]
         if kv_bits is None:
             v = v_ref[0, 0, sl, :]  # [bkv, D]
+        elif kv_gran == "block2d":
+            from metal_flash_attention_plus_tpu.ops.quantized_gemm import (
+                dequant_block2d_vals,
+            )
+
+            ns = vs_ref.shape[2] // n_inner
+            v = dequant_block2d_vals(
+                vq_ref[0, 0, sl, :],
+                vs_ref[0, 0, pl.ds(t * ns, ns), :],
+                vz_ref[0, 0, pl.ds(t * ns, ns), :],
+                None if er_ref is None else er_ref[...], ec_ref[...],
+                head_dim, kv_bits[1], q.dtype,
+            )
         else:
             from metal_flash_attention_plus_tpu.ops.quantized_gemm import (
                 dequant_kv_vals,
@@ -349,6 +384,8 @@ def _dkv_kernel(
     kv_bits: Optional[int] = None,
     inner_skip: bool = False,
     packed: bool = False,
+    kv_gran: str = "token",
+    has_er: bool = False,
 ):
     # Grid (b, hkv, j, group·ni_max): the 4th dim enumerates (g, q-slab)
     # pairs; per-KV-block live q-slab bounds arrive via scalar prefetch.
@@ -416,6 +453,13 @@ def _dkv_kernel(
         (q_ref, kq_ref, ks_ref, kz_ref, vq_ref, vs_ref, vz_ref,
          do_ref, l_ref, d_ref) = refs[:10]
         refs = refs[10:]
+        if kv_gran == "block2d":
+            if has_er:
+                er_ref, ec_ref = refs[:2]
+                refs = refs[2:]
+            else:
+                er_ref, ec_ref = None, refs[0]
+                refs = refs[1:]
     if has_bias:
         biasT_ref = refs[0]
         refs = refs[1:]
@@ -428,7 +472,22 @@ def _dkv_kernel(
     def _init():
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dv_acc[...] = jnp.zeros_like(dv_acc)
-        if kv_bits is not None:
+        if kv_bits is not None and kv_gran == "block2d":
+            # BLOCK_2D scales, MXU-expanded once per segment (the KV tile
+            # is constant across the segment's group × q-step traversal).
+            from metal_flash_attention_plus_tpu.ops.quantized_gemm import (
+                dequant_kv_tile_block2d,
+            )
+
+            kf_scr[...] = dequant_kv_tile_block2d(
+                kq_ref, ks_ref, kz_ref, er_ref, ec_ref, block_kv,
+                head_dim, kv_bits[0], kf_scr.dtype,
+            )
+            vf_scr[...] = dequant_kv_tile_block2d(
+                vq_ref, vs_ref, vz_ref, er_ref, ec_ref, block_kv,
+                head_dim, kv_bits[1], vf_scr.dtype,
+            )
+        elif kv_bits is not None:
             # Dequantize the segment's KV tile once (constant across the
             # segment's whole group × q-step traversal).
             kf_scr[...] = _dequant_kv_tile(
@@ -654,19 +713,54 @@ def flash_attention_backward(
     qs = pad_seq(qs, sq_p)
     do_p = pad_seq(do.astype(q.dtype), sq_p)
     o_p = pad_seq(o, sq_p)
+    kv_gran = "token"
+    br = bs2 = 0
     if kv_quant:
         from metal_flash_attention_plus_tpu.ops.quantized_attention import (
             _per_token_params,
         )
+        from metal_flash_attention_plus_tpu.quant.params import (
+            QuantGranularity,
+        )
 
-        ks_, kz_ = _per_token_params(k)
-        vs_, vz_ = _per_token_params(v)
         kq_p = pad_seq(k.data, skv_p)
         vq_p = pad_seq(v.data, skv_p)
-        ks_p = pad_seq(ks_, skv_p)
-        kz_p = pad_seq(kz_, skv_p)
-        vs_p = pad_seq(vs_, skv_p)
-        vz_p = pad_seq(vz_, skv_p)
+        if k.config.granularity == QuantGranularity.BLOCK_2D:
+            # In-kernel BLOCK_2D scales in BOTH backward kernels (parity
+            # with the forward's MXU-expanded dequant; reference
+            # ``AttentionKernel+Accumulate.swift:451-511`` applies the
+            # same per-tile lookup in every kernel type).
+            kv_gran = "block2d"
+            if v.config.granularity != QuantGranularity.BLOCK_2D or (
+                (k.config.block_rows, k.config.block_size)
+                != (v.config.block_rows, v.config.block_size)
+            ):
+                raise ValueError("K/V must share BLOCK_2D block geometry")
+            br, bs2 = k.config.block_rows, k.config.block_size
+            if 128 % br != 0:
+                raise ValueError(f"block_rows {br} must divide 128")
+
+            def pad_blocks(x, fill):
+                t = skv_p // br
+                if x.shape[2] == t:
+                    return x
+                return jnp.pad(
+                    x,
+                    ((0, 0), (0, 0), (0, t - x.shape[2]), (0, 0)),
+                    constant_values=fill,
+                )
+
+            ks_p = pad_blocks(k.scale.astype(jnp.float32), 1.0)
+            kz_p = pad_blocks(k.zero_point.astype(jnp.float32), 0.0)
+            vs_p = pad_blocks(v.scale.astype(jnp.float32), 1.0)
+            vz_p = pad_blocks(v.zero_point.astype(jnp.float32), 0.0)
+        else:
+            ks_, kz_ = _per_token_params(k)
+            vs_, vz_ = _per_token_params(v)
+            ks_p = pad_seq(ks_, skv_p)
+            kz_p = pad_seq(kz_, skv_p)
+            vs_p = pad_seq(vs_, skv_p)
+            vz_p = pad_seq(vz_, skv_p)
         pd_k = kq_p.shape[-1]
         pd_v = vq_p.shape[-1]
     else:
@@ -834,7 +928,33 @@ def flash_attention_backward(
     stat_spec = pl.BlockSpec(
         (1, 1, bq_dq, LANES), lambda *a: (a[0], a[1], q_block_dq(a), 0)
     )
-    if kv_quant:
+    if kv_quant and kv_gran == "block2d":
+        from metal_flash_attention_plus_tpu.ops.quantized_gemm import (
+            block2d_expanders,
+        )
+
+        def sc_spec_dq():
+            return pl.BlockSpec(
+                (1, 1, bkvM_dq // br, d // bs2),
+                lambda *a: (a[0], kv_head(a[1]), kv_block_dq(a), 0),
+            )
+
+        in_specs += [
+            q_spec,
+            kv_spec(pd_k), sc_spec_dq(), sc_spec_dq(),
+            kv_spec(pd_v), sc_spec_dq(), sc_spec_dq(),
+            q_spec, stat_spec, stat_spec,
+        ]
+        inputs += [qs, kq_p, ks_p, kz_p, vq_p, vs_p, vz_p, do_p, l_col, d_col]
+        er_dq, ec_dq = block2d_expanders(br, bs2, bkv_dq, d)
+        if er_dq is not None:
+            in_specs.append(
+                pl.BlockSpec((bkv_dq, bkv_dq // br), lambda *a: (0, 0))
+            )
+            inputs.append(er_dq)
+        in_specs.append(pl.BlockSpec((d // bs2, d), lambda *a: (0, 0)))
+        inputs.append(ec_dq)
+    elif kv_quant:
         in_specs += [
             q_spec,
             kv_spec(pd_k), kv_spec(1), kv_spec(1),
@@ -901,6 +1021,8 @@ def flash_attention_backward(
         precision=precision,
         inner_skip=inner_skip_dq,
         packed=packed_dq,
+        kv_gran=kv_gran,
+        has_er=(kv_gran == "block2d" and br > 1),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(scalars_dq),
@@ -1083,7 +1205,35 @@ def flash_attention_backward(
             lambda *a: (a[0], a[1], kv_block2(a), 0),
         )
 
-    if kv_quant:
+    if kv_quant and kv_gran == "block2d":
+        from metal_flash_attention_plus_tpu.ops.quantized_gemm import (
+            block2d_expanders,
+        )
+
+        def sc_side():
+            return pl.BlockSpec(
+                (1, 1, bkv_dkv // br, d // bs2),
+                lambda *a: (a[0], a[1], kv_block2(a), 0),
+            )
+
+        in_specs2 += [
+            q_side(False),
+            kv_side(pd_k), sc_side(), sc_side(),
+            kv_side(pd_v), sc_side(), sc_side(),
+            q_side(False), q_side(True), q_side(True),
+        ]
+        inputs2 += [
+            qs, kq_p, ks_p, kz_p, vq_p, vs_p, vz_p, do_p, l_row, d_row,
+        ]
+        er_dkv, ec_dkv = block2d_expanders(br, bs2, bkv_dkv, d)
+        if er_dkv is not None:
+            in_specs2.append(
+                pl.BlockSpec((bkv_dkv, bkv_dkv // br), lambda *a: (0, 0))
+            )
+            inputs2.append(er_dkv)
+        in_specs2.append(pl.BlockSpec((d // bs2, d), lambda *a: (0, 0)))
+        inputs2.append(ec_dkv)
+    elif kv_quant:
         in_specs2 += [
             q_side(False),
             kv_side(pd_k), kv_side(1), kv_side(1),
@@ -1132,6 +1282,8 @@ def flash_attention_backward(
         kv_bits=kv_bits,
         inner_skip=inner_skip_dkv,
         packed=packed_dkv,
+        kv_gran=kv_gran,
+        has_er=(kv_gran == "block2d" and br > 1),
     )
     dkv_scratch = [
         pltpu.VMEM((bkv_dkv, d), jnp.float32),

@@ -1081,15 +1081,33 @@ def _scale_zp_cotangents(dxdeq, qt: QuantizedTensor):
 
     dxdeq = dxdeq.astype(jnp.float32)
     deq = dequantize(qt).astype(jnp.float32)
-    scale_b, _zp_b = _per_token_params(qt)  # [B,H,S,1] fp32
-    w_minus_z = deq / scale_b
-    ds_cells = dxdeq * w_minus_z
-    dz_cells = -dxdeq * scale_b
     g = qt.config.granularity
+    if g == QuantGranularity.BLOCK_2D:
+        br, bs2 = qt.config.block_rows, qt.config.block_size
+        b_, h_, s_, d_ = qt.shape
+        scale_el = jnp.repeat(
+            jnp.repeat(qt.scale.astype(jnp.float32), br, axis=2),
+            bs2, axis=3,
+        )
+    else:
+        scale_el, _zp_b = _per_token_params(qt)  # [B,H,S,1] fp32
+    w_minus_z = deq / scale_el
+    ds_cells = dxdeq * w_minus_z
+    dz_cells = -dxdeq * scale_el
     if g == QuantGranularity.ROW:
         ds = jnp.sum(ds_cells, axis=-1).reshape(qt.scale.shape)
         dz = jnp.sum(dz_cells, axis=-1).reshape(qt.zero_point.shape)
-    else:  # TENSOR (the only other in-kernel attention granularity)
+    elif g == QuantGranularity.BLOCK_2D:
+        # Reduce cells per (block_rows × block_size) 2D block.
+        def per_block(cells):
+            return jnp.sum(
+                cells.reshape(b_, h_, s_ // br, br, d_ // bs2, bs2),
+                axis=(3, 5),
+            )
+
+        ds = per_block(ds_cells).reshape(qt.scale.shape)
+        dz = per_block(dz_cells).reshape(qt.zero_point.shape)
+    else:  # TENSOR
         ds = jnp.sum(ds_cells).reshape(qt.scale.shape)
         dz = jnp.sum(dz_cells).reshape(qt.zero_point.shape)
 
