@@ -99,6 +99,7 @@ def _qfwd_kernel(
     compute_dtype,
     kv_gran: str = "token",  # "token" (ROW/TENSOR) | "block2d"
     has_er: bool = False,  # block2d with block_rows > 1
+    has_rowstats: bool = False,  # ranges mode: (ms, me) prefetch arrays
     inner_skip: bool = False,
     ones: bool = False,
     packed: bool = False,
@@ -147,6 +148,11 @@ def _qfwd_kernel(
     kvj = lo + jj
     loi = loi_ref[row_block]
     hii = hii_ref[row_block]
+    if has_rowstats:
+        # All-rows-live [ms, me) per q-block (ranges-mode interior fast
+        # path — see _fwd_kernel's dual-path block).
+        ms_ref, me_ref = refs[0], refs[1]
+        refs = refs[2:]
     if mask_mode == "ranges":
         rs_ref, re_ref = refs[0], refs[1]
         refs = refs[2:]
@@ -208,7 +214,7 @@ def _qfwd_kernel(
             l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    def _inner(t):
+    def _inner(t, masked):
         sl = pl.ds(t * block_kv, block_kv)
         if quantize_q:
             k_int = kq_ref[0, 0, sl, :]
@@ -265,7 +271,7 @@ def _qfwd_kernel(
         if has_bias:
             # Scores are in the log2 domain — convert the additive bias.
             s += bias_ref[0, 0, :, sl].astype(jnp.float32) * _LOG2E
-        if has_mask:
+        if masked:
             col = (
                 jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
                 + inner_idx * block_kv
@@ -399,17 +405,49 @@ def _qfwd_kernel(
             else:
                 acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
 
-    @pl.when(live)
-    def _compute():
+    def _loop(masked):
         for t in range(n_inner):
             if inner_skip and n_inner > 1:
                 g = kvj * n_inner + t
 
                 @pl.when(jnp.logical_and(g >= loi, g < hii))
                 def _(t=t):
-                    _inner(t)
+                    _inner(t, masked)
             else:
-                _inner(t)
+                _inner(t, masked)
+
+    if not has_mask:
+
+        @pl.when(live)
+        def _compute():
+            _loop(False)
+
+    else:
+        # Splash-style dual path (see _fwd_kernel): a KV slab provably
+        # INSIDE the mask skips the per-element mask pass entirely — only
+        # diagonal/edge slabs pay the iota/compare/select VPU work.
+        c0 = kvj * (n_inner * block_kv)
+        c1 = c0 + n_inner * block_kv
+        r0 = row_block * block_q
+        r1 = r0 + block_q
+        if mask_mode == "affine":
+            a_off, b_off, seq_q, cap = affine
+            fully_live = jnp.logical_and(
+                jnp.logical_and(c1 <= r0 + b_off, c0 >= r1 - 1 + a_off),
+                jnp.logical_and(r1 <= seq_q, c1 <= cap),
+            )
+        else:
+            fully_live = jnp.logical_and(
+                c0 >= ms_ref[row_block], c1 <= me_ref[row_block]
+            )
+
+        @pl.when(jnp.logical_and(live, fully_live))
+        def _compute_interior():
+            _loop(False)
+
+        @pl.when(jnp.logical_and(live, jnp.logical_not(fully_live)))
+        def _compute_edge():
+            _loop(True)
 
     @pl.when(store_cond)
     def _store():
@@ -742,12 +780,17 @@ def quantized_flash_attention_forward(
         )
         loi_arr, hii_arr = build_block_bounds_dynamic(row_ranges, bq, bkv)
         mask_mode, affine = "ranges", (0, 0, 0, 0)
+        from metal_flash_attention_plus_tpu.ops.flash_attention import (
+            build_rowstat_bounds_dynamic,
+        )
+
+        ms_arr, me_arr = build_rowstat_bounds_dynamic(row_ranges, bq)
     else:
         row_ranges = compute_row_ranges(
             mask, sq, skv, mask_ranges=mask_ranges,
             seq_q_padded=sq_p, seq_kv_cap=skv,
         )
-        lo_arr, hi_arr, _ms, _me = build_block_bounds(
+        lo_arr, hi_arr, ms_arr, me_arr = build_block_bounds(
             row_ranges, bq, bkv_major
         )
         loi_arr, hii_arr, _, _ = build_block_bounds(row_ranges, bq, bkv)
@@ -800,6 +843,8 @@ def quantized_flash_attention_forward(
             jnp.asarray(ta), jnp.asarray(lo_arr), jnp.asarray(hi_arr),
             jnp.asarray(loi_arr), jnp.asarray(hii_arr),
         )
+        if mask_mode == "ranges":
+            scalars += (jnp.asarray(ms_arr), jnp.asarray(me_arr))
 
         def q_block(args):
             _, _, r, j, q0, q1, n0, t = args[:8]
@@ -819,6 +864,8 @@ def quantized_flash_attention_forward(
             jnp.asarray(lo_arr), jnp.asarray(hi_arr),
             jnp.asarray(loi_arr), jnp.asarray(hii_arr),
         )
+        if mask_mode == "ranges":
+            scalars += (jnp.asarray(ms_arr), jnp.asarray(me_arr))
 
         def q_block(args):
             return args[2]
@@ -945,6 +992,7 @@ def quantized_flash_attention_forward(
         compute_dtype=compute_dtype,
         kv_gran=kv_gran,
         has_er=(kv_gran == "block2d" and br > 1),
+        has_rowstats=mask_mode == "ranges",
         inner_skip=inner_skip,
         ones=ones,
         packed=packed,
