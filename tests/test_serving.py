@@ -317,3 +317,63 @@ def test_engine_with_quantized_weights():
     for rid, p in prompts.items():
         expect = _uncached_greedy_q(p, 5)
         assert out[rid] == expect, (rid, out[rid], expect)
+
+
+def test_engine_with_w4a8_weights():
+    """W4A8 weights in the serving executors: int4 projections (group-
+    planar packed, in-kernel unpacked onto the int8 MXU) through the same
+    polymorphic ``linear``.  Needs K % 256 == 0 — a 256-wide model."""
+    from metal_flash_attention_plus_tpu.runtime import native_available
+
+    if not native_available():
+        pytest.skip("native runtime unavailable")
+    from metal_flash_attention_plus_tpu.models.quantized_inference import (
+        quantized_forward,
+        quantize_weights,
+    )
+    from metal_flash_attention_plus_tpu.quant.params import (
+        QuantConfig,
+        QuantGranularity,
+        QuantStrategy,
+    )
+    from metal_flash_attention_plus_tpu.serving.engine import (
+        GenerationRequest,
+        ServingEngine,
+    )
+
+    # Every projection's contraction dim must be a multiple of 256 (the
+    # int4 group-planar packing granularity): d_model = heads·head_dim =
+    # d_ff = 256.
+    cfg256 = TransformerConfig(
+        vocab_size=128, d_model=256, num_layers=1, num_heads=8,
+        num_kv_heads=2, head_dim=32, d_ff=256, max_seq=256,
+        dtype=jnp.float32,
+        block_sizes=CFG.block_sizes,
+    )
+    params = init_params(cfg256, jax.random.PRNGKey(1))
+    cfg4 = QuantConfig(
+        bits=4, granularity=QuantGranularity.ROW,
+        strategy=QuantStrategy.SYMMETRIC,
+    )
+    qparams = quantize_weights(params, cfg4)
+
+    def _uncached_greedy_q(prompt, n):
+        toks = list(prompt)
+        for _ in range(n):
+            logits = quantized_forward(
+                qparams, jnp.asarray([toks]), cfg256
+            )
+            toks.append(int(jnp.argmax(logits[0, -1])))
+        return toks[len(prompt):]
+
+    prompts = {1: [5, 9, 17, 3]}
+    engine = ServingEngine(
+        qparams, cfg256, num_pages=32, page_tokens=16, max_batch=2,
+        cache_dtype=jnp.float32, chunk_size=16,
+    )
+    for rid, p in prompts.items():
+        engine.submit(GenerationRequest(rid, p, max_new_tokens=4))
+    out = engine.run()
+    for rid, p in prompts.items():
+        expect = _uncached_greedy_q(p, 4)
+        assert out[rid] == expect, (rid, out[rid], expect)
