@@ -570,9 +570,9 @@ def _fwd_kernel(
             else:
                 acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
 
-    def _loop(masked):
+    def _loop(masked, guards=True):
         for t in range(n_inner):
-            if inner_skip and n_inner > 1:
+            if guards and inner_skip and n_inner > 1:
                 g = kvj * n_inner + t
 
                 @pl.when(jnp.logical_and(g >= loi, g < hii))
@@ -613,7 +613,9 @@ def _fwd_kernel(
 
         @pl.when(jnp.logical_and(live, fully_live))
         def _compute_interior():
-            _loop(False)
+            # Inside the mask every inner subtile is live too — the
+            # per-subtile inner-skip guards are dead code here.
+            _loop(False, guards=False)
 
         @pl.when(jnp.logical_and(live, jnp.logical_not(fully_live)))
         def _compute_edge():

@@ -266,9 +266,9 @@ def _dq_kernel(
             preferred_element_type=jnp.float32, precision=precision,
         )
 
-    def _loop(masked):
+    def _loop(masked, guards=True):
         for t in range(n_inner):
-            if inner_skip and n_inner > 1:
+            if guards and inner_skip and n_inner > 1:
                 g = kvj * n_inner + t
 
                 @pl.when(jnp.logical_and(g >= loi, g < hii))
@@ -303,7 +303,7 @@ def _dq_kernel(
 
         @pl.when(jnp.logical_and(live, fully_live))
         def _compute_interior():
-            _loop(False)
+            _loop(False, guards=False)
 
         @pl.when(jnp.logical_and(live, jnp.logical_not(fully_live)))
         def _compute_edge():
@@ -560,9 +560,9 @@ def _dkv_kernel(
             preferred_element_type=jnp.float32, precision=precision,
         )
 
-    def _loop(masked):
+    def _loop(masked, guards=True):
         for ti in range(n_inner):
-            if inner_skip and n_inner > 1:
+            if guards and inner_skip and n_inner > 1:
                 g_i = iq * n_inner + ti
 
                 @pl.when(jnp.logical_and(g_i >= iloi, g_i < ihii))
@@ -600,7 +600,7 @@ def _dkv_kernel(
 
         @pl.when(jnp.logical_and(live, fully_live))
         def _compute_interior():
-            _loop(False)
+            _loop(False, guards=False)
 
         @pl.when(jnp.logical_and(live, jnp.logical_not(fully_live)))
         def _compute_edge():

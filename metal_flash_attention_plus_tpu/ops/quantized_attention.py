@@ -10,10 +10,11 @@ in float registers):
   dominate long-context attention).  Tiles are widened and scaled on the
   VPU inside the kernel; the MXU runs at the float precision of Q.
 - Granularities: per-token (ROW over the head dim — the production KV-cache
-  choice) and TENSOR (expanded to per-token on the host: Skv floats per
-  head, negligible).  The reference's blockwise-K path maps to per-token
-  here; 2D-block K/V scales are intentionally not supported in-kernel (a
-  per-element scale expansion would cancel the bandwidth win).
+  choice), TENSOR (expanded to per-token on the host: Skv floats per head,
+  negligible), and BLOCK_2D (block_rows × block_size 2D blocks — the
+  reference's per-8×8-tile lookup, ``AttentionKernel+Accumulate.swift:
+  451-511``) whose scale tiles are expanded IN-KERNEL on the MXU via 0/1
+  block-diagonal dots (``ops.quantized_gemm.dequant_kv_tile_block2d``).
 - Q stays float by default, as in the reference's production path
   (blockwise-Q is rejected with a per-tensor fallback there too,
   ``QuantizedAttention.swift:588-648``).  For QAT, fake-quantize Q with
@@ -21,12 +22,15 @@ in float registers):
   quantizes Q per token (int8 symmetric, softmax scale folded into the
   scales exactly) so scores run int8×int8→int32 on the MXU — measured
   +8% at d=256, a slight loss at d=64 (docs/perf_notes.md); requires
-  zero-point-free (SYMMETRIC) int8 K.
-- Backward runs the dQ kernel with the SAME in-kernel dequant-on-load
-  (the reference likewise reuses the core flash kernels with dequantizing
-  loads for backward, ``QuantizedAttention.swift:1188-1228``); gradients
-  flow to q (and bias) only — quantized operands are data, so the dK/dV
-  kernel is skipped entirely (half the backward work).
+  zero-point-free (SYMMETRIC) int8 K.  With per-channel/TENSOR symmetric
+  V the FULL-INTEGER pipeline also runs P×V in int8 (``int8_pv``).
+- Backward runs BOTH dequantizing kernels (dQ and dKV) with the same
+  in-kernel dequant-on-load (the reference likewise reuses the core flash
+  kernels with dequantizing loads, ``QuantizedAttention.swift:1012-1181``);
+  ``quantized_flash_attention`` returns dq plus EXACT scale/zero-point
+  cotangents for K/V (integer payloads stay float0), and
+  ``quantized_flash_attention_qat`` provides the STE path to float
+  masters.
 
 The mask zoo / GQA / L conventions are identical to ops/flash_attention.py
 (same step-table machinery).
@@ -405,9 +409,9 @@ def _qfwd_kernel(
             else:
                 acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
 
-    def _loop(masked):
+    def _loop(masked, guards=True):
         for t in range(n_inner):
-            if inner_skip and n_inner > 1:
+            if guards and inner_skip and n_inner > 1:
                 g = kvj * n_inner + t
 
                 @pl.when(jnp.logical_and(g >= loi, g < hii))
@@ -443,7 +447,7 @@ def _qfwd_kernel(
 
         @pl.when(jnp.logical_and(live, fully_live))
         def _compute_interior():
-            _loop(False)
+            _loop(False, guards=False)
 
         @pl.when(jnp.logical_and(live, jnp.logical_not(fully_live)))
         def _compute_edge():
