@@ -24,7 +24,10 @@ from metal_flash_attention_plus_tpu.models.mla_transformer import (
     mla_layer_kv,
     mla_layer_q,
 )
-from metal_flash_attention_plus_tpu.models.transformer import rms_norm
+from metal_flash_attention_plus_tpu.models.transformer import (
+    linear,
+    rms_norm,
+)
 from metal_flash_attention_plus_tpu.serving.kv_cache import PagedKVCache
 from metal_flash_attention_plus_tpu.serving.paged_attention import (
     paged_decode_attention,
@@ -144,14 +147,14 @@ def mla_prefill_chunk(
             precision="highest",
         )  # [H, C, dh]
         attn = o.transpose(1, 0, 2).reshape(1, c, -1).astype(x.dtype)
-        x = x + (attn @ layer["wo"]).astype(x.dtype)
+        x = x + linear(attn, layer["wo"], x.dtype)
         h2 = rms_norm(x, layer["ln2"])
-        y = jax.nn.silu((h2 @ layer["wg"]).astype(jnp.float32)) * (
-            h2 @ layer["wu"]
-        ).astype(jnp.float32)
-        x = x + (y.astype(x.dtype) @ layer["wd"]).astype(x.dtype)
+        y = jax.nn.silu(linear(h2, layer["wg"], jnp.float32)) * linear(
+            h2, layer["wu"], jnp.float32
+        )
+        x = x + linear(y.astype(x.dtype), layer["wd"], x.dtype)
     h_last = rms_norm(x[0, last_index][None, None], params["ln_f"])
-    return (h_last @ params["unembed"]).astype(jnp.float32)[0, 0], cache
+    return linear(h_last, params["unembed"], jnp.float32)[0, 0], cache
 
 
 def mla_decode_step(
@@ -190,11 +193,11 @@ def mla_decode_step(
             precision="highest",
         )
         attn = o.reshape(b, 1, -1).astype(x.dtype)
-        x = x + (attn @ layer["wo"]).astype(x.dtype)
+        x = x + linear(attn, layer["wo"], x.dtype)
         h2 = rms_norm(x, layer["ln2"])
-        y = jax.nn.silu((h2 @ layer["wg"]).astype(jnp.float32)) * (
-            h2 @ layer["wu"]
-        ).astype(jnp.float32)
-        x = x + (y.astype(x.dtype) @ layer["wd"]).astype(x.dtype)
+        y = jax.nn.silu(linear(h2, layer["wg"], jnp.float32)) * linear(
+            h2, layer["wu"], jnp.float32
+        )
+        x = x + linear(y.astype(x.dtype), layer["wd"], x.dtype)
     hf = rms_norm(x, params["ln_f"])
-    return (hf @ params["unembed"]).astype(jnp.float32)[:, 0], cache
+    return linear(hf, params["unembed"], jnp.float32)[:, 0], cache

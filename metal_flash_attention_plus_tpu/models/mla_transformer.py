@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from metal_flash_attention_plus_tpu.attention.masking import CAUSAL
 from metal_flash_attention_plus_tpu.models.transformer import (
+    linear,
     rms_norm,
     rope,
 )
@@ -90,10 +91,13 @@ def init_mla_params(cfg: MLAConfig, key: jax.Array) -> Params:
 
 
 def mla_layer_kv(layer, h_norm, positions, cfg: MLAConfig):
-    """The per-token cache state: (c_kv [B,S,dc], k_rope [B,S,dr])."""
-    c_kv = h_norm @ layer["wdkv"]
+    """The per-token cache state: (c_kv [B,S,dc], k_rope [B,S,dr]).
+
+    Projections go through the polymorphic ``linear`` so the weights may
+    arrive as W8A8/W4A8 ``QuantizedTensor``s (quantized MLA serving)."""
+    c_kv = linear(h_norm, layer["wdkv"])
     k_rope = rope(
-        (h_norm @ layer["wkr"])[:, None],  # [B,1,S,dr] — head-shared
+        linear(h_norm, layer["wkr"])[:, None],  # [B,1,S,dr] — head-shared
         positions,
         cfg.rope_theta,
     )[:, 0]
@@ -104,8 +108,8 @@ def mla_layer_q(layer, h_norm, positions, cfg: MLAConfig):
     """Per-head queries: (q_nope [B,H,S,dh], q_rope [B,H,S,dr])."""
     b, s, _ = h_norm.shape
     h, dh, dr = cfg.num_heads, cfg.head_dim, cfg.rope_dim
-    q = (h_norm @ layer["wq"]).reshape(b, s, h, dh).transpose(0, 2, 1, 3)
-    qr = (h_norm @ layer["wqr"]).reshape(b, s, h, dr).transpose(0, 2, 1, 3)
+    q = linear(h_norm, layer["wq"]).reshape(b, s, h, dh).transpose(0, 2, 1, 3)
+    qr = linear(h_norm, layer["wqr"]).reshape(b, s, h, dr).transpose(0, 2, 1, 3)
     qr = rope(qr, positions, cfg.rope_theta)
     return q, qr
 
@@ -133,14 +137,14 @@ def mla_forward(
             mask=CAUSAL, block_sizes=cfg.block_sizes,
         )
         attn = o.transpose(0, 2, 1, 3).reshape(b, s, -1).astype(x.dtype)
-        x = x + (attn @ layer["wo"]).astype(x.dtype)
+        x = x + linear(attn, layer["wo"], x.dtype)
         h2 = rms_norm(x, layer["ln2"])
-        y = jax.nn.silu((h2 @ layer["wg"]).astype(jnp.float32)) * (
-            h2 @ layer["wu"]
-        ).astype(jnp.float32)
-        x = x + (y.astype(x.dtype) @ layer["wd"]).astype(x.dtype)
+        y = jax.nn.silu(linear(h2, layer["wg"], jnp.float32)) * linear(
+            h2, layer["wu"], jnp.float32
+        )
+        x = x + linear(y.astype(x.dtype), layer["wd"], x.dtype)
     hf = rms_norm(x, params["ln_f"])
-    return (hf @ params["unembed"]).astype(jnp.float32)
+    return linear(hf, params["unembed"], jnp.float32)
 
 
 def mla_loss_fn(params, tokens, cfg: MLAConfig):

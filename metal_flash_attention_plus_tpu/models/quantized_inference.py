@@ -82,6 +82,33 @@ def quantize_weights(params: Params, cfg: QuantConfig = WEIGHT_CFG) -> Params:
     return out
 
 
+_MLA_PROJ_KEYS = ("wq", "wqr", "wdkv", "wkr", "wo", "wg", "wu", "wd")
+
+
+def quantize_mla_weights(
+    params: Params, cfg: QuantConfig = WEIGHT_CFG
+) -> Params:
+    """MLA-family analog of :func:`quantize_weights`: every 2-D projection
+    (NoPE/RoPE queries, latent down-projection, shared RoPE key, output,
+    MLP, unembed) becomes a transposed ``QuantizedTensor``; the absorbed
+    3-D up-projections ``w_uk``/``w_uv`` stay float (they ride inside the
+    latent attention kernel, not through a GEMM dispatch)."""
+
+    def qt(w):
+        return quantize(jnp.transpose(w).astype(jnp.float32), cfg)
+
+    out = dict(params)
+    out["layers"] = [
+        {
+            k: (qt(v) if k in _MLA_PROJ_KEYS else v)
+            for k, v in layer.items()
+        }
+        for layer in params["layers"]
+    ]
+    out["unembed"] = qt(params["unembed"])
+    return out
+
+
 def _linear(x: jnp.ndarray, wq: QuantizedTensor, out_dtype) -> jnp.ndarray:
     """[..., K] × int8 [N, K] → [..., N] via the dynamic W8A8 GEMM."""
     from metal_flash_attention_plus_tpu.attention.tuning import (

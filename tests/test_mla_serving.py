@@ -125,3 +125,36 @@ def test_mla_engine_quantized_latent_cache():
     )
     total = sum(len(outs[False][rid]) for rid in prompts)
     assert agree / total >= 0.8, (outs[False], outs[True])
+
+
+def test_mla_engine_with_quantized_weights():
+    """Compressed cache + W8A8 weights: the MLA executors run int8
+    projections through the polymorphic ``linear`` (quantize_mla_weights);
+    greedy tokens must exactly match the uncached quantized MLA forward."""
+    from metal_flash_attention_plus_tpu.runtime import native_available
+
+    if not native_available():
+        pytest.skip("native runtime unavailable")
+    from metal_flash_attention_plus_tpu.models.quantized_inference import (
+        quantize_mla_weights,
+    )
+    from metal_flash_attention_plus_tpu.serving.engine import (
+        GenerationRequest,
+        ServingEngine,
+        mla_executor,
+    )
+
+    params = init_mla_params(CFG, jax.random.PRNGKey(0))
+    qparams = quantize_mla_weights(params)
+
+    prompts = {1: [5, 9, 17, 3], 2: [100, 42]}
+    engine = ServingEngine(
+        qparams, CFG, num_pages=32, page_tokens=16, max_batch=2,
+        cache_dtype=jnp.float32, chunk_size=16, executor=mla_executor(),
+    )
+    for rid, p in prompts.items():
+        engine.submit(GenerationRequest(rid, p, max_new_tokens=4))
+    out = engine.run()
+    for rid, p in prompts.items():
+        expect = _uncached_greedy(qparams, p, 4)
+        assert out[rid] == expect, (rid, out[rid], expect)
