@@ -52,8 +52,12 @@ extern "C" int mfa_resolve_blocks(int32_t head_dim, int32_t bits,
   if (bits <= 8) {
     if (head_dim <= 64) {
       bq = 1024; bkv = 512; bkvm = 1024;
-    } else if (head_dim <= 128 || bits == 4) {
+    } else if (head_dim <= 128) {
       bq = 1024; bkv = 1024; bkvm = 2048;
+    } else if (bits == 4) {
+      // Dual-path masking doubles the unrolled dequant body; int4 d=256
+      // at M2048 overflows the 16 MB scoped-vmem stack.
+      bq = 1024; bkv = 1024; bkvm = 1024;
     } else {
       bq = 512; bkv = 512; bkvm = 2048;
     }

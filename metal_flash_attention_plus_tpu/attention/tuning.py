@@ -69,8 +69,13 @@ def default_block_sizes(
     if bits <= 8:
         if head_dim <= 64:
             bq, bkv, bkvm = 1024, 512, 1024
-        elif head_dim <= 128 or bits == 4:
+        elif head_dim <= 128:
             bq, bkv, bkvm = 1024, 1024, 2048
+        elif bits == 4:
+            # Dual-path masking doubles the unrolled dequant body; int4
+            # d=256 at M2048 overflows the 16 MB scoped-vmem stack.
+            # (1024,1024,M1024) = 54.6 TF/s, best compiling config.
+            bq, bkv, bkvm = 1024, 1024, 1024
         else:
             bq, bkv, bkvm = 512, 512, 2048
     elif head_dim > 128:

@@ -395,6 +395,93 @@ def resolve_mask_mode(mask: MaskSpec, has_mask: bool, sq: int, skv: int):
 LOG2E = float(np.log2(np.e))
 LN2 = float(np.log(2.0))
 
+# row_max="estimate": C − SLACK (base-2 units) is the floor of the softmax
+# subtrahend when the sampled estimate is far below the Cauchy–Schwarz
+# bound C.  64 exponent units keep exp2 comfortably inside fp32 range in
+# both directions (overflow needs a score 64 above the bound — impossible;
+# underflow needs the true max 60+ units below C, where probabilities are
+# subnormal-adjacent but ratios stay exact).
+ROW_MAX_SLACK = 64.0
+
+
+def estimate_row_max_scaled(
+    q_scaled: jnp.ndarray,
+    k: jnp.ndarray,
+    mask: MaskSpec,
+    *,
+    row_ranges=None,
+    kv_head_of,
+    seq_q: int,
+    seq_kv: int,
+    num_samples: int = 128,
+) -> jnp.ndarray:
+    """Per-row softmax subtrahend M for the static-max kernels (base-2).
+
+    The running online max exists to keep exp2 in range — it is NOT needed
+    for correctness: softmax is invariant to ANY per-row constant shift, and
+    fp32/bf16 carry relative precision at every exponent.  The backward
+    kernels already exploit this (p = exp(s − L) with L a per-row constant,
+    ``flash_attention_bwd.py``) and run FASTER per FLOP than forward; this
+    gives the forward the same freedom — no per-tile max reduction, no
+    alpha rescale, no loop-carried serialization between the two MXU dots.
+    (docs/perf_notes.md "static-max".)
+
+    M = max(m_est, C − ROW_MAX_SLACK), where m_est is the row max over
+    ``num_samples`` strided sample columns (mask-aware — one thin
+    [Sq, nc, D] matmul, ~nc/Skv of the kernel's FLOPs) and C the row-wise
+    Cauchy–Schwarz bound |q_r|·max_c|k_c| — a TRUE upper bound, so exp2
+    never overflows; the sampled term keeps probabilities near unity for
+    typical score fields (the max of a few-thousand-column row exceeds a
+    128-column sample by ~one score-std).
+
+    Args are in kernel units: ``q_scaled`` already folded with
+    scale·log2(e); ``k`` float (dequantized for the quantized path).
+    Returns fp32 [B, Hq, Sq].
+    """
+    b, hq, sq, d = q_scaled.shape
+    _, hkv, skv, _ = k.shape
+    qf = q_scaled.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    head_map = np.asarray([kv_head_of(h) for h in range(hq)])
+    # Cauchy–Schwarz upper bound per row.
+    knorm_max = jnp.max(
+        jnp.sqrt(jnp.sum(kf * kf, axis=-1)), axis=-1
+    )  # [B, Hkv]
+    qnorm = jnp.sqrt(jnp.sum(qf * qf, axis=-1))  # [B, Hq, Sq]
+    cbound = qnorm * knorm_max[:, head_map][:, :, None]
+    # Sampled row max (mask-aware).  Column 0 is always included: for
+    # causal/padding masks it is live for every live row.
+    cols = np.unique(
+        np.linspace(0, max(skv - 1, 0), num_samples).astype(np.int64)
+    )
+    ks = kf[:, head_map][:, :, cols, :]  # [B, Hq, nc, D]
+    s_smp = jnp.einsum("bhrd,bhcd->bhrc", qf, ks)
+    colv = jnp.asarray(cols, jnp.int32)
+    rows = jnp.arange(sq, dtype=jnp.int32)
+    if row_ranges is not None:
+        rr = row_ranges
+        if isinstance(rr, np.ndarray):
+            rr = jnp.asarray(rr)
+        rs = rr[:sq, 0][:, None]
+        re = rr[:sq, 1][:, None]
+        keep = jnp.logical_and(colv[None, :] >= rs, colv[None, :] < re)
+    elif mask.kind == MaskKind.CAUSAL:
+        off = seq_kv - seq_q
+        keep = colv[None, :] <= rows[:, None] + off
+    elif mask.kind == MaskKind.SLIDING_WINDOW:
+        half = max(1, mask.window_size) // 2
+        lo = rows[:, None] - half
+        hi = rows[:, None] + half
+        if mask.causal:
+            hi = jnp.minimum(hi, rows[:, None] + (seq_kv - seq_q))
+        keep = jnp.logical_and(colv[None, :] >= lo, colv[None, :] < hi)
+    else:
+        keep = jnp.ones((sq, len(cols)), bool)
+    m_est = jnp.max(
+        jnp.where(keep[None, None], s_smp, -jnp.inf), axis=-1
+    )
+    return jnp.maximum(m_est, cbound - ROW_MAX_SLACK)
+
 
 def _fwd_kernel(
     # scalar prefetch: (lo, hi, loi, hii) per q-block (major + inner
@@ -416,6 +503,7 @@ def _fwd_kernel(
     ones: bool = False,
     packed: bool = False,
     skip_row_guard: bool = False,  # every row statically live: skip store guard
+    static_max: bool = False,  # per-row M input replaces the running max
 ):
     # TWO-LEVEL schedule (round-2 rework, docs/perf_notes.md): each grid
     # step owns a MAJOR KV slab and runs an unrolled inner loop over
@@ -476,6 +564,9 @@ def _fwd_kernel(
     if mask_mode == "ranges":
         rs_ref, re_ref = refs[0], refs[1]
         refs = refs[2:]
+    if static_max:
+        mx_ref = refs[0]  # [1, 1, bq, 1] per-row subtrahend (base-2)
+        refs = refs[1:]
     q_ref, k_ref, v_ref = refs[0], refs[1], refs[2]
     refs = refs[3:]
     if has_bias:
@@ -493,7 +584,14 @@ def _fwd_kernel(
 
     @pl.when(init_cond)
     def _init():
-        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        if static_max:
+            # The per-row subtrahend is a CONSTANT for the whole q-block:
+            # one lane-broadcast per block, zero per-tile stat work.
+            m_scr[...] = jnp.broadcast_to(
+                mx_ref[0, 0], (block_q, LANES)
+            )
+        else:
+            m_scr[...] = jnp.full_like(m_scr, NEG_INF)
         if not ones:
             l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
@@ -536,6 +634,26 @@ def _fwd_kernel(
             else:
                 keep = jnp.logical_and(col >= rs_ref[...], col < re_ref[...])
             s = jnp.where(keep, s, mask_value)
+
+        if static_max:
+            # Static-max softmax: M is a per-row constant (host-estimated
+            # true-bound blend, see estimate_row_max_scaled) — no per-tile
+            # max reduction, no alpha rescale, and no loop-carried VPU
+            # dependency between subtiles (acc/l are pure += chains the
+            # compiler can pipeline against the MXU dots).  This is the
+            # forward analog of the backward's p = exp(s − L).
+            p = jnp.exp2(
+                s - pltpu.repeat(m_scr[...], block_kv // LANES, axis=1)
+            )
+            v = v_ref[0, 0, pl.ds(t * block_kv, block_kv), :]
+            pv = jax.lax.dot(
+                p.astype(v.dtype), v,
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+            if not ones:
+                l_scr[...] = l_scr[...] + jnp.sum(p, axis=1, keepdims=True)
+            acc_scr[...] = acc_scr[...] + pv
+            return
 
         m_prev = m_scr[...]  # [bq, 128] lane-replicated
         m_curr = jnp.max(s, axis=1, keepdims=True)  # [bq, 1]
@@ -698,6 +816,7 @@ def flash_attention_forward(
     interleaved_kv: bool = False,
     mask_value: float = DEFAULT_MASK_VALUE,
     out_dtype: jnp.dtype = jnp.float32,
+    row_max=None,
     interpret: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Flash attention forward.
@@ -708,6 +827,15 @@ def flash_attention_forward(
       mask/mask_ranges/bias: see ``reference_attention`` — identical semantics.
       block_sizes: seq tiling (clamped to the padded problem size).
       out_dtype: O memory dtype (fp32 by default, reference policy).
+      row_max: static-max softmax (see ``estimate_row_max_scaled``):
+        ``"estimate"`` computes the per-row subtrahend on the host (one thin
+        sampled matmul); or a caller-provided fp32 [B, Hq, Sq] of per-row
+        score bounds in NATURAL logit units (scale·q·k).  Softmax is shift-
+        invariant and fp32/bf16 carry relative precision at any exponent,
+        so results match the running-max kernel to roundoff as long as the
+        true row max stays within ~±60 base-2 units of the subtrahend
+        (guaranteed by "estimate"'s Cauchy–Schwarz floor).  Incompatible
+        with ``bias``.
 
     Returns:
       (o [B, Hq, Sq, D] out_dtype, l [B, Hq, Sq] fp32 natural logsumexp).
@@ -832,6 +960,30 @@ def flash_attention_forward(
     def kv_head(h):
         return (h % hkv) if interleaved_kv else (h // q_per_kv)
 
+    static_max = row_max is not None
+    if static_max:
+        if bias is not None:
+            raise ValueError("row_max is incompatible with bias")
+        if isinstance(row_max, str):
+            if row_max != "estimate":
+                raise ValueError(f"row_max: {row_max!r}")
+            mx = estimate_row_max_scaled(
+                q[:, :, :sq, :],
+                k[:, :, :skv, :],
+                mask,
+                row_ranges=(
+                    row_ranges if mask_mode == "ranges" else None
+                ),
+                kv_head_of=kv_head,
+                seq_q=sq,
+                seq_kv=skv,
+            )
+        else:
+            mx = row_max.astype(jnp.float32) * LOG2E
+        if sq_p != sq:
+            mx = jnp.pad(mx, ((0, 0), (0, 0), (0, sq_p - sq)))
+        mx4 = mx[..., None]  # [B, Hq, Sq_p, 1]
+
     precision = (
         # FP32 pipelines need true-fp32 MXU passes to hit the 2e-5 gate;
         # bf16 inputs use the native bf16 MXU path.
@@ -873,6 +1025,14 @@ def flash_attention_forward(
                 jnp.asarray(row_ranges[:, 0:1]),
                 jnp.asarray(row_ranges[:, 1:2]),
             ]
+        if static_max:
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, 1, bq, 1),
+                    lambda bi, h, i, j, *r: (bi, h, i0 + i, 0),
+                )
+            )
+            inputs.append(mx4)
         in_specs += [
             pl.BlockSpec(
                 (1, 1, bq, d), lambda bi, h, i, j, *r: (bi, h, i0 + i, 0)
@@ -927,6 +1087,7 @@ def flash_attention_forward(
             inner_skip=inner_skip,
             ones=ones,
             skip_row_guard=all_live,
+            static_max=static_max,
         )
 
         out_shape = [
@@ -1032,6 +1193,9 @@ def flash_attention_forward(
         kv_map = lambda bi, h, r, j, q0, q1, n0, t, lo, hi, *rest: (
             bi, kv_head(h), kv_block_p(r, j, q0, q1, n0, t, lo, hi), 0
         )
+        if static_max:
+            in_specs.append(pl.BlockSpec((1, 1, bq, 1), q_map))
+            inputs.append(mx4)
         in_specs += [
             pl.BlockSpec((1, 1, bq, d), q_map),
             pl.BlockSpec((1, 1, bkv_major, d), kv_map),
@@ -1061,7 +1225,7 @@ def flash_attention_forward(
             has_rowstats=mask_mode == "ranges",
             has_bias=bias is not None, mask_value=mask_value,
             precision=precision, inner_skip=inner_skip, ones=ones,
-            packed=True, skip_row_guard=all_live,
+            packed=True, skip_row_guard=all_live, static_max=static_max,
         )
         out_shape = [
             jax.ShapeDtypeStruct((b, hq, sq_p, d), out_dtype),

@@ -57,7 +57,7 @@ def test_mqa_interleaved():
 
 
 def test_rectangular_cross():
-    # Decode-style: short Q against长 KV, ends aligned (cross-attention
+    # Decode-style: short Q against long KV, ends aligned (cross-attention
     # shape zoo from RectangularAttentionTest).
     run_case((1, 2, 2, 128, 384, 64), masking.CAUSAL, tol=1e-5)
 
@@ -153,3 +153,38 @@ def test_wavefront_parts_cover_and_balance():
 def test_block_size_validation():
     with pytest.raises(ValueError):
         BlockSizes(block_q=100)
+
+
+@pytest.mark.parametrize(
+    "mask",
+    [masking.FULL, masking.CAUSAL, masking.sliding_window(128)],
+    ids=["full", "causal", "window"],
+)
+def test_static_max_parity(mask):
+    # row_max="estimate" replaces the running max with a host-estimated
+    # per-row subtrahend; softmax shift-invariance makes the result match
+    # the running-max kernel to roundoff (measured neutral-to-negative on
+    # v5e — opt-in only, docs/perf_notes.md "static-max").
+    b, hq, hkv, sq, skv, d = 2, 4, 2, 256, 320, 64
+    q, k, v = random_qkv(jax.random.key(3), b, hq, hkv, sq, skv, d)
+    o0, l0 = flash_attention_forward(q, k, v, mask=mask)
+    o1, l1 = flash_attention_forward(q, k, v, mask=mask, row_max="estimate")
+    assert_close(o1, o0, 1e-5, "O")
+    assert_close(l1, l0, 1e-3, "L")
+
+
+def test_static_max_caller_array():
+    # Caller-provided per-row bound in natural units; deliberately loose
+    # (true max + 5) to exercise the slack path.
+    b, hq, hkv, sq, skv, d = 1, 2, 2, 256, 256, 64
+    q, k, v = random_qkv(jax.random.key(4), b, hq, hkv, sq, skv, d)
+    s = jnp.einsum(
+        "bhrd,bhcd->bhrc", q.astype(jnp.float32), k.astype(jnp.float32)
+    ) / jnp.sqrt(jnp.float32(d))
+    rm = jnp.max(s, axis=-1) + 5.0
+    o0, l0 = flash_attention_forward(q, k, v, mask=masking.CAUSAL)
+    o1, l1 = flash_attention_forward(
+        q, k, v, mask=masking.CAUSAL, row_max=rm
+    )
+    assert_close(o1, o0, 1e-5, "O")
+    assert_close(l1, l0, 1e-3, "L")
