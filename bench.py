@@ -61,16 +61,17 @@ def kv_config(bits: int, operand: str = "k") -> QuantConfig:
             bits=4, granularity=QuantGranularity.BLOCK_2D,
             strategy=QuantStrategy.CENTERED, block_rows=1, block_size=32,
         )
-    # int8 runs the FULL-INTEGER pipeline (int8 Q×K scores AND int8 P×V):
-    # per-token symmetric K, per-channel symmetric V (scales fold out of
-    # the PV matmul at store).
+    # int8 runs the FOLDED dequant-free pipeline (the fastest int8 config,
+    # docs/perf_notes.md): symmetric TENSOR K folds into the Q pre-scale,
+    # per-channel symmetric V folds at store — both MXU dots take the int8
+    # payloads directly (mixed bf16×int8), zero per-tile dequant work.
     if operand == "v":
         return QuantConfig(
             bits=8, granularity=QuantGranularity.CHANNEL,
             strategy=QuantStrategy.SYMMETRIC,
         )
     return QuantConfig(
-        bits=8, granularity=QuantGranularity.ROW,
+        bits=8, granularity=QuantGranularity.TENSOR,
         strategy=QuantStrategy.SYMMETRIC,
     )
 
@@ -84,11 +85,16 @@ def run_config(d: int, h: int, bits: int, chip) -> dict:
     kq = quantize(k, kv_config(bits, "k"))
     vq = quantize(v, kv_config(bits, "v"))
 
-    blocks = AttentionTuner.shared().recommend("fwd_q", d, SEQ, bits=bits)
+    # The folded int8 kernel has the float kernel's VPU profile → the
+    # float-causal block table; int4 keeps the quantized table.
+    blocks = (
+        AttentionTuner.shared().recommend("fwd", d, SEQ, causal=True)
+        if bits == 8
+        else AttentionTuner.shared().recommend("fwd_q", d, SEQ, bits=bits)
+    )
     f = jax.jit(
         lambda q: quantized_flash_attention_forward(
-            q, kq, vq, mask=CAUSAL, block_sizes=blocks,
-            quantize_q=(bits == 8), interpret=False,
+            q, kq, vq, mask=CAUSAL, block_sizes=blocks, interpret=False,
         )[0]
     )
     fp = jax.jit(

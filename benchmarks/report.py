@@ -134,11 +134,30 @@ def run(args):
         )
         t_qi = measure(f_qi, q, iters=iters, warmup=3)
 
+        # FOLDED int8 (the fastest int8 config, docs/perf_notes.md):
+        # symmetric TENSOR K folds into the Q pre-scale, CHANNEL V folds
+        # at store — the payloads feed MIXED bf16×int8 MXU dots with zero
+        # per-tile dequant work.  Same VPU profile as the float kernel →
+        # the float-causal block table.
+        cfg_kt8 = QuantConfig(
+            bits=8, granularity=QuantGranularity.TENSOR,
+            strategy=QuantStrategy.SYMMETRIC,
+        )
+        kqf = quantize(k.astype(jnp.float32), cfg_kt8)
+        f_qf = jax.jit(
+            lambda q: quantized_flash_attention_forward(
+                q, kqf, vqs, mask=CAUSAL, block_sizes=blocks,
+                interpret=False,
+            )[0]
+        )
+        t_qf = measure(f_qf, q, iters=iters, warmup=3)
+
         fwd_tf = tf(t_fwd, "forward")
         full_tf = tf(t_full, "forward", causal=False)
         both_tf = tf(t_both, "fwd_bwd")
         q8_tf = tf(t_q8, "forward")
         qi_tf = tf(t_qi, "forward")
+        qf_tf = tf(t_qf, "forward")
         rows.append(
             dict(
                 d=d,
@@ -153,6 +172,9 @@ def run(args):
                 int8_full_tflops=round(qi_tf, 1),
                 int8_full_util=round(qi_tf / peak, 3),
                 int8_full_speedup_vs_bf16=round(t_fwd / t_qi, 2),
+                int8_folded_tflops=round(qf_tf, 1),
+                int8_folded_util=round(qf_tf / peak, 3),
+                int8_folded_speedup_vs_bf16=round(t_fwd / t_qf, 2),
             )
         )
         print(
@@ -161,7 +183,9 @@ def run(args):
             f"fwd+bwd {both_tf:.1f} ({both_tf/peak:.0%}), "
             f"int8-KV {q8_tf:.1f} ({q8_tf/peak:.0%}), "
             f"int8-full {qi_tf:.1f} ({qi_tf/peak:.0%}, "
-            f"{t_fwd/t_qi:.2f}x bf16)",
+            f"{t_fwd/t_qi:.2f}x bf16), "
+            f"int8-folded {qf_tf:.1f} ({qf_tf/peak:.0%}, "
+            f"{t_fwd/t_qf:.2f}x bf16)",
             flush=True,
         )
 

@@ -109,6 +109,7 @@ def _qfwd_kernel(
     packed: bool = False,
     int8_pv: bool = False,  # full-integer pipeline: int8 P × int8 V MXU dot
     ks_folded: bool = False,  # TENSOR K scale folded into the Q scales
+    kv_folded: bool = False,  # dequant-free: bf16×int8 MIXED MXU dots
     skip_row_guard: bool = False,  # every row statically live: skip store guard
 ):
     # Two-level schedule + ones-fused rowsum + base-2 softmax — same
@@ -192,6 +193,14 @@ def _qfwd_kernel(
             (q_ref, qs_ref, kq_ref, ksr_ref,
              vq_ref, vs_ref, vz_ref) = refs[:7]
             refs = refs[7:]
+    elif kv_folded:
+        # Dequant-free fast path: the TENSOR K scale is folded into the Q
+        # pre-scale host-side and the TENSOR/CHANNEL V scales fold at
+        # store, so the int8 payloads feed the MXU directly via MIXED
+        # bf16×int8 dots — zero per-tile dequant VPU work, half the KV
+        # DMA of the bf16 kernel.
+        (q_ref, kq_ref, vq_ref, vsc_ref) = refs[:4]
+        refs = refs[4:]
     else:
         (q_ref, kq_ref, ks_ref, kz_ref, vq_ref, vs_ref, vz_ref) = refs[:7]
         refs = refs[7:]
@@ -240,6 +249,13 @@ def _qfwd_kernel(
             s = s_int.astype(jnp.float32) * qs_ref[0, 0]
             if not ks_folded:
                 s = s * ksr_ref[0, 0, :, sl]
+        elif kv_folded:
+            # MIXED bf16×int8 score dot — Mosaic feeds int8 K straight to
+            # the MXU (exact; no convert pass, no scale multiply).
+            s = jax.lax.dot_general(
+                q_ref[0, 0], kq_ref[0, 0, sl, :], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         else:
             q = q_ref[0, 0]  # [bq, D] pre-scaled by scale·log2e
             if kv_gran == "block2d":
@@ -342,6 +358,35 @@ def _qfwd_kernel(
                 l_scr[...] = (
                     alpha * l_scr[...]
                     + jnp.sum(p127, axis=1, keepdims=True)
+                )
+                if head_dim == LANES:
+                    acc_scr[...] = acc_scr[...] * alpha + pv
+                else:
+                    acc_scr[...] = (
+                        acc_scr[...]
+                        * pltpu.repeat(alpha, head_dim // LANES, axis=1)
+                        + pv
+                    )
+            return
+
+        if kv_folded:
+            # MIXED bf16×int8 PV dot; the int8 payload carries host-padded
+            # integer ones lanes when `ones` (rowsum in the spare lanes),
+            # and the V scales multiply the accumulator once at store.
+            pv = jax.lax.dot_general(
+                p.astype(compute_dtype), vq_ref[0, 0, sl, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if ones:
+                a_wide = (
+                    alpha if dv == LANES
+                    else pltpu.repeat(alpha, dv // LANES, axis=1)
+                )
+                acc_scr[...] = acc_scr[...] * a_wide + pv
+            else:
+                l_scr[...] = (
+                    alpha * l_scr[...] + jnp.sum(p, axis=1, keepdims=True)
                 )
                 if head_dim == LANES:
                     acc_scr[...] = acc_scr[...] * alpha + pv
@@ -468,10 +513,10 @@ def _qfwd_kernel(
             else:
                 denom = safe1
             out = acc[:, :head_dim] / denom
-            if int8_pv:
-                # Fold the per-channel V scales out of the integer PV dot
-                # (one [bq, d] pass per q-row, not per tile); the 127 of
-                # the P units cancelled in the division above.
+            if int8_pv or kv_folded:
+                # Fold the per-channel V scales out of the PV dot (one
+                # [bq, d] pass per q-row, not per tile); for int8_pv the
+                # 127 of the P units cancelled in the division above.
                 out = out * vsc_ref[0, 0, :, :head_dim]
             m1 = m_scr[...][:, :1]
             lse1 = jnp.where(
@@ -491,7 +536,7 @@ def _qfwd_kernel(
                 )
             else:
                 out = acc_scr[...] / safe[:, :1]
-            if int8_pv:
+            if int8_pv or kv_folded:
                 out = out * vsc_ref[0, 0, :, :head_dim]
             m = m_scr[...]
             lse = jnp.where(
@@ -580,9 +625,13 @@ def quantized_flash_attention_forward(
     _, hkv, skv, dk2 = k.shape
     assert d == dk2 and tuple(v.shape) == tuple(k.shape)
     assert hq % hkv == 0
-    # Per-operand bit widths: K int8 + V int4 is the production sweet spot
-    # (K feeds the exp-sensitive score path; V error averages under the
-    # softmax weights) — mirrors the facade's key_bits/value_bits split.
+    # Per-operand bit widths (facade's key_bits/value_bits split).  At a
+    # mixed 4/8-bit budget prefer K int4 + V int8: V quant error passes
+    # through the softmax-weighted average UNDAMPED in norm-relative terms
+    # (||O|| shrinks under averaging exactly as fast as the error does),
+    # while K error is softened by the softmax — measured O rel err at
+    # d=256 causal gaussian: K4V8 0.087 vs K8V4 0.098, K4-only 0.086 vs
+    # V4-only 0.098 (docs/perf_notes.md "int4 error anatomy").
     bits_k, bits_v = k.config.bits, v.config.bits
     if scale is None:
         scale = float(d) ** -0.5
@@ -615,10 +664,31 @@ def quantized_flash_attention_forward(
             and v.config.granularity
             in (QuantGranularity.CHANNEL, QuantGranularity.TENSOR)
         )
-    elif v.config.granularity == QuantGranularity.CHANNEL:
+    # Dequant-free fast path: with zero-point-free TENSOR K and
+    # TENSOR/CHANNEL V at int8, the K scale folds into the Q pre-scale and
+    # the V scales fold at store — the payloads feed the MXU directly via
+    # MIXED bf16×int8 dots (measured exact on v5e), zero per-tile dequant
+    # VPU work, half the KV DMA of bf16.
+    kv_folded = (
+        not quantize_q
+        and bits_k == 8
+        and bits_v == 8
+        and q.dtype != jnp.float32
+        and k.config.strategy == QuantStrategy.SYMMETRIC
+        and k.config.granularity == QuantGranularity.TENSOR
+        and v.config.strategy == QuantStrategy.SYMMETRIC
+        and v.config.granularity
+        in (QuantGranularity.TENSOR, QuantGranularity.CHANNEL)
+    )
+    if (
+        not quantize_q
+        and not kv_folded
+        and v.config.granularity == QuantGranularity.CHANNEL
+    ):
         raise ValueError(
-            "CHANNEL-granularity V requires quantize_q=True (the "
-            "full-integer pipeline folds its scales at store)"
+            "CHANNEL-granularity V requires the full-integer pipeline "
+            "(quantize_q=True) or the folded int8 fast path (symmetric "
+            "TENSOR K, non-fp32 Q)"
         )
 
     if hadamard_block:
@@ -667,7 +737,11 @@ def quantized_flash_attention_forward(
             qs_arr = qs_arr * k.scale.reshape(()).astype(jnp.float32)
         q = qq
     else:
-        q = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
+        pre = scale * _LOG2E
+        if kv_folded:
+            # TENSOR K scale folds into the Q pre-scale (traced scalar).
+            pre = pre * k.scale.reshape(()).astype(jnp.float32)
+        q = (q.astype(jnp.float32) * pre).astype(q.dtype)
     if sq_p != sq:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
         if quantize_q:
@@ -683,11 +757,11 @@ def quantized_flash_attention_forward(
         else "token"
     )
     vsc = None
-    if int8_pv:
+    if int8_pv or kv_folded:
         # K scales: ROW → transposed row-vector kernel input; TENSOR →
         # already folded into the Q scales (no input at all).
         ks = kz = None
-        if not ks_folded:
+        if int8_pv and not ks_folded:
             ks, kz = _per_token_params(k)
         # V scales fold at store: one [B, Hkv, 1, dv] row vector (TENSOR
         # broadcasts; the ones lanes get a placeholder 1.0 — the store
@@ -730,7 +804,7 @@ def quantized_flash_attention_forward(
         pad4 = ((0, 0), (0, 0), (0, skv_p - skv), (0, 0))
         kq = jnp.pad(kq, pad4)
         vq = jnp.pad(vq, pad4)
-        if int8_pv:
+        if int8_pv or kv_folded:
             if ks is not None:
                 ks = jnp.pad(ks, pad4, constant_values=1.0)
         else:
@@ -743,7 +817,7 @@ def quantized_flash_attention_forward(
             kz = jnp.pad(kz, pad_s)
             vs = jnp.pad(vs, pad_s, constant_values=1.0)
             vz = jnp.pad(vz, pad_s)
-    if int8_pv and ones and bits_v == 8:
+    if (int8_pv or kv_folded) and ones and bits_v == 8:
         # Host-pad the int8 V payload with integer ONES lanes — the PV dot
         # then emits the P-unit rowsum in the spare MXU lanes (ones-fused
         # rowsum; packed-int4 payloads concat their ones in-kernel after
@@ -931,6 +1005,17 @@ def quantized_flash_attention_forward(
         else:
             in_specs += [kv_spec(pd_v), kv_spec(1), kv_spec(1)]
             inputs += [vq, vs, vz]
+    elif kv_folded:
+        in_specs += [
+            q_spec,
+            kv_spec(pd_k),
+            kv_spec(dv),  # int8 V payload (ones lanes host-padded)
+            pl.BlockSpec(
+                (1, 1, 1, dv),
+                lambda *a: (a[0], kv_head(a[1]), 0, 0),
+            ),
+        ]
+        inputs += [q, kq, vq, vsc]
     elif kv_gran == "block2d":
         def sc_spec():
             return pl.BlockSpec(
@@ -1002,6 +1087,7 @@ def quantized_flash_attention_forward(
         packed=packed,
         int8_pv=int8_pv,
         ks_folded=ks_folded,
+        kv_folded=kv_folded,
         skip_row_guard=all_live,
     )
 

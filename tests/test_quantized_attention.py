@@ -453,3 +453,54 @@ def test_channel_v_requires_quantize_q():
     kq, vq = quantize(k, ROW8), quantize(v, CH8)
     with pytest.raises(ValueError, match="full-integer"):
         quantized_flash_attention_forward(q, kq, vq, mask=CAUSAL)
+
+
+TENS8 = QuantConfig(
+    bits=8, granularity=QuantGranularity.TENSOR,
+    strategy=QuantStrategy.SYMMETRIC,
+)
+
+
+@pytest.mark.parametrize("d", [64, 128], ids=["d64-ones", "d128"])
+@pytest.mark.parametrize("mask", [FULL, CAUSAL], ids=["full", "causal"])
+@pytest.mark.parametrize("vgran", ["tensor", "channel"])
+def test_folded_int8_matches_dequantized_golden(d, mask, vgran):
+    # Dequant-free fast path: symmetric TENSOR K (scale folded into the Q
+    # pre-scale) + symmetric TENSOR/CHANNEL V (folded at store), bf16 Q →
+    # MIXED bf16×int8 MXU dots.  Must match the dense reference on
+    # dequantized K/V at bf16 tolerance (the kernel adds no quant error
+    # beyond the payload itself).  Measured 1.04-1.15× the bf16 kernel on
+    # v5e (docs/perf_notes.md "folded int8").
+    q, k, v = _data(d=d, seed=11)
+    q = q.astype(jnp.bfloat16)
+    vcfg = TENS8 if vgran == "tensor" else CH8
+    kq, vq = quantize(k, TENS8), quantize(v, vcfg)
+    o, l = quantized_flash_attention_forward(q, kq, vq, mask=mask)
+    o_ref, l_ref = reference_attention(
+        q,
+        kq.dequantize().astype(jnp.bfloat16),
+        vq.dequantize().astype(jnp.bfloat16),
+        mask=mask,
+    )
+    np.testing.assert_allclose(
+        np.asarray(o), np.asarray(o_ref), atol=2.5e-2
+    )
+    np.testing.assert_allclose(np.asarray(l), np.asarray(l_ref), atol=1e-2)
+
+
+def test_folded_int8_gqa_ragged():
+    # GQA + rectangular + window through the folded path.
+    q, k, v = _data(b=2, hq=4, hkv=2, sq=192, skv=320, d=64, seed=12)
+    q = q.astype(jnp.bfloat16)
+    kq, vq = quantize(k, TENS8), quantize(v, TENS8)
+    mask = sliding_window(128, causal=True)
+    o, l = quantized_flash_attention_forward(q, kq, vq, mask=mask)
+    o_ref, l_ref = reference_attention(
+        q,
+        kq.dequantize().astype(jnp.bfloat16),
+        vq.dequantize().astype(jnp.bfloat16),
+        mask=mask,
+    )
+    np.testing.assert_allclose(
+        np.asarray(o), np.asarray(o_ref), atol=2.5e-2
+    )
