@@ -130,7 +130,9 @@ extern "C" int mfa_resolve_gemm_blocks(int32_t m, int32_t bits, int32_t mode,
   if (m <= 256) {
     bm = 128; bn = 1024; bk = 2048;
   } else {
-    bm = 512; bn = 512; bk = 1024;
+    // (512,1024,1024): 122.8 TF/s folded weight-only at M=4096 N=K=8192
+    // (parity with XLA bf16 at half the weight bytes).
+    bm = 512; bn = 1024; bk = 1024;
   }
 
   // VMEM model per grid step, double-buffered inputs: int8 A tile +

@@ -36,6 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from metal_flash_attention_plus_tpu.quant.params import (
     QuantGranularity,
+    QuantStrategy,
 )
 from metal_flash_attention_plus_tpu.quant.tensor import (
     QuantizedTensor,
@@ -220,6 +221,37 @@ def _wo_kernel(
         out_ref[...] = acc_ref[...].astype(out_ref.dtype)
 
 
+def _wo_folded_kernel(
+    a_ref, bq_ref, scale_ref, out_ref, acc_ref,
+    *, bits, bk, tensor_scale,
+):
+    # Dequant-free weight-only GEMM: the int8 payload (int4 unpacked to
+    # int8 in-kernel) feeds a MIXED bf16×int8 MXU dot directly; the
+    # symmetric per-channel/tensor scales multiply the accumulator ONCE at
+    # store (out[m, n] = Σ_k a·w_int · s_n).  Zero per-tile dequant VPU
+    # work — measured faster than XLA's own bf16 matmul at prefill shapes
+    # (docs/perf_notes.md "folded int8").
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    bq = bq_ref[...]
+    if bits == 4:
+        bq = unpack_int4_tile_int8(bq, bk)
+    acc_ref[...] += jax.lax.dot_general(
+        a_ref[...], bq, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(k == nk - 1)
+    def _store():
+        s = scale_ref[0, 0] if tensor_scale else scale_ref[...]  # [1, bn]
+        out_ref[...] = (acc_ref[...] * s).astype(out_ref.dtype)
+
+
 def quantized_matmul(
     a: jnp.ndarray,
     b_t: QuantizedTensor,
@@ -232,8 +264,11 @@ def quantized_matmul(
 ) -> jnp.ndarray:
     """A [M, K] (bf16/fp32) × dequant(Bᵀ [N, K]) → [M, N].
 
-    The weight payload moves HBM→VMEM at its integer width; dequantization
-    happens on tiles in VMEM (the ``load_quantized_*`` analog).
+    The weight payload moves HBM→VMEM at its integer width.  With
+    symmetric TENSOR/ROW scales and a non-fp32 A the FOLDED kernel runs
+    (mixed bf16×int8 dots, scales applied once at store); otherwise
+    dequantization happens on tiles in VMEM (the ``load_quantized_*``
+    analog).
     """
     if interpret is None:
         from metal_flash_attention_plus_tpu.ops.flash_attention import (
@@ -276,6 +311,51 @@ def quantized_matmul(
 
     g = cfg.granularity
     scale, zp = b_t.scale, b_t.zero_point
+    folded = (
+        cfg.strategy == QuantStrategy.SYMMETRIC
+        and g in (QuantGranularity.TENSOR, QuantGranularity.ROW)
+        and a.dtype != jnp.float32
+    )
+    if folded:
+        tensor_scale = g == QuantGranularity.TENSOR
+        if tensor_scale:
+            scale_t = scale.reshape(1, 1).astype(jnp.float32)
+            scale_spec = pl.BlockSpec((1, 1), lambda i, j, k: (0, 0))
+        else:
+            scale_t = jnp.pad(
+                scale.reshape(1, -1).astype(jnp.float32),
+                ((0, 0), (0, n_p - n)),
+            )
+            scale_spec = pl.BlockSpec((1, bn), lambda i, j, k: (0, j))
+        payload_bk = bk // 2 if cfg.bits == 4 else bk
+        kernel = functools.partial(
+            _wo_folded_kernel,
+            bits=cfg.bits, bk=bk, tensor_scale=tensor_scale,
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid=(m_p // bm, n_p // bn, k_p // bk),
+            in_specs=[
+                pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
+                pl.BlockSpec((bn, payload_bk), lambda i, j, k: (j, k)),
+                scale_spec,
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
+            out_shape=jax.ShapeDtypeStruct((m_p, n_p), out_dtype),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * m_p * n_p * k_p,
+                bytes_accessed=int(
+                    a.size * a.dtype.itemsize + payload.size + m_p * n_p * 4
+                ),
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(a.astype(jnp.bfloat16), payload, scale_t)
+        return out[:m, :n]
     if g == QuantGranularity.TENSOR:
         scale_spec = pl.BlockSpec((1, 1), lambda i, j, k: (0, 0))
         zp_spec = pl.BlockSpec((1, 1), lambda i, j, k: (0, 0))

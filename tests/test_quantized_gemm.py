@@ -194,3 +194,25 @@ def test_dynamic_w4a8_matmul():
     # Inherent int4 error: absmax/7 rowwise on N(0,1) weights predicts
     # ~13.6% rel (step 0.47σ); the reference's int4-class gate is 0.25.
     assert rel < 0.25, rel
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+@pytest.mark.parametrize("gran", [QuantGranularity.ROW, QuantGranularity.TENSOR])
+def test_folded_weight_only_matches_dequant(bits, gran):
+    # FOLDED kernel (bf16 A + symmetric TENSOR/ROW scales): mixed
+    # bf16×int8 MXU dots, scales applied once at store.  Measured 122.8
+    # TF/s at M=4096 N=K=8192 — parity with XLA bf16 at half the weight
+    # bytes (docs/perf_notes.md "folded int8").  Ragged N exercises the
+    # store-scale padding.
+    a, bt = _data(m=256, k=512, n=200, seed=7)
+    a16 = a.astype(jnp.bfloat16)
+    cfg = QuantConfig(
+        bits=bits, granularity=gran, strategy=QuantStrategy.SYMMETRIC
+    )
+    btq = quantize(bt, cfg)
+    out = quantized_matmul(a16, btq, out_dtype=jnp.float32)
+    ref = jnp.matmul(
+        a16.astype(jnp.float32), btq.dequantize().T, precision="highest"
+    )
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.02, rel  # bf16 MXU noise only; int payload is exact
