@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -331,6 +332,65 @@ def build_packed_schedule(lo: np.ndarray, hi: np.ndarray):
     return q0, q1, n0, t, nrows, int(t.max())
 
 
+def build_flat_schedule(
+    lo: np.ndarray, hi: np.ndarray, b: int, hq: int
+):
+    """Flatten (b, h, q-block, live kv-major) into ONE grid dimension.
+
+    Per-step int32 tables drive the kernel and the BlockSpec index maps:
+    (bof, hof, qof, kvof) are the batch / head / q-block / kv-major of
+    step j; ``flags`` packs init (bit 0, first step of a q-block segment),
+    store (bit 1, last step) and live (bit 2).  Empty q-blocks get one
+    non-live step (store writes zeros / -inf L) whose kvof repeats the
+    previous step's so no KV fetch is issued.
+
+    Why flat: exp13/exp14 (docs/perf_notes.md round-2 addendum) measured a
+    large fixed cost per GRID ROW (pipeline restart) that short ragged
+    rows never amortize — neither the mask pass nor the packed-pair
+    machinery.  One row per dispatch pays it once.
+    """
+    ni = len(lo)
+    runs = np.maximum(hi - lo, 0).astype(np.int64)
+    steps_per_bh = int(np.maximum(runs, 1).sum())
+    t_total = b * hq * steps_per_bh
+    bof = np.empty(t_total, np.int32)
+    hof = np.empty(t_total, np.int32)
+    qof = np.empty(t_total, np.int32)
+    kvof = np.empty(t_total, np.int32)
+    flags = np.empty(t_total, np.int32)
+    # Per-(b,h) segment pattern is identical; build once and tile.
+    q1 = np.empty(steps_per_bh, np.int32)
+    kv1 = np.empty(steps_per_bh, np.int32)
+    fl1 = np.empty(steps_per_bh, np.int32)
+    p = 0
+    prev_kv = 0
+    for i in range(ni):
+        r = int(runs[i])
+        if r == 0:
+            q1[p] = i
+            kv1[p] = prev_kv  # repeat: no fetch for the dead step
+            fl1[p] = 1 | 2  # init + store, not live
+            p += 1
+            continue
+        for jj in range(r):
+            q1[p] = i
+            kv1[p] = int(lo[i]) + jj
+            fl1[p] = (1 if jj == 0 else 0) | (2 if jj == r - 1 else 0) | 4
+            p += 1
+        prev_kv = int(hi[i]) - 1
+    assert p == steps_per_bh
+    for bi in range(b):
+        for h in range(hq):
+            s = (bi * hq + h) * steps_per_bh
+            e = s + steps_per_bh
+            bof[s:e] = bi
+            hof[s:e] = h
+            qof[s:e] = q1
+            kvof[s:e] = kv1
+            flags[s:e] = fl1
+    return bof, hof, qof, kvof, flags, t_total
+
+
 def plan_wavefront_parts(runs: np.ndarray, max_parts: int = 4):
     """Split q-blocks into contiguous parts with similar live-window widths.
 
@@ -502,6 +562,7 @@ def _fwd_kernel(
     inner_skip: bool = False,
     ones: bool = False,
     packed: bool = False,
+    flat: bool = False,
     skip_row_guard: bool = False,  # every row statically live: skip store guard
     static_max: bool = False,  # per-row M input replaces the running max
 ):
@@ -522,7 +583,33 @@ def _fwd_kernel(
     # Softmax runs in BASE 2 (log2(e) folded into the Q pre-scale; exp2
     # on the VPU; L converted back to natural log at store).
     has_mask = mask_mode != "none"
-    if packed:
+    if flat:
+        # FLAT segment schedule (round-2): the ENTIRE (b, h, q-block,
+        # live kv-major) iteration space is one arbitrary grid dimension
+        # driven by per-step int32 tables — zero dead steps AND zero grid-
+        # row restarts.  exp13/exp14 measured the per-row pipeline restart
+        # (not masking, not packing) as the whole causal-vs-full gap; a
+        # single grid row amortizes it once per dispatch instead of once
+        # per (b, h, q-block): causal fwd d128 61→85, d256 63→97 TF/s.
+        # flags bit 0 = init (first step of a segment), bit 1 = store
+        # (last step), bit 2 = live (0 only for empty q-blocks, whose one
+        # step just stores zeros / -inf L).
+        (bof_ref, hof_ref, qof_ref, kvof_ref, flags_ref,
+         loi_ref, hii_ref) = all_refs[:7]
+        refs = all_refs[7:]
+        if has_rowstats:
+            ms_ref, me_ref = refs[0], refs[1]
+            refs = refs[2:]
+        j = pl.program_id(0)
+        fl = flags_ref[j]
+        row_block = qof_ref[j]
+        live = (fl & 4) != 0
+        init_cond = (fl & 1) != 0
+        store_cond = (fl & 2) != 0
+        kvj = kvof_ref[j]
+        loi = loi_ref[row_block]
+        hii = hii_ref[row_block]
+    elif packed:
         # Packed-pair schedule: grid row r = two contiguous segments
         # (q-blocks q0, q1).  Steps past t are padding: index maps clamp,
         # nothing initializes/computes/stores.
@@ -578,9 +665,10 @@ def _fwd_kernel(
     else:
         o_ref, l_ref, m_scr, l_scr, acc_scr = refs
 
-    kvj = lo + jj  # major kv block index
-    loi = loi_ref[row_block]
-    hii = hii_ref[row_block]
+    if not flat:
+        kvj = lo + jj  # major kv block index
+        loi = loi_ref[row_block]
+        hii = hii_ref[row_block]
 
     @pl.when(init_cond)
     def _init():
@@ -704,6 +792,20 @@ def _fwd_kernel(
         @pl.when(live)
         def _compute():
             _loop(False)
+
+    elif flat:
+        # FLAT mode uses a SINGLE always-masked body: two alternative
+        # bodies behind pl.when break the single-row pipeline's steady
+        # state (measured: flat causal d256 88→63 TF/s with the dual
+        # path), while the fused iota/compare/select mask pass itself is
+        # free (exp13: causal-nomask ≡ causal).  Dead inner subtiles are
+        # masked to -inf and contribute exp2(-big)=0 — correct without
+        # per-subtile guards; the dispatcher keeps capacity waste low by
+        # choosing majors that hug the mask (inner_skip tables unused).
+
+        @pl.when(live)
+        def _compute_flat():
+            _loop(True, guards=False)
 
     else:
         # Splash-style dual path (splash_attention_kernel.py's
@@ -897,6 +999,7 @@ def flash_attention_forward(
         bias = jnp.pad(bias, pb)
 
     has_mask = mask.kind != MaskKind.NONE or skv_p != skv or sq_p != sq
+    use_flat = not os.environ.get("MFA_NO_FLAT")
     # DYNAMIC ranges (a traced jax array, e.g. segment/document masks built
     # inside jit): bounds become traced scalar-prefetch data gating
     # compute/DMA over a full-width grid (grid shapes must stay static).
@@ -932,6 +1035,22 @@ def flash_attention_forward(
         )
         loi_arr, hii_arr, _, _ = build_block_bounds(row_ranges, bq, bkv)
         mask_mode, affine = resolve_mask_mode(mask, has_mask, sq, skv)
+        if use_flat and has_mask:
+            # FLAT mode computes every inner subtile of a live major (the
+            # single always-masked body has no per-subtile guards — dead
+            # subtiles are masked to zero).  Shrink the major until the
+            # capacity waste is ≤15% so the wasted MXU work stays small
+            # (e.g. causal d128 bq=512: M2048 wastes 33%, M1024 10%).
+            livei = int((hii_arr - loi_arr).sum())
+            while bkv_major > bkv:
+                cap = int((hi_arr - lo_arr).sum()) * (bkv_major // bkv)
+                if cap <= 1.15 * max(1, livei):
+                    break
+                bkv_major //= 2
+                lo_arr, hi_arr, ms_arr, me_arr = build_block_bounds(
+                    row_ranges, bq, bkv_major
+                )
+            n_inner = bkv_major // bkv
     # Every row statically live (causal, full, most windows) → the store's
     # empty-row where-guards are dead code; skip them.
     all_live = (
@@ -1278,7 +1397,126 @@ def flash_attention_forward(
             *inputs,
         )
 
+    def run_flat():
+        """Single dispatch over the FLAT segment schedule: grid (T,) where
+        T enumerates every (b, h, q-block, live kv-major) step — zero dead
+        steps AND a single grid row for the whole problem (no per-row
+        pipeline restarts: exp13/exp14, docs/perf_notes.md round-2)."""
+        bofa, hofa, qofa, kvofa, flagsa, t_total = build_flat_schedule(
+            lo_arr, hi_arr, b, hq
+        )
+
+        q_map = lambda j, bof, hof, qof, kvof, flags, *rest: (
+            bof[j], hof[j], qof[j], 0
+        )
+        if interleaved_kv:
+            kv_map = lambda j, bof, hof, qof, kvof, flags, *rest: (
+                bof[j], hof[j] % hkv, kvof[j], 0
+            )
+        else:
+            kv_map = lambda j, bof, hof, qof, kvof, flags, *rest: (
+                bof[j] , hof[j] // q_per_kv, kvof[j], 0
+            )
+
+        in_specs = []
+        inputs = []
+        if mask_mode == "ranges":
+            rspec = pl.BlockSpec(
+                (bq, 1),
+                lambda j, bof, hof, qof, kvof, flags, *rest: (qof[j], 0),
+            )
+            in_specs += [rspec, rspec]
+            inputs += [
+                jnp.asarray(row_ranges[:, 0:1]),
+                jnp.asarray(row_ranges[:, 1:2]),
+            ]
+        if static_max:
+            in_specs.append(pl.BlockSpec((1, 1, bq, 1), q_map))
+            inputs.append(mx4)
+        in_specs += [
+            pl.BlockSpec((1, 1, bq, d), q_map),
+            pl.BlockSpec((1, 1, bkv_major, d), kv_map),
+            pl.BlockSpec((1, 1, bkv_major, dv), kv_map),
+        ]
+        inputs += [q, k, v]
+        if bias is not None:
+            bb = bias.shape[0] == 1
+            bh = bias.shape[1] == 1
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, 1, bq, bkv_major),
+                    lambda j, bof, hof, qof, kvof, flags, *rest: (
+                        0 if bb else bof[j],
+                        0 if bh else hof[j],
+                        qof[j],
+                        kvof[j],
+                    ),
+                )
+            )
+            inputs.append(bias)
+
+        kernel = functools.partial(
+            _fwd_kernel,
+            block_q=bq, block_kv=bkv, n_inner=n_inner, head_dim=d, dv=dv,
+            mask_mode=mask_mode, affine=affine, row_base=0,
+            has_rowstats=mask_mode == "ranges",
+            has_bias=bias is not None, mask_value=mask_value,
+            precision=precision, inner_skip=inner_skip, ones=ones,
+            flat=True, skip_row_guard=all_live, static_max=static_max,
+        )
+        out_shape = [
+            jax.ShapeDtypeStruct((b, hq, sq_p, d), out_dtype),
+            jax.ShapeDtypeStruct((b, hq, sq_p, LANES), jnp.float32),
+        ]
+        out_specs = [
+            pl.BlockSpec((1, 1, bq, d), q_map),
+            pl.BlockSpec((1, 1, bq, LANES), q_map),
+        ]
+        scratch = [pltpu.VMEM((bq, LANES), jnp.float32)]  # m
+        if not ones:
+            scratch.append(pltpu.VMEM((bq, LANES), jnp.float32))  # l
+        scratch.append(
+            pltpu.VMEM((bq, dv if ones else d), jnp.float32)  # acc
+        )
+        n_prefetch = 7 + (2 if mask_mode == "ranges" else 0)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=n_prefetch,
+            grid=(t_total,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch,
+        )
+        live_tiles = max(1, int((hi_arr - lo_arr).sum()))
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * b * hq * live_tiles * bq * bkv_major * d,
+                bytes_accessed=(q.size + k.size + v.size)
+                * q.dtype.itemsize,
+                transcendentals=b * hq * live_tiles * bq * bkv_major,
+            ),
+            interpret=interpret,
+        )(
+            jnp.asarray(bofa), jnp.asarray(hofa), jnp.asarray(qofa),
+            jnp.asarray(kvofa), jnp.asarray(flagsa),
+            jnp.asarray(loi_arr), jnp.asarray(hii_arr),
+            *(
+                [jnp.asarray(ms_arr), jnp.asarray(me_arr)]
+                if mask_mode == "ranges"
+                else []
+            ),
+            *inputs,
+        )
+
     # Schedule choice for ragged live windows (causal: runs 1..ni):
+    # 0. FLAT single-row schedule for every static-bounds problem (exact
+    #    live tiles, one pipeline warm-up per dispatch) unless disabled
+    #    via MFA_NO_FLAT=1.
     # 1. Packed-pair grid when it removes ≥10% of grid steps (causal: ~2×
     #    fewer; measured ~+20-30% — docs/perf_notes.md).
     # 2. Otherwise the dense grid, with wavefront partitioning only under
@@ -1286,6 +1524,10 @@ def flash_attention_forward(
     if dynamic:
         # Traced bounds: one full-width dense dispatch (no host packing).
         o, l = run_part(0, ni)
+        return o[:, :, :sq, :], l[:, :, :sq, 0]
+
+    if use_flat:
+        o, l = run_flat()
         return o[:, :, :sq, :], l[:, :, :sq, 0]
 
     runs = (hi_arr - lo_arr).astype(np.int64)
