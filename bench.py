@@ -76,8 +76,7 @@ def kv_config(bits: int, operand: str = "k") -> QuantConfig:
     )
 
 
-def run_config(d: int, h: int, bits: int, chip) -> dict:
-    b = 4
+def _build_arm(d: int, h: int, bits: int, b: int):
     ks = jax.random.split(jax.random.PRNGKey(0), 3)
     q = jax.random.normal(ks[0], (b, h, SEQ, d), jnp.bfloat16)
     k = jax.random.normal(ks[1], (b, h, SEQ, d), jnp.float32)
@@ -97,23 +96,44 @@ def run_config(d: int, h: int, bits: int, chip) -> dict:
             q, kq, vq, mask=CAUSAL, block_sizes=blocks, interpret=False,
         )[0]
     )
+    f(q)
+    return f, q, k, v, kq, vq
+
+
+def run_config(d: int, h: int, bits: int, chip) -> dict:
+    # Two-point batch-slope timing: this tunnel stack adds a FLUCTUATING
+    # 0.45-2.7 ms unpipelined cost per dispatch (a trivial ``x+1`` jit
+    # call measures 446-824 µs depending on the hour; flash calls fit
+    # t = intercept + slope·work).  The slope between two batch sizes
+    # cancels the intercept exactly and reports the kernel's steady-state
+    # device rate — the same quantity the reference times by duplicating
+    # dispatches inside ONE command buffer and reading
+    # gpuEndTime - gpuStartTime (QuantizedAttention.swift:878-989).
+    b1, b2 = 4, 24
+    f1, q1, k, v, kq, vq = _build_arm(d, h, bits, b1)
+    f2, q2, *_ = _build_arm(d, h, bits, b2)
+
     fp = jax.jit(
         lambda q, k, v: flash_attention_forward(
             q, k.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
             mask=CAUSAL, interpret=False,
         )[0]
     )
-    o = f(q)
-    o_fp = fp(q, k, v)
+    o = f1(q1)
+    o_fp = fp(q1, k, v)
     max_err = float(
         jnp.max(jnp.abs(o.astype(jnp.float32) - o_fp.astype(jnp.float32)))
     )
 
-    sec = measure(f, q, iters=50, warmup=5)
-    flops = attention_flops(SEQ, SEQ, d, num_heads=h, batch=b) / 2
-    tflops = flops / sec / 1e12
-    payload = kq.data.nbytes + vq.data.nbytes
-    gbs = (q.nbytes + payload + o.nbytes) / sec / 1e9
+    t1 = min(measure(f1, q1, iters=10, warmup=2, trains=3)
+             for _ in range(2))
+    t2 = min(measure(f2, q2, iters=10, warmup=2, trains=3)
+             for _ in range(2))
+    flops_per_b = attention_flops(SEQ, SEQ, d, num_heads=h, batch=1) / 2
+    sec_per_b = max((t2 - t1) / (b2 - b1), 1e-9)
+    tflops = flops_per_b / sec_per_b / 1e12
+    payload = (kq.data.nbytes + vq.data.nbytes) / b1
+    gbs = (q1.nbytes / b1 + payload + o.nbytes / b1) / sec_per_b / 1e9
     # MXU ceiling: contraction/lane dims < 128 leave the systolic array
     # part-empty — d=64 caps at 50% of peak.
     mxu_cap = min(1.0, d / 128.0)
@@ -126,54 +146,72 @@ def run_config(d: int, h: int, bits: int, chip) -> dict:
 
 def run_bandwidth_arm() -> dict:
     """Long-context paged-DECODE regime (the serving shape the int KV
-    cache exists for): 4 sequences × 32K context through the multi-page
-    DMA-wave decode kernel.  Reports the achieved KV read rate and the
-    int8-cache speedup.  NOTE (docs/perf_notes.md): on this tunnel stack
-    scattered page reads are issue-bound, so int8 shows ~parity in TIME —
-    its win here is CAPACITY (2× context per HBM byte)."""
+    cache exists for): 32K-context sequences through the multi-page
+    DMA-wave decode kernel.  Two-point batch slope (4 vs 16 sequences)
+    cancels the tunnel's per-dispatch cost; reports the marginal KV read
+    rate and the int8-cache speedup."""
     import numpy as np
 
     from metal_flash_attention_plus_tpu.serving.paged_attention import (
         paged_decode_attention,
     )
 
-    b, hq, hkv, d, pt, skv = 4, 8, 8, 128, 128, 32768
+    hq, hkv, d, pt, skv = 8, 8, 128, 128, 32768
     pps = skv // pt
-    np_ = b * pps + 1
-    ks = jax.random.split(jax.random.PRNGKey(1), 2)
-    q = jax.random.normal(ks[0], (b, hq, d), jnp.bfloat16)
-    kvp = jax.random.normal(ks[1], (hkv, np_, 2 * pt, d), jnp.bfloat16)
-    rng = np.random.default_rng(0)
-    pts = jnp.asarray(
-        np.stack(
-            [rng.permutation(np_ - 1)[:pps] for _ in range(b)]
-        ).astype(np.int32)
-    )
-    lengths = jnp.full((b,), skv, jnp.int32)
-    fb = jax.jit(
-        lambda q, kvp: paged_decode_attention(
-            q, kvp, pts, lengths, page_tokens=pt
+
+    def build(b, int8):
+        np_ = b * pps + 1
+        ks = jax.random.split(jax.random.PRNGKey(1), 2)
+        q = jax.random.normal(ks[0], (b, hq, d), jnp.bfloat16)
+        kvp = jax.random.normal(ks[1], (hkv, np_, 2 * pt, d), jnp.bfloat16)
+        rng = np.random.default_rng(0)
+        pts_ = jnp.asarray(
+            np.stack(
+                [rng.permutation(np_ - 1)[:pps] for _ in range(b)]
+            ).astype(np.int32)
         )
-    )
-    fb(q, kvp)
-    t_bf16 = measure(fb, q, kvp, iters=20, warmup=3)
-    kv_bytes = 2 * b * skv * hkv * d * 2
+        lengths = jnp.full((b,), skv, jnp.int32)
+        if int8:
+            kvq = jnp.clip(
+                jnp.round(kvp.astype(jnp.float32) * 10.0), -127, 127
+            ).astype(jnp.int8)
+            sc = jnp.full((hkv, np_, 1, pt), 0.1, jnp.float32)
+            f = jax.jit(
+                lambda q, kvq, sc: paged_decode_attention(
+                    q, kvq, pts_, lengths, page_tokens=pt,
+                    k_scales=sc, v_scales=sc
+                )
+            )
+            args = (q, kvq, sc)
+        else:
+            f = jax.jit(
+                lambda q, kvp: paged_decode_attention(
+                    q, kvp, pts_, lengths, page_tokens=pt
+                )
+            )
+            args = (q, kvp)
+        f(*args)
+        return f, args
+
+    b1, b2 = 4, 16
+
+    def slope_time(int8):
+        f1, a1 = build(b1, int8)
+        f2, a2 = build(b2, int8)
+        t1 = min(measure(f1, *a1, iters=10, warmup=2, trains=3)
+                 for _ in range(2))
+        t2 = min(measure(f2, *a2, iters=10, warmup=2, trains=3)
+                 for _ in range(2))
+        return max((t2 - t1) / (b2 - b1), 1e-9), t1
+
+    per_seq_bf16, t1_bf16 = slope_time(False)
+    per_seq_int8, _ = slope_time(True)
+    kv_bytes_seq = 2 * skv * hkv * d * 2
     out = dict(
-        decode_bf16_ms=round(t_bf16 * 1e3, 3),
-        decode_gbs=round(kv_bytes / t_bf16 / 1e9, 1),
+        decode_bf16_ms=round(per_seq_bf16 * b1 * 1e3, 3),
+        decode_gbs=round(kv_bytes_seq / per_seq_bf16 / 1e9, 1),
     )
-    kvq = jnp.clip(
-        jnp.round(kvp.astype(jnp.float32) * 10.0), -127, 127
-    ).astype(jnp.int8)
-    sc = jnp.full((hkv, np_, 1, pt), 0.1, jnp.float32)
-    f8 = jax.jit(
-        lambda q, kvq, sc: paged_decode_attention(
-            q, kvq, pts, lengths, page_tokens=pt, k_scales=sc, v_scales=sc
-        )
-    )
-    f8(q, kvq, sc)
-    t8 = measure(f8, q, kvq, sc, iters=20, warmup=3)
-    out["int8_speedup"] = round(t_bf16 / t8, 2)
+    out["int8_speedup"] = round(per_seq_bf16 / per_seq_int8, 2)
     out["int8_capacity"] = 2.0  # context per HBM byte vs bf16
     return out
 

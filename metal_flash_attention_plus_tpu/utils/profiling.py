@@ -44,5 +44,50 @@ def measure(
     return max(best, 1e-9)
 
 
+def measure_chained(
+    f: Callable,
+    *args,
+    chain: int = 8,
+    iters: int = 4,
+    warmup: int = 1,
+    trains: int = 3,
+    eps: float = 1e-30,
+) -> float:
+    """Seconds per *kernel invocation* with dispatches CHAINED inside one jit.
+
+    On this axon-tunneled runtime each jit dispatch costs ~0.45-0.95 ms of
+    unpipelined round-trip (measured: a trivial ``x+1`` jit call is 446 µs;
+    a d256 flash call fits t = 923 µs + 6.0 µs/grid-step) — dispatch trains
+    do NOT amortize it because executes serialize through the tunnel.  The
+    reference benchmarks the same way: it duplicates dispatches inside one
+    command buffer (``QuantizedAttention.swift:878-989``), timing device
+    rate rather than host round-trips.
+
+    Each link feeds a 1-element perturbation of the first argument from the
+    previous output (defeats CSE, forces ordering; eps=1e-30 leaves values
+    numerically intact).  Per-kernel seconds = call time / chain, minus the
+    residual dispatch share (amortized ``chain``-fold, not subtracted).
+    """
+    first = args[0]
+    idx = (0,) * first.ndim
+
+    def chained(*a):
+        x = a[0]
+        out = None
+        for _ in range(chain):
+            out = f(x, *a[1:])
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            s = leaf.ravel()[0].astype(x.dtype) * jnp.asarray(
+                eps, x.dtype
+            )
+            x = x.at[idx].add(s)
+        return out
+
+    g = jax.jit(chained)
+    _run_train(g, args, max(1, warmup))
+    best = min(_run_train(g, args, iters) / iters for _ in range(trains))
+    return max(best / chain, 1e-9)
+
+
 def tflops(flop_count: float, seconds: float) -> float:
     return flop_count / seconds / 1e12
