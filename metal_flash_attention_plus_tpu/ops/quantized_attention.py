@@ -251,9 +251,18 @@ def _qfwd_kernel(
                 s = s * ksr_ref[0, 0, :, sl]
         elif kv_folded:
             # MIXED bf16×int8 score dot — Mosaic feeds int8 K straight to
-            # the MXU (exact; no convert pass, no scale multiply).
+            # the MXU (exact; no convert pass, no scale multiply).  int4
+            # payloads nibble-unpack to int8 first (shift/mask only — the
+            # scales are already folded into Q).
+            k_int = kq_ref[0, 0, sl, :]
+            if bits_k == 4:
+                from metal_flash_attention_plus_tpu.ops.quantized_gemm import (
+                    unpack_int4_tile_int8,
+                )
+
+                k_int = unpack_int4_tile_int8(k_int, head_dim)
             s = jax.lax.dot_general(
-                q_ref[0, 0], kq_ref[0, 0, sl, :], (((1,), (1,)), ((), ())),
+                q_ref[0, 0], k_int, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
         else:
@@ -373,8 +382,22 @@ def _qfwd_kernel(
             # MIXED bf16×int8 PV dot; the int8 payload carries host-padded
             # integer ones lanes when `ones` (rowsum in the spare lanes),
             # and the V scales multiply the accumulator once at store.
+            # int4 V nibble-unpacks in-kernel and concats its ones there.
+            v_int = vq_ref[0, 0, sl, :]
+            if bits_v == 4:
+                from metal_flash_attention_plus_tpu.ops.quantized_gemm import (
+                    unpack_int4_tile_int8,
+                )
+
+                v_int = unpack_int4_tile_int8(v_int, head_dim)
+                if ones:
+                    v_int = jnp.concatenate(
+                        [v_int,
+                         jnp.ones((block_kv, dv - head_dim), jnp.int8)],
+                        axis=1,
+                    )
             pv = jax.lax.dot_general(
-                p.astype(compute_dtype), vq_ref[0, 0, sl, :],
+                p.astype(compute_dtype), v_int,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -664,18 +687,22 @@ def quantized_flash_attention_forward(
             and v.config.granularity
             in (QuantGranularity.CHANNEL, QuantGranularity.TENSOR)
         )
-    # Dequant-free fast path: with zero-point-free TENSOR K and
-    # TENSOR/CHANNEL V at int8, the K scale folds into the Q pre-scale and
-    # the V scales fold at store — the payloads feed the MXU directly via
-    # MIXED bf16×int8 dots (measured exact on v5e), zero per-tile dequant
-    # VPU work, half the KV DMA of bf16.
+    # Dequant-free fast path: with zero-point-free TENSOR/CHANNEL K and
+    # TENSOR/CHANNEL V, the K scales fold into the Q pre-scale (a scalar
+    # for TENSOR; an exact per-d elementwise vector for CHANNEL — score =
+    # Σ_d (q[d]·s_k[d])·k_int[t,d]) and the V scales fold at store — the
+    # int payloads feed the MXU directly via MIXED bf16×int8 dots
+    # (measured exact on v5e), zero per-tile dequant/scale VPU work, half
+    # (int8) or a quarter (int4, in-kernel nibble unpack) the KV DMA of
+    # bf16.
     kv_folded = (
         not quantize_q
-        and bits_k == 8
-        and bits_v == 8
+        and bits_k in (4, 8)
+        and bits_v in (4, 8)
         and q.dtype != jnp.float32
         and k.config.strategy == QuantStrategy.SYMMETRIC
-        and k.config.granularity == QuantGranularity.TENSOR
+        and k.config.granularity
+        in (QuantGranularity.TENSOR, QuantGranularity.CHANNEL)
         and v.config.strategy == QuantStrategy.SYMMETRIC
         and v.config.granularity
         in (QuantGranularity.TENSOR, QuantGranularity.CHANNEL)
@@ -738,10 +765,18 @@ def quantized_flash_attention_forward(
         q = qq
     else:
         pre = scale * _LOG2E
-        if kv_folded:
-            # TENSOR K scale folds into the Q pre-scale (traced scalar).
-            pre = pre * k.scale.reshape(()).astype(jnp.float32)
-        q = (q.astype(jnp.float32) * pre).astype(q.dtype)
+        if kv_folded and k.config.granularity == QuantGranularity.CHANNEL:
+            # Per-CHANNEL K scales fold into Q ELEMENTWISE (exact):
+            # score = Σ_d (q[d]·s_k[d])·k_int[t,d].  Broadcast across the
+            # GQA head group sharing each KV head.
+            ksc = k.scale.reshape(b, hkv, 1, 1, d).astype(jnp.float32)
+            qf = q.astype(jnp.float32).reshape(b, hkv, hq // hkv, sq, d)
+            q = (qf * (ksc * pre)).reshape(b, hq, sq, d).astype(q.dtype)
+        else:
+            if kv_folded:
+                # TENSOR K scale folds into the Q pre-scale (traced scalar).
+                pre = pre * k.scale.reshape(()).astype(jnp.float32)
+            q = (q.astype(jnp.float32) * pre).astype(q.dtype)
     if sq_p != sq:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
         if quantize_q:
@@ -1009,7 +1044,9 @@ def quantized_flash_attention_forward(
         in_specs += [
             q_spec,
             kv_spec(pd_k),
-            kv_spec(dv),  # int8 V payload (ones lanes host-padded)
+            # int8 V payload (ones lanes host-padded); int4 stays packed
+            # and unpacks + concats its ones in-kernel.
+            kv_spec(dv if bits_v == 8 else pd_v),
             pl.BlockSpec(
                 (1, 1, 1, dv),
                 lambda *a: (a[0], kv_head(a[1]), 0, 0),

@@ -504,3 +504,64 @@ def test_folded_int8_gqa_ragged():
     np.testing.assert_allclose(
         np.asarray(o), np.asarray(o_ref), atol=2.5e-2
     )
+
+
+CH4 = QuantConfig(
+    bits=4, granularity=QuantGranularity.CHANNEL,
+    strategy=QuantStrategy.SYMMETRIC,
+)
+TENS4 = QuantConfig(
+    bits=4, granularity=QuantGranularity.TENSOR,
+    strategy=QuantStrategy.SYMMETRIC,
+)
+
+
+@pytest.mark.parametrize("d", [64, 128], ids=["d64-ones", "d128"])
+@pytest.mark.parametrize("mask", [FULL, CAUSAL], ids=["full", "causal"])
+@pytest.mark.parametrize(
+    "kcfg,vcfg",
+    [(CH4, CH4), (CH4, CH8), (TENS4, TENS4)],
+    ids=["k4v4-chan", "k4v8-chan", "k4v4-tensor"],
+)
+def test_folded_int4_matches_dequantized_golden(d, mask, kcfg, vcfg):
+    # Folded path at 4 bits: symmetric CHANNEL K scales fold into Q
+    # ELEMENTWISE (score = sum_d (q[d]*s_k[d])*k_int[t,d] — exact), int4
+    # payloads nibble-unpack to int8 in-kernel, MIXED bf16xint8 MXU dots,
+    # V scales fold at store.  Kernel must match the dense reference on
+    # dequantized K/V at bf16 tolerance (quant error lives in the payload,
+    # not the kernel).
+    q, k, v = _data(d=d, seed=13)
+    q = q.astype(jnp.bfloat16)
+    kq, vq = quantize(k, kcfg), quantize(v, vcfg)
+    o, l = quantized_flash_attention_forward(q, kq, vq, mask=mask)
+    o_ref, l_ref = reference_attention(
+        q,
+        kq.dequantize().astype(jnp.bfloat16),
+        vq.dequantize().astype(jnp.bfloat16),
+        mask=mask,
+    )
+    np.testing.assert_allclose(
+        np.asarray(o), np.asarray(o_ref), atol=3e-2
+    )
+    np.testing.assert_allclose(np.asarray(l), np.asarray(l_ref), atol=1.5e-2)
+
+
+def test_folded_int8_channel_k_gqa():
+    # CHANNEL K scales through the folded path with a GQA head group:
+    # the per-d fold must broadcast each KV head's scales across its
+    # query-head group.
+    q, k, v = _data(b=1, hq=4, hkv=2, sq=256, skv=256, d=64, seed=14)
+    q = q.astype(jnp.bfloat16)
+    kcfg = QuantConfig(
+        bits=8, granularity=QuantGranularity.CHANNEL,
+        strategy=QuantStrategy.SYMMETRIC,
+    )
+    kq, vq = quantize(k, kcfg), quantize(v, CH8)
+    o, _ = quantized_flash_attention_forward(q, kq, vq, mask=CAUSAL)
+    o_ref, _ = reference_attention(
+        q,
+        kq.dequantize().astype(jnp.bfloat16),
+        vq.dequantize().astype(jnp.bfloat16),
+        mask=CAUSAL,
+    )
+    np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref), atol=2.5e-2)
