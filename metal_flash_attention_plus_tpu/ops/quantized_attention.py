@@ -110,6 +110,8 @@ def _qfwd_kernel(
     int8_pv: bool = False,  # full-integer pipeline: int8 P × int8 V MXU dot
     ks_folded: bool = False,  # TENSOR K scale folded into the Q scales
     kv_folded: bool = False,  # dequant-free: bf16×int8 MIXED MXU dots
+    k_rowscale: bool = False,  # folded + per-token K: one score col-multiply
+    v_rowscale: bool = False,  # folded + per-token V: one P col-multiply
     skip_row_guard: bool = False,  # every row statically live: skip store guard
 ):
     # Two-level schedule + ones-fused rowsum + base-2 softmax — same
@@ -194,13 +196,28 @@ def _qfwd_kernel(
              vq_ref, vs_ref, vz_ref) = refs[:7]
             refs = refs[7:]
     elif kv_folded:
-        # Dequant-free fast path: the TENSOR K scale is folded into the Q
-        # pre-scale host-side and the TENSOR/CHANNEL V scales fold at
-        # store, so the int8 payloads feed the MXU directly via MIXED
-        # bf16×int8 dots — zero per-tile dequant VPU work, half the KV
-        # DMA of the bf16 kernel.
-        (q_ref, kq_ref, vq_ref, vsc_ref) = refs[:4]
-        refs = refs[4:]
+        # Dequant-free fast path: TENSOR/CHANNEL K scales are folded into
+        # the Q pre-scale host-side and TENSOR/CHANNEL V scales fold at
+        # store, so the int payloads feed the MXU directly via MIXED
+        # bf16×int8 dots — zero per-tile dequant VPU work, half/quarter
+        # the KV DMA of the bf16 kernel.  Per-token (ROW) scales arrive
+        # TRANSPOSED as [1, bkv_major] row tiles instead: K costs ONE
+        # score column-multiply, V one P column-multiply (after the
+        # rowsum) — still no dequant pass over the payload.
+        q_ref, kq_ref = refs[:2]
+        refs = refs[2:]
+        if k_rowscale:
+            ksr_ref = refs[0]
+            refs = refs[1:]
+        vq_ref = refs[0]
+        refs = refs[1:]
+        if v_rowscale:
+            vsr_ref = refs[0]
+            refs = refs[1:]
+            vsc_ref = None
+        else:
+            vsc_ref = refs[0]
+            refs = refs[1:]
     else:
         (q_ref, kq_ref, ks_ref, kz_ref, vq_ref, vs_ref, vz_ref) = refs[:7]
         refs = refs[7:]
@@ -265,6 +282,10 @@ def _qfwd_kernel(
                 q_ref[0, 0], k_int, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+            if k_rowscale:
+                # Per-token K scales: one column multiply on the scores
+                # (linear — commutes with the log2e fold in Q).
+                s = s * ksr_ref[0, 0, :, sl]
         else:
             q = q_ref[0, 0]  # [bq, D] pre-scaled by scale·log2e
             if kv_gran == "block2d":
@@ -396,6 +417,15 @@ def _qfwd_kernel(
                          jnp.ones((block_kv, dv - head_dim), jnp.int8)],
                         axis=1,
                     )
+            if v_rowscale:
+                # Per-token V scales fold into P (O = Σ_t (p_t·s_v[t])·
+                # v_int[t,:]) — but the softmax denominator needs the
+                # UNSCALED rowsum, so it is accumulated first (the wrapper
+                # forces the l_scr path: ones=False when v_rowscale).
+                l_scr[...] = (
+                    alpha * l_scr[...] + jnp.sum(p, axis=1, keepdims=True)
+                )
+                p = p * vsr_ref[0, 0, :, sl]
             pv = jax.lax.dot_general(
                 p.astype(compute_dtype), v_int,
                 (((1,), (0,)), ((), ())),
@@ -408,17 +438,21 @@ def _qfwd_kernel(
                 )
                 acc_scr[...] = acc_scr[...] * a_wide + pv
             else:
-                l_scr[...] = (
-                    alpha * l_scr[...] + jnp.sum(p, axis=1, keepdims=True)
-                )
+                if not v_rowscale:  # v_rowscale accumulated l above
+                    l_scr[...] = (
+                        alpha * l_scr[...]
+                        + jnp.sum(p, axis=1, keepdims=True)
+                    )
                 if head_dim == LANES:
                     acc_scr[...] = acc_scr[...] * alpha + pv
-                else:
+                elif head_dim % LANES == 0:
                     acc_scr[...] = (
                         acc_scr[...]
                         * pltpu.repeat(alpha, head_dim // LANES, axis=1)
                         + pv
                     )
+                else:
+                    acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
             return
 
         if not quantize_q and kv_gran == "block2d":
@@ -536,7 +570,7 @@ def _qfwd_kernel(
             else:
                 denom = safe1
             out = acc[:, :head_dim] / denom
-            if int8_pv or kv_folded:
+            if int8_pv or (kv_folded and not v_rowscale):
                 # Fold the per-channel V scales out of the PV dot (one
                 # [bq, d] pass per q-row, not per tile); for int8_pv the
                 # 127 of the P units cancelled in the division above.
@@ -559,7 +593,7 @@ def _qfwd_kernel(
                 )
             else:
                 out = acc_scr[...] / safe[:, :1]
-            if int8_pv or kv_folded:
+            if int8_pv or (kv_folded and not v_rowscale):
                 out = out * vsc_ref[0, 0, :, :head_dim]
             m = m_scr[...]
             lse = jnp.where(
@@ -695,17 +729,29 @@ def quantized_flash_attention_forward(
     # (measured exact on v5e), zero per-tile dequant/scale VPU work, half
     # (int8) or a quarter (int4, in-kernel nibble unpack) the KV DMA of
     # bf16.
+    # Per-token (ROW) symmetric scales stay on the folded path too: K
+    # costs one score column-multiply per tile, V one P column-multiply —
+    # the payload itself is never touched by a dequant pass.
+    _folded_grans = (
+        QuantGranularity.TENSOR,
+        QuantGranularity.CHANNEL,
+        QuantGranularity.ROW,
+    )
     kv_folded = (
         not quantize_q
         and bits_k in (4, 8)
         and bits_v in (4, 8)
         and q.dtype != jnp.float32
         and k.config.strategy == QuantStrategy.SYMMETRIC
-        and k.config.granularity
-        in (QuantGranularity.TENSOR, QuantGranularity.CHANNEL)
+        and k.config.granularity in _folded_grans
         and v.config.strategy == QuantStrategy.SYMMETRIC
-        and v.config.granularity
-        in (QuantGranularity.TENSOR, QuantGranularity.CHANNEL)
+        and v.config.granularity in _folded_grans
+    )
+    k_rowscale = (
+        kv_folded and k.config.granularity == QuantGranularity.ROW
+    )
+    v_rowscale = (
+        kv_folded and v.config.granularity == QuantGranularity.ROW
     )
     if (
         not quantize_q
@@ -743,8 +789,10 @@ def quantized_flash_attention_forward(
     skv_p = _round_up(skv, bkv_major)
     # ones-fused rowsum when the head dim leaves lane slack (see
     # flash_attention._fwd_kernel); the ones lanes are appended to the
-    # DEQUANTIZED V tile in-kernel.
-    ones = (d % 128) != 0
+    # DEQUANTIZED V tile in-kernel.  Per-token V scales fold into P, so
+    # the ones lanes would carry Σp·s_v — the denominator needs the
+    # unscaled Σp, so v_rowscale takes the explicit-rowsum path.
+    ones = (d % 128) != 0 and not v_rowscale
     dv = _round_up(d, 128) if ones else d
 
     if quantize_q:
@@ -765,7 +813,10 @@ def quantized_flash_attention_forward(
         q = qq
     else:
         pre = scale * _LOG2E
-        if kv_folded and k.config.granularity == QuantGranularity.CHANNEL:
+        if kv_folded and k_rowscale:
+            # ROW K scales ride as a transposed in-kernel input instead.
+            q = (q.astype(jnp.float32) * pre).astype(q.dtype)
+        elif kv_folded and k.config.granularity == QuantGranularity.CHANNEL:
             # Per-CHANNEL K scales fold into Q ELEMENTWISE (exact):
             # score = Σ_d (q[d]·s_k[d])·k_int[t,d].  Broadcast across the
             # GQA head group sharing each KV head.
@@ -791,27 +842,37 @@ def quantized_flash_attention_forward(
         if k.config.granularity == QuantGranularity.BLOCK_2D
         else "token"
     )
-    vsc = None
+    vsc = ksr_t = vsr_t = None
     if int8_pv or kv_folded:
         # K scales: ROW → transposed row-vector kernel input; TENSOR →
         # already folded into the Q scales (no input at all).
         ks = kz = None
         if int8_pv and not ks_folded:
             ks, kz = _per_token_params(k)
-        # V scales fold at store: one [B, Hkv, 1, dv] row vector (TENSOR
-        # broadcasts; the ones lanes get a placeholder 1.0 — the store
-        # only reads [:d]).
-        if v.config.granularity == QuantGranularity.CHANNEL:
-            vsc = v.scale.reshape(b, hkv, 1, d).astype(jnp.float32)
+        if k_rowscale:
+            ksr_t = jnp.swapaxes(
+                k.scale.reshape(b, hkv, skv, 1).astype(jnp.float32), 2, 3
+            )  # [B, Hkv, 1, Skv]
+        if v_rowscale:
+            vsr_t = jnp.swapaxes(
+                v.scale.reshape(b, hkv, skv, 1).astype(jnp.float32), 2, 3
+            )
         else:
-            vsc = jnp.broadcast_to(
-                v.scale.reshape(1, 1, 1, 1).astype(jnp.float32),
-                (b, hkv, 1, d),
-            )
-        if dv != d:
-            vsc = jnp.concatenate(
-                [vsc, jnp.ones((b, hkv, 1, dv - d), jnp.float32)], axis=-1
-            )
+            # V scales fold at store: one [B, Hkv, 1, dv] row vector
+            # (TENSOR broadcasts; the ones lanes get a placeholder 1.0 —
+            # the store only reads [:d]).
+            if v.config.granularity == QuantGranularity.CHANNEL:
+                vsc = v.scale.reshape(b, hkv, 1, d).astype(jnp.float32)
+            else:
+                vsc = jnp.broadcast_to(
+                    v.scale.reshape(1, 1, 1, 1).astype(jnp.float32),
+                    (b, hkv, 1, d),
+                )
+            if dv != d:
+                vsc = jnp.concatenate(
+                    [vsc, jnp.ones((b, hkv, 1, dv - d), jnp.float32)],
+                    axis=-1,
+                )
         vs = vz = None
     elif kv_gran == "block2d":
         # In-kernel 2D blockwise scales (reference BLOCK_2D parity,
@@ -842,6 +903,11 @@ def quantized_flash_attention_forward(
         if int8_pv or kv_folded:
             if ks is not None:
                 ks = jnp.pad(ks, pad4, constant_values=1.0)
+            padt = ((0, 0), (0, 0), (0, 0), (0, skv_p - skv))
+            if ksr_t is not None:
+                ksr_t = jnp.pad(ksr_t, padt, constant_values=1.0)
+            if vsr_t is not None:
+                vsr_t = jnp.pad(vsr_t, padt, constant_values=1.0)
         else:
             pad_s = (
                 ((0, 0), (0, 0), (0, (skv_p - skv) // br), (0, 0))
@@ -1041,18 +1107,30 @@ def quantized_flash_attention_forward(
             in_specs += [kv_spec(pd_v), kv_spec(1), kv_spec(1)]
             inputs += [vq, vs, vz]
     elif kv_folded:
-        in_specs += [
-            q_spec,
-            kv_spec(pd_k),
-            # int8 V payload (ones lanes host-padded); int4 stays packed
-            # and unpacks + concats its ones in-kernel.
-            kv_spec(dv if bits_v == 8 else pd_v),
-            pl.BlockSpec(
-                (1, 1, 1, dv),
-                lambda *a: (a[0], kv_head(a[1]), 0, 0),
-            ),
-        ]
-        inputs += [q, kq, vq, vsc]
+        tok_spec = pl.BlockSpec(
+            (1, 1, 1, bkv_major),
+            lambda *a: (a[0], kv_head(a[1]), 0, kv_block(a)),
+        )
+        in_specs += [q_spec, kv_spec(pd_k)]
+        inputs += [q, kq]
+        if k_rowscale:
+            in_specs.append(tok_spec)
+            inputs.append(ksr_t)
+        # int8 V payload (ones lanes host-padded); int4 stays packed
+        # and unpacks + concats its ones in-kernel.
+        in_specs.append(kv_spec(dv if bits_v == 8 and ones else pd_v))
+        inputs.append(vq)
+        if v_rowscale:
+            in_specs.append(tok_spec)
+            inputs.append(vsr_t)
+        else:
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, 1, 1, dv),
+                    lambda *a: (a[0], kv_head(a[1]), 0, 0),
+                )
+            )
+            inputs.append(vsc)
     elif kv_gran == "block2d":
         def sc_spec():
             return pl.BlockSpec(
@@ -1125,6 +1203,8 @@ def quantized_flash_attention_forward(
         int8_pv=int8_pv,
         ks_folded=ks_folded,
         kv_folded=kv_folded,
+        k_rowscale=k_rowscale,
+        v_rowscale=v_rowscale,
         skip_row_guard=all_live,
     )
 

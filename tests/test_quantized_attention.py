@@ -565,3 +565,59 @@ def test_folded_int8_channel_k_gqa():
         mask=CAUSAL,
     )
     np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref), atol=2.5e-2)
+
+
+ROW8S = QuantConfig(
+    bits=8, granularity=QuantGranularity.ROW,
+    strategy=QuantStrategy.SYMMETRIC,
+)
+ROW4S = QuantConfig(
+    bits=4, granularity=QuantGranularity.ROW,
+    strategy=QuantStrategy.SYMMETRIC,
+)
+
+
+@pytest.mark.parametrize("d", [64, 128], ids=["d64", "d128"])
+@pytest.mark.parametrize("mask", [FULL, CAUSAL], ids=["full", "causal"])
+@pytest.mark.parametrize(
+    "kcfg,vcfg",
+    [(ROW8S, ROW8S), (ROW4S, ROW4S), (ROW4S, CH8), (CH4, ROW8S)],
+    ids=["k8v8-row", "k4v4-row", "k4row-v8chan", "k4chan-v8row"],
+)
+def test_folded_row_matches_dequantized_golden(d, mask, kcfg, vcfg):
+    # ROW-folded path: per-token symmetric K scales cost ONE score
+    # column-multiply, per-token V scales ONE P column-multiply (rowsum
+    # accumulated before the scale so the softmax denominator stays
+    # unscaled) — the payload never sees a dequant pass.
+    q, k, v = _data(d=d, seed=15)
+    q = q.astype(jnp.bfloat16)
+    kq, vq = quantize(k, kcfg), quantize(v, vcfg)
+    o, l = quantized_flash_attention_forward(q, kq, vq, mask=mask)
+    o_ref, l_ref = reference_attention(
+        q,
+        kq.dequantize().astype(jnp.bfloat16),
+        vq.dequantize().astype(jnp.bfloat16),
+        mask=mask,
+    )
+    np.testing.assert_allclose(
+        np.asarray(o), np.asarray(o_ref), atol=3e-2
+    )
+    np.testing.assert_allclose(np.asarray(l), np.asarray(l_ref), atol=1.5e-2)
+
+
+def test_folded_row_gqa_ragged_window():
+    # ROW-folded with GQA + rectangular shapes + sliding window: the
+    # transposed per-token scale tiles must track the KV head map and the
+    # padded token tail (padded scales are 1.0; masked out anyway).
+    q, k, v = _data(b=2, hq=4, hkv=2, sq=192, skv=320, d=64, seed=16)
+    q = q.astype(jnp.bfloat16)
+    kq, vq = quantize(k, ROW8S), quantize(v, ROW8S)
+    mask = sliding_window(128, causal=True)
+    o, _ = quantized_flash_attention_forward(q, kq, vq, mask=mask)
+    o_ref, _ = reference_attention(
+        q,
+        kq.dequantize().astype(jnp.bfloat16),
+        vq.dequantize().astype(jnp.bfloat16),
+        mask=mask,
+    )
+    np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref), atol=3e-2)
