@@ -91,6 +91,9 @@ def _dq_kernel(
     packed: bool = False,
     kv_gran: str = "token",
     has_er: bool = False,
+    folded: bool = False,  # dequant-free MIXED bf16×int8 dots (see fwd)
+    k_rowscale: bool = False,  # folded + per-token K scales
+    v_rowscale: bool = False,  # folded + per-token V scales
 ):
     # Dense (i, j) schedule with unconditional masking — see the forward
     # kernel for the measured rationale (flattened schedules stall ~185 µs
@@ -141,6 +144,28 @@ def _dq_kernel(
     if kv_bits is None:
         q_ref, k_ref, v_ref, do_ref, l_ref, d_ref = refs[:6]
         refs = refs[6:]
+    elif folded:
+        # FOLDED quantized backward (see the forward kernel's kv_folded):
+        # symmetric TENSOR/CHANNEL K scales are folded into Q host-side
+        # (score recompute) and into the per-channel dQ store vector
+        # (dq = scale·(dS·K_int)·diag(s_k)); TENSOR/CHANNEL V scales fold
+        # into dO host-side (dP = (dO·diag(s_v))·V_intᵀ is the exact true
+        # dP).  Per-token (ROW) scales ride as transposed [1, bkv] tiles:
+        # one column multiply on S (and on dS before the dQ dot) for K,
+        # one on dP for V.  The int payloads feed MIXED bf16×int8 MXU
+        # dots — zero dequant passes in the hot loop.
+        q_ref, kq_ref = refs[:2]
+        refs = refs[2:]
+        if k_rowscale:
+            ksr_ref = refs[0]
+            refs = refs[1:]
+        vq_ref = refs[0]
+        refs = refs[1:]
+        if v_rowscale:
+            vsr_ref = refs[0]
+            refs = refs[1:]
+        do_ref, l_ref, d_ref, dqsc_ref = refs[:4]
+        refs = refs[4:]
     else:
         # Quantized K/V: payload + per-token scale/zp, dequantized on tile
         # load (QuantizedAttention.swift:1188-1228's in-kernel equivalent).
@@ -170,7 +195,15 @@ def _dq_kernel(
     def _inner(t, masked):
         sl = pl.ds(t * block_kv, block_kv)
         q = q_ref[0, 0]  # [bq, D] pre-scaled
-        if kv_bits is None:
+        if kv_bits is not None and folded:
+            k = kq_ref[0, 0, sl, :]
+            if kv_bits[0] == 4:
+                from metal_flash_attention_plus_tpu.ops.quantized_gemm import (
+                    unpack_int4_tile_int8,
+                )
+
+                k = unpack_int4_tile_int8(k, head_dim)
+        elif kv_bits is None:
             k = k_ref[0, 0, sl, :]  # [bkv, D]
         elif kv_gran == "block2d":
             from metal_flash_attention_plus_tpu.ops.quantized_gemm import (
@@ -196,8 +229,11 @@ def _dq_kernel(
             )
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
+            preferred_element_type=jnp.float32,
+            precision=None if folded and kv_bits is not None else precision,
         )
+        if kv_bits is not None and folded and k_rowscale:
+            s = s * ksr_ref[0, 0, :, sl]
         inner_idx = kvj * n_inner + t
         if has_bias:
             s += bias_ref[0, 0, :, sl].astype(jnp.float32)
@@ -229,7 +265,15 @@ def _dq_kernel(
             p = jnp.where(keep, p, 0.0)
 
         do = do_ref[0, 0]  # [bq, D]
-        if kv_bits is None:
+        if kv_bits is not None and folded:
+            v = vq_ref[0, 0, sl, :]
+            if kv_bits[1] == 4:
+                from metal_flash_attention_plus_tpu.ops.quantized_gemm import (
+                    unpack_int4_tile_int8,
+                )
+
+                v = unpack_int4_tile_int8(v, head_dim)
+        elif kv_bits is None:
             v = v_ref[0, 0, sl, :]  # [bkv, D]
         elif kv_gran == "block2d":
             from metal_flash_attention_plus_tpu.ops.quantized_gemm import (
@@ -255,16 +299,29 @@ def _dq_kernel(
             )
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
+            preferred_element_type=jnp.float32,
+            precision=None if folded and kv_bits is not None else precision,
         )
+        if kv_bits is not None and folded and v_rowscale:
+            dp = dp * vsr_ref[0, 0, :, sl]
         d_wide = pltpu.repeat(d, block_kv // LANES, axis=1)
         ds = p * (dp - d_wide)
         if want_dbias:
             dbias_ref[0, 0, :, sl] = ds.astype(dbias_ref.dtype)
-        dq_acc[...] += jax.lax.dot(
-            ds.astype(k.dtype), k,
-            preferred_element_type=jnp.float32, precision=precision,
-        )
+        if kv_bits is not None and folded:
+            # ROW K scales fold into dS before the dQ dot (dq col-scales
+            # are in the store vector for TENSOR/CHANNEL).
+            if k_rowscale:
+                ds = ds * ksr_ref[0, 0, :, sl]
+            dq_acc[...] += jax.lax.dot_general(
+                ds.astype(q.dtype), k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            dq_acc[...] += jax.lax.dot(
+                ds.astype(k.dtype), k,
+                preferred_element_type=jnp.float32, precision=precision,
+            )
 
     def _loop(masked, guards=True):
         for t in range(n_inner):
@@ -311,7 +368,14 @@ def _dq_kernel(
 
     @pl.when(store_cond)
     def _store():
-        dq_ref[0, 0] = (dq_acc[...] * scale).astype(dq_ref.dtype)
+        if kv_bits is not None and folded:
+            # Store-side fold: scale·s_k[d] per channel (scale alone for
+            # ROW K — the col multiply already happened on dS).
+            dq_ref[0, 0] = (
+                dq_acc[...] * dqsc_ref[0, 0]
+            ).astype(dq_ref.dtype)
+        else:
+            dq_ref[0, 0] = (dq_acc[...] * scale).astype(dq_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -386,6 +450,7 @@ def _dkv_kernel(
     packed: bool = False,
     kv_gran: str = "token",
     has_er: bool = False,
+    kv_chan=(False, False),  # per-CHANNEL scales: [1, D] vector dequant
 ):
     # Grid (b, hkv, j, group·ni_max): the 4th dim enumerates (g, q-slab)
     # pairs; per-KV-block live q-slab bounds arrive via scalar prefetch.
@@ -489,15 +554,38 @@ def _dkv_kernel(
             )
         elif kv_bits is not None:
             # Dequantize the segment's KV tile once (constant across the
-            # segment's whole group × q-step traversal).
-            kf_scr[...] = _dequant_kv_tile(
-                kq_ref, ks_ref, kz_ref, block_kv, head_dim, kv_bits[0],
-                kf_scr.dtype,
-            )
-            vf_scr[...] = _dequant_kv_tile(
-                vq_ref, vs_ref, vz_ref, block_kv, head_dim, kv_bits[1],
-                vf_scr.dtype,
-            )
+            # segment's whole group × q-step traversal).  CHANNEL scales
+            # are a [1, D] row-vector broadcast (symmetric, no zp).
+            def _chan_deq(pq_ref, s_ref, bits, dtype):
+                x = pq_ref[0, 0]
+                if bits == 4:
+                    from metal_flash_attention_plus_tpu.ops.quantized_gemm import (  # noqa: E501
+                        unpack_int4_tile_int8,
+                    )
+
+                    x = unpack_int4_tile_int8(x, head_dim)
+                return (
+                    x.astype(jnp.float32) * s_ref[0, 0]
+                ).astype(dtype)
+
+            if kv_chan[0]:
+                kf_scr[...] = _chan_deq(
+                    kq_ref, ks_ref, kv_bits[0], kf_scr.dtype
+                )
+            else:
+                kf_scr[...] = _dequant_kv_tile(
+                    kq_ref, ks_ref, kz_ref, block_kv, head_dim,
+                    kv_bits[0], kf_scr.dtype,
+                )
+            if kv_chan[1]:
+                vf_scr[...] = _chan_deq(
+                    vq_ref, vs_ref, kv_bits[1], vf_scr.dtype
+                )
+            else:
+                vf_scr[...] = _dequant_kv_tile(
+                    vq_ref, vs_ref, vz_ref, block_kv, head_dim,
+                    kv_bits[1], vf_scr.dtype,
+                )
 
     def _inner(ti, masked):
         sl = pl.ds(ti * block_q, block_q)
@@ -715,14 +803,37 @@ def flash_attention_backward(
     o_p = pad_seq(o, sq_p)
     kv_gran = "token"
     br = bs2 = 0
+    folded_dq = k_rowscale = v_rowscale = False
+    k_chan = v_chan = False
+    ksr_t = vsr_t = dqsc = None
+    qs_dq = do_dq = None
     if kv_quant:
         from metal_flash_attention_plus_tpu.ops.quantized_attention import (
             _per_token_params,
         )
         from metal_flash_attention_plus_tpu.quant.params import (
             QuantGranularity,
+            QuantStrategy,
         )
 
+        _fold_grans = (
+            QuantGranularity.TENSOR,
+            QuantGranularity.CHANNEL,
+            QuantGranularity.ROW,
+        )
+        folded_dq = (
+            q.dtype != jnp.float32
+            and k.config.strategy == QuantStrategy.SYMMETRIC
+            and v.config.strategy == QuantStrategy.SYMMETRIC
+            and k.config.granularity in _fold_grans
+            and v.config.granularity in _fold_grans
+        )
+        k_rowscale = (
+            folded_dq and k.config.granularity == QuantGranularity.ROW
+        )
+        v_rowscale = (
+            folded_dq and v.config.granularity == QuantGranularity.ROW
+        )
         kq_p = pad_seq(k.data, skv_p)
         vq_p = pad_seq(v.data, skv_p)
         if k.config.granularity == QuantGranularity.BLOCK_2D:
@@ -754,6 +865,78 @@ def flash_attention_backward(
             kz_p = pad_blocks(k.zero_point.astype(jnp.float32), 0.0)
             vs_p = pad_blocks(v.scale.astype(jnp.float32), 1.0)
             vz_p = pad_blocks(v.zero_point.astype(jnp.float32), 0.0)
+        elif folded_dq:
+            # Host-side folds for the dQ kernel ONLY (qs_dq/do_dq — the
+            # dKV kernel dequantizes its segment tile into scratch and
+            # must see the UNfolded qs/do).  See _dq_kernel's folded
+            # docstring for the algebra.
+            if k.config.granularity == QuantGranularity.CHANNEL:
+                ksc = k.scale.reshape(b, hkv, 1, 1, d).astype(jnp.float32)
+                qs_dq = (
+                    qs.astype(jnp.float32)
+                    .reshape(b, hkv, group, sq_p, d) * ksc
+                ).reshape(b, hq, sq_p, d).astype(q.dtype)
+                dqsc = (ksc[:, :, 0] * scale)
+            elif k.config.granularity == QuantGranularity.TENSOR:
+                ksc = k.scale.reshape(()).astype(jnp.float32)
+                qs_dq = (qs.astype(jnp.float32) * ksc).astype(q.dtype)
+                dqsc = jnp.broadcast_to(
+                    (ksc * scale).reshape(1, 1, 1, 1), (b, hkv, 1, d)
+                )
+            else:  # ROW: transposed per-token scales, store keeps scale
+                qs_dq = qs
+                ksr_t = jnp.swapaxes(
+                    k.scale.reshape(b, hkv, skv, 1).astype(jnp.float32),
+                    2, 3,
+                )
+                if skv_p != skv:
+                    ksr_t = jnp.pad(
+                        ksr_t,
+                        ((0, 0), (0, 0), (0, 0), (0, skv_p - skv)),
+                        constant_values=1.0,
+                    )
+                dqsc = jnp.full((b, hkv, 1, d), scale, jnp.float32)
+            if v.config.granularity == QuantGranularity.CHANNEL:
+                vsc_ = v.scale.reshape(b, hkv, 1, 1, d).astype(jnp.float32)
+                do_dq = (
+                    do_p.astype(jnp.float32)
+                    .reshape(b, hkv, group, sq_p, d) * vsc_
+                ).reshape(b, hq, sq_p, d).astype(q.dtype)
+            elif v.config.granularity == QuantGranularity.TENSOR:
+                do_dq = (
+                    do_p.astype(jnp.float32)
+                    * v.scale.reshape(()).astype(jnp.float32)
+                ).astype(q.dtype)
+            else:  # ROW
+                do_dq = do_p
+                vsr_t = jnp.swapaxes(
+                    v.scale.reshape(b, hkv, skv, 1).astype(jnp.float32),
+                    2, 3,
+                )
+                if skv_p != skv:
+                    vsr_t = jnp.pad(
+                        vsr_t,
+                        ((0, 0), (0, 0), (0, 0), (0, skv_p - skv)),
+                        constant_values=1.0,
+                    )
+            # dKV-side scale inputs: per-token layout for ROW/TENSOR;
+            # CHANNEL rides as a [B, Hkv, 1, D] vector (kv_chan mode).
+            k_chan = k.config.granularity == QuantGranularity.CHANNEL
+            v_chan = v.config.granularity == QuantGranularity.CHANNEL
+            if k_chan:
+                ks_p = k.scale.reshape(b, hkv, 1, d).astype(jnp.float32)
+                kz_p = jnp.zeros_like(ks_p)
+            else:
+                ks_, kz_ = _per_token_params(k)
+                ks_p = pad_seq(ks_, skv_p)
+                kz_p = pad_seq(kz_, skv_p)
+            if v_chan:
+                vs_p = v.scale.reshape(b, hkv, 1, d).astype(jnp.float32)
+                vz_p = jnp.zeros_like(vs_p)
+            else:
+                vs_, vz_ = _per_token_params(v)
+                vs_p = pad_seq(vs_, skv_p)
+                vz_p = pad_seq(vz_, skv_p)
         else:
             ks_, kz_ = _per_token_params(k)
             vs_, vz_ = _per_token_params(v)
@@ -954,6 +1137,28 @@ def flash_attention_backward(
             inputs.append(er_dq)
         in_specs.append(pl.BlockSpec((d // bs2, d), lambda *a: (0, 0)))
         inputs.append(ec_dq)
+    elif kv_quant and folded_dq:
+        tok_spec_dq = pl.BlockSpec(
+            (1, 1, 1, bkvM_dq),
+            lambda *a: (a[0], kv_head(a[1]), 0, kv_block_dq(a)),
+        )
+        in_specs += [q_spec, kv_spec(pd_k)]
+        inputs += [qs_dq, kq_p]
+        if k_rowscale:
+            in_specs.append(tok_spec_dq)
+            inputs.append(ksr_t)
+        in_specs.append(kv_spec(pd_v))
+        inputs.append(vq_p)
+        if v_rowscale:
+            in_specs.append(tok_spec_dq)
+            inputs.append(vsr_t)
+        in_specs += [
+            q_spec, stat_spec, stat_spec,
+            pl.BlockSpec(
+                (1, 1, 1, d), lambda *a: (a[0], kv_head(a[1]), 0, 0)
+            ),
+        ]
+        inputs += [do_dq, l_col, d_col, dqsc]
     elif kv_quant:
         in_specs += [
             q_spec,
@@ -1023,6 +1228,9 @@ def flash_attention_backward(
         packed=packed_dq,
         kv_gran=kv_gran,
         has_er=(kv_gran == "block2d" and br > 1),
+        folded=folded_dq,
+        k_rowscale=k_rowscale,
+        v_rowscale=v_rowscale,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(scalars_dq),
@@ -1234,10 +1442,17 @@ def flash_attention_backward(
         in_specs2.append(pl.BlockSpec((d // bs2, d), lambda *a: (0, 0)))
         inputs2.append(ec_dkv)
     elif kv_quant:
+        chan_spec2 = pl.BlockSpec(
+            (1, 1, 1, d), lambda *a: (a[0], a[1], 0, 0)
+        )
         in_specs2 += [
             q_side(False),
-            kv_side(pd_k), kv_side(1), kv_side(1),
-            kv_side(pd_v), kv_side(1), kv_side(1),
+            kv_side(pd_k),
+            chan_spec2 if k_chan else kv_side(1),
+            chan_spec2 if k_chan else kv_side(1),
+            kv_side(pd_v),
+            chan_spec2 if v_chan else kv_side(1),
+            chan_spec2 if v_chan else kv_side(1),
             q_side(False), q_side(True), q_side(True),
         ]
         inputs2 += [
@@ -1284,6 +1499,7 @@ def flash_attention_backward(
         packed=packed_dkv,
         kv_gran=kv_gran,
         has_er=(kv_gran == "block2d" and br > 1),
+        kv_chan=(k_chan, v_chan),
     )
     dkv_scratch = [
         pltpu.VMEM((bkv_dkv, d), jnp.float32),

@@ -621,3 +621,42 @@ def test_folded_row_gqa_ragged_window():
         mask=mask,
     )
     np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref), atol=3e-2)
+
+
+@pytest.mark.parametrize(
+    "kcfg,vcfg",
+    [(TENS8, CH8), (CH4, CH4), (ROW8S, ROW8S), (ROW4S, CH8)],
+    ids=["k8tens-v8chan", "k4v4-chan", "k8v8-row", "k4row-v8chan"],
+)
+def test_folded_backward_matches_dequantized_vjp(kcfg, vcfg):
+    # FOLDED quantized dQ kernel (mixed bf16xint8 dots, scales folded
+    # into Q / dO / the dQ store vector; ROW scales as column multiplies)
+    # + CHANNEL-aware dKV scratch dequant: gradients must match the dense
+    # VJP on dequantized K/V at bf16 tolerance.
+    from metal_flash_attention_plus_tpu.ops.flash_attention import (
+        flash_attention_forward,
+    )
+    from metal_flash_attention_plus_tpu.ops.flash_attention_bwd import (
+        flash_attention_backward,
+    )
+
+    q, k, v = _data(b=1, hq=4, hkv=2, sq=256, skv=256, d=64, seed=17)
+    q = q.astype(jnp.bfloat16)
+    do = jax.random.normal(
+        jax.random.PRNGKey(18), q.shape, jnp.bfloat16
+    )
+    kq, vq = quantize(k, kcfg), quantize(v, vcfg)
+    kf = kq.dequantize().astype(jnp.bfloat16)
+    vf = vq.dequantize().astype(jnp.bfloat16)
+    o, l = flash_attention_forward(q, kf, vf, mask=CAUSAL)
+    dq, dk, dv, _ = flash_attention_backward(
+        q, kq, vq, o, l, do, mask=CAUSAL
+    )
+    dq_r, dk_r, dv_r = reference_attention_vjp(
+        q, kf, vf, do.astype(jnp.float32), mask=CAUSAL
+    )[:3]
+    for g, g_r in ((dq, dq_r), (dk, dk_r), (dv, dv_r)):
+        np.testing.assert_allclose(
+            np.asarray(g, np.float32), np.asarray(g_r, np.float32),
+            atol=6e-2,
+        )
