@@ -54,38 +54,34 @@ SEQ = 4096
 
 
 def kv_config(bits: int, operand: str = "k") -> QuantConfig:
-    if bits == 4:
-        # Finest-granularity in-kernel scales for the int4 arm (BLOCK_2D
-        # 1×32, MXU-expanded): ~1.7× lower max err than per-token at d=256.
-        return QuantConfig(
-            bits=4, granularity=QuantGranularity.BLOCK_2D,
-            strategy=QuantStrategy.CENTERED, block_rows=1, block_size=32,
-        )
-    # int8 runs the FOLDED dequant-free pipeline (the fastest int8 config,
-    # docs/perf_notes.md): symmetric TENSOR K folds into the Q pre-scale,
-    # per-channel symmetric V folds at store — both MXU dots take the int8
-    # payloads directly (mixed bf16×int8), zero per-tile dequant work.
-    if operand == "v":
-        return QuantConfig(
-            bits=8, granularity=QuantGranularity.CHANNEL,
-            strategy=QuantStrategy.SYMMETRIC,
-        )
+    # Every arm runs the FOLDED dequant-free pipeline (the fastest config
+    # at each width, docs/perf_notes.md): symmetric CHANNEL scales fold
+    # into the Q pre-scale (K, exact elementwise) / the store vector (V);
+    # int4 payloads nibble-unpack in-kernel.  Both MXU dots take the int
+    # payloads directly (mixed bf16×int8) — zero per-tile dequant work.
+    # K TENSOR at int8 (folds to a scalar; same speed, matches the
+    # measured 0.025 err); CHANNEL at int4 (per-d adaptivity is what the
+    # reference's ConvRot/BLOCK_2D machinery exists for).
+    gran = (
+        QuantGranularity.CHANNEL
+        if (bits == 4 or operand == "v")
+        else QuantGranularity.TENSOR
+    )
     return QuantConfig(
-        bits=8, granularity=QuantGranularity.TENSOR,
-        strategy=QuantStrategy.SYMMETRIC,
+        bits=bits, granularity=gran, strategy=QuantStrategy.SYMMETRIC,
     )
 
 
-def _build_arm(d: int, h: int, bits: int, b: int):
+def _build_arm(d: int, h: int, bits: int, b: int, bits_v: int = None):
     ks = jax.random.split(jax.random.PRNGKey(0), 3)
     q = jax.random.normal(ks[0], (b, h, SEQ, d), jnp.bfloat16)
     k = jax.random.normal(ks[1], (b, h, SEQ, d), jnp.float32)
     v = jax.random.normal(ks[2], (b, h, SEQ, d), jnp.float32)
     kq = quantize(k, kv_config(bits, "k"))
-    vq = quantize(v, kv_config(bits, "v"))
+    vq = quantize(v, kv_config(bits if bits_v is None else bits_v, "v"))
 
-    # The folded int8 kernel has the float kernel's VPU profile → the
-    # float-causal block table; int4 keeps the quantized table.
+    # The folded kernels have the float kernel's VPU profile → the
+    # float-causal block table at int8; int4 keeps the quantized table.
     blocks = (
         AttentionTuner.shared().recommend("fwd", d, SEQ, causal=True)
         if bits == 8
@@ -100,7 +96,7 @@ def _build_arm(d: int, h: int, bits: int, b: int):
     return f, q, k, v, kq, vq
 
 
-def run_config(d: int, h: int, bits: int, chip) -> dict:
+def run_config(d: int, h: int, bits: int, chip, bits_v: int = None) -> dict:
     # Two-point batch-slope timing: this tunnel stack adds a FLUCTUATING
     # 0.45-2.7 ms unpipelined cost per dispatch (a trivial ``x+1`` jit
     # call measures 446-824 µs depending on the hour; flash calls fit
@@ -110,8 +106,8 @@ def run_config(d: int, h: int, bits: int, chip) -> dict:
     # dispatches inside ONE command buffer and reading
     # gpuEndTime - gpuStartTime (QuantizedAttention.swift:878-989).
     b1, b2 = 4, 24
-    f1, q1, k, v, kq, vq = _build_arm(d, h, bits, b1)
-    f2, q2, *_ = _build_arm(d, h, bits, b2)
+    f1, q1, k, v, kq, vq = _build_arm(d, h, bits, b1, bits_v)
+    f2, q2, *_ = _build_arm(d, h, bits, b2, bits_v)
 
     fp = jax.jit(
         lambda q, k, v: flash_attention_forward(
@@ -139,7 +135,8 @@ def run_config(d: int, h: int, bits: int, chip) -> dict:
     mxu_cap = min(1.0, d / 128.0)
     util = tflops / (chip.bf16_tflops * mxu_cap)
     return dict(
-        d=d, bits=bits, tflops=round(tflops, 2), gbs=round(gbs, 1),
+        d=d, bits=bits if bits_v is None else f"k{bits}v{bits_v}",
+        tflops=round(tflops, 2), gbs=round(gbs, 1),
         max_err=round(max_err, 4), util=round(util, 4),
     )
 
@@ -220,8 +217,13 @@ def main():
     chip = detect_chip()
     r64 = run_config(64, 8, 8, chip)
     r256 = run_config(256, 4, 4, chip)
+    # The reference's published int4 accuracy (0.0206 rel err, GLUON doc)
+    # is consistent with a K-side-only int4 measurement (docs/perf_notes
+    # .md "int4 error anatomy") — its honest parity config is K-int4 +
+    # V-int8, which is also the fastest arm (the int8 V needs no unpack).
+    r_k4v8 = run_config(256, 4, 4, chip, bits_v=8)
     bw = run_bandwidth_arm()
-    for r in (r64, r256, bw):
+    for r in (r64, r256, r_k4v8, bw):
         print(f"detail: {r}", file=sys.stderr)
     mean_tflops = (r64["tflops"] + r256["tflops"]) / 2
     mean_util = (r64["util"] + r256["util"]) / 2
@@ -232,6 +234,8 @@ def main():
                     f"quantized causal flash-attn fwd, seq {SEQ} "
                     f"(d=64 int8-KV / d=256 int4-KV), {chip.name}; "
                     f"errs {r64['max_err']}/{r256['max_err']} vs fp32; "
+                    f"K4V8 {r_k4v8['tflops']} TF/s err "
+                    f"{r_k4v8['max_err']}; "
                     f"32K paged decode {bw['decode_gbs']} GB/s, "
                     f"int8 cache {bw['int8_speedup']}x time / "
                     f"{bw['int8_capacity']}x capacity"

@@ -55,9 +55,8 @@ extern "C" int mfa_resolve_blocks(int32_t head_dim, int32_t bits,
     } else if (head_dim <= 128) {
       bq = 1024; bkv = 1024; bkvm = 2048;
     } else if (bits == 4) {
-      // Dual-path masking doubles the unrolled dequant body; int4 d=256
-      // at M2048 overflows the 16 MB scoped-vmem stack.
-      bq = 1024; bkv = 1024; bkvm = 1024;
+      // Folded int4 path optimum (slope-measured, exp23): K4V8 143 TF/s.
+      bq = 512; bkv = 512; bkvm = 1024;
     } else {
       bq = 512; bkv = 512; bkvm = 2048;
     }
