@@ -50,6 +50,10 @@ def build(d, h, variant, bits, bq, bkv, mj, b):
         kq, vq = quantize(k, sym(bits, G.TENSOR)), quantize(
             v, sym(bits, G.CHANNEL))
         qq = True
+    elif variant == "fullint-k4v8":
+        kq, vq = quantize(k, sym(4, G.TENSOR)), quantize(
+            v, sym(8, G.CHANNEL))
+        qq = True
     else:
         raise ValueError(variant)
     bl = BlockSizes(block_q=bq, block_kv=bkv, block_kv_major=mj)

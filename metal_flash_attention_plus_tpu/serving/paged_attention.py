@@ -117,13 +117,14 @@ def _decode_kernel(
             start(nxt, jax.lax.rem(nxt, DECODE_SLOTS))
 
         wait(ci, slot)
-        # Widen to the compute dtype (no-op for float pools; int8 payloads
-        # are scaled via the score-row fold below).  kvbuf[slot] is
-        # [cp, s_sub*PT, D] with K in token rows [0, PT) and V in
-        # [PT, 2PT); s_sub == 1 means K IS V (MLA latent pages).
-        k = kvbuf[slot, :, :page_tokens].reshape(
-            ct, head_dim
-        ).astype(q.dtype)
+        # int8 pools feed the MXU DIRECTLY (mixed bf16×int8 dots, exact —
+        # see ops/quantized_attention kv_folded); float pools widen to the
+        # compute dtype.  kvbuf[slot] is [cp, s_sub*PT, D] with K in token
+        # rows [0, PT) and V in [PT, 2PT); s_sub == 1 means K IS V (MLA
+        # latent pages).
+        k = kvbuf[slot, :, :page_tokens].reshape(ct, head_dim)
+        if not quantized:
+            k = k.astype(q.dtype)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
@@ -145,7 +146,9 @@ def _decode_kernel(
 
         v = kvbuf[slot, :, (s_sub - 1) * page_tokens:].reshape(
             ct, head_dim
-        ).astype(q.dtype)
+        )
+        if not quantized:
+            v = v.astype(q.dtype)
         if quantized:
             p = p * vsd_ref[0, 0, :, pl.ds(ci * ct, ct)]
         if v_tail_zero:
@@ -155,8 +158,10 @@ def _decode_kernel(
                 jnp.int32, (ct, head_dim), 1
             )
             v = jnp.where(lane < head_dim - v_tail_zero, v, 0)
-        pv = jax.lax.dot(
-            p.astype(v.dtype), v,
+        pv = jax.lax.dot_general(
+            # int8 V: mixed dot (P in the compute dtype, V int8).
+            p.astype(q.dtype if quantized else v.dtype), v,
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
         )
         return m_next, l_next, acc * alpha + pv
