@@ -153,7 +153,11 @@ def run_bandwidth_arm() -> dict:
         paged_decode_attention,
     )
 
-    hq, hkv, d, pt, skv = 8, 8, 128, 128, 32768
+    # page_tokens=256: the wave kernel issues one async copy per page
+    # (~0.25 us issue cost regardless of bytes) — 128-token pages are
+    # ISSUE-bound and cap the int8 win below the byte ratio; 256+ is
+    # bandwidth-bound (exp26 sweep, docs/perf_notes.md).
+    hq, hkv, d, pt, skv = 8, 8, 128, 256, 32768
     pps = skv // pt
 
     def build(b, int8):
@@ -162,9 +166,12 @@ def run_bandwidth_arm() -> dict:
         q = jax.random.normal(ks[0], (b, hq, d), jnp.bfloat16)
         kvp = jax.random.normal(ks[1], (hkv, np_, 2 * pt, d), jnp.bfloat16)
         rng = np.random.default_rng(0)
+        # DISJOINT page sets per sequence — shared pages let HBM reads
+        # cache-hit and overstate both GB/s and the bf16 baseline.
+        perm = rng.permutation(np_ - 1)
         pts_ = jnp.asarray(
             np.stack(
-                [rng.permutation(np_ - 1)[:pps] for _ in range(b)]
+                [perm[i * pps:(i + 1) * pps] for i in range(b)]
             ).astype(np.int32)
         )
         lengths = jnp.full((b,), skv, jnp.int32)

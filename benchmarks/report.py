@@ -191,9 +191,10 @@ def run(args):
 
     # ------------------------------------------------------------------
     # Paged-decode regime (VERDICT r1 item 2): 4 seqs x 32K context via the
-    # multi-page DMA-wave decode kernel; bf16 vs int8 cache.  On this
-    # tunnel stack scattered page reads are issue-bound, so int8 decode
-    # time is ~parity; its win is CAPACITY (docs/perf_notes.md round-2).
+    # multi-page DMA-wave decode kernel; bf16 vs int8 cache.  256-token
+    # pages (the bandwidth-bound regime — 128-token pages are async-copy
+    # ISSUE-bound, exp26) with DISJOINT page sets per sequence so HBM
+    # reads can't cache-hit.  int8 pools feed mixed bf16×int8 MXU dots.
     # ------------------------------------------------------------------
     import numpy as np
 
@@ -201,15 +202,16 @@ def run(args):
         paged_decode_attention,
     )
 
-    b1, hq1, hkv1, d1, pt1, skv1 = 4, 8, 8, 128, 128, 32768
+    b1, hq1, hkv1, d1, pt1, skv1 = 4, 8, 8, 128, 256, 32768
     pps = skv1 // pt1
     npg = b1 * pps + 1
     ks = jax.random.split(jax.random.PRNGKey(1), 2)
     q1 = jax.random.normal(ks[0], (b1, hq1, d1), jnp.bfloat16)
     kvp = jax.random.normal(ks[1], (hkv1, npg, 2 * pt1, d1), jnp.bfloat16)
     rng = np.random.default_rng(0)
+    perm1 = rng.permutation(npg - 1)
     pts = jnp.asarray(np.stack(
-        [rng.permutation(npg - 1)[:pps] for _ in range(b1)]
+        [perm1[i * pps:(i + 1) * pps] for i in range(b1)]
     ).astype(np.int32))
     lens = jnp.full((b1,), skv1, jnp.int32)
     fb = jax.jit(lambda q, kvp: paged_decode_attention(
