@@ -1,7 +1,7 @@
 """Full benchmark report — the SURVEY.md §6 / reference-README table,
 re-measured on this framework's kernels on the live TPU.
 
-python benchmarks/report.py [--seq 4096] [--batch 4] [--quick]
+python benchmarks/report.py [--seq 4096] [--quick]
 
 Prints a markdown table + writes benchmarks/report.json.  The utilization
 columns use the reference's op-count model ((2D+5)N² fwd, (9D+15)N²
@@ -9,6 +9,15 @@ fwd+bwd, FMA=2 FLOPs, causal halved) against the chip's bf16 peak with the
 MXU-geometry cap (min(1, D/128) — a 64-deep contraction can only half-fill
 the 128-lane systolic array), so the fractions are comparable with the
 reference's ALU-utilization table (``README.md:256-264``).
+
+Timing is the TWO-POINT BATCH SLOPE (same methodology as bench.py): this
+axon-tunneled runtime adds a fluctuating 0.45-2.7 ms unpipelined cost per
+dispatch, so every call fits t = intercept + slope·batch and the slope
+between two batch sizes is the kernel's steady-state device rate — the
+same quantity the reference reads by duplicating dispatches inside ONE
+command buffer and timing gpuEndTime − gpuStartTime
+(``QuantizedAttention.swift:878-989``).  Direct per-call timing (the old
+report) understated every kernel 1.5-2× behind the tunnel.
 """
 
 from __future__ import annotations
@@ -46,75 +55,97 @@ from metal_flash_attention_plus_tpu.utils.roofline import (
     detect_chip,
 )
 
+B1, B2 = 4, 16  # slope endpoints
+
+
+def slope_time(build, iters, b1=B1, b2=B2):
+    """Marginal seconds per batch element between two batch sizes.
+
+    ``build(b)`` returns ``(jitted_fn, args)``; the slope cancels the
+    tunnel's per-dispatch intercept exactly."""
+    f1, a1 = build(b1)
+    f2, a2 = build(b2)
+    f1(*a1)
+    f2(*a2)
+    t1 = min(measure(f1, *a1, iters=iters, warmup=2, trains=3)
+             for _ in range(2))
+    t2 = min(measure(f2, *a2, iters=iters, warmup=2, trains=3)
+             for _ in range(2))
+    return max((t2 - t1) / (b2 - b1), 1e-9)
+
 
 def run(args):
     chip = detect_chip()
     tuner = AttentionTuner.shared()
     rows = []
-    iters = 10 if args.quick else 40
+    iters = 6 if args.quick else 10
+    s = args.seq
     for d, h in [(64, 8), (128, 8), (256, 4)]:
-        b, s = args.batch, args.seq
-        ks = jax.random.split(jax.random.PRNGKey(0), 4)
-        q = jax.random.normal(ks[0], (b, h, s, d), jnp.bfloat16)
-        k = jax.random.normal(ks[1], (b, h, s, d), jnp.bfloat16)
-        v = jax.random.normal(ks[2], (b, h, s, d), jnp.bfloat16)
-        do = jax.random.normal(ks[3], (b, h, s, d), jnp.bfloat16)
         mxu_cap = min(1.0, d / 128.0)
         peak = chip.bf16_tflops * mxu_cap
 
-        def tf(sec, phase, causal=True):
+        def qkv(b, n=3):
+            ks = jax.random.split(jax.random.PRNGKey(0), n)
+            return tuple(
+                jax.random.normal(k_, (b, h, s, d), jnp.bfloat16)
+                for k_ in ks
+            )
+
+        def tf(sec_per_b, phase, causal=True):
             fl = 2.0 * attention_ginstrs(
-                s, s, d, num_heads=h, batch=b, phase=phase
+                s, s, d, num_heads=h, batch=1, phase=phase
             ) / (2 if causal else 1)
-            return fl / sec / 1e12
+            return fl / sec_per_b / 1e12
 
         blocks = tuner.recommend("fwd", d, s)
-
-        f_fwd = jax.jit(
-            lambda q, k, v, m=CAUSAL: flash_attention_forward(
-                q, k, v, mask=m, block_sizes=blocks, interpret=False
-            )[0]
-        )
-        t_fwd = measure(f_fwd, q, k, v, iters=iters, warmup=3)
-
         blocks_full = tuner.recommend("fwd", d, s, causal=False)
-        f_full = jax.jit(
-            lambda q, k, v: flash_attention_forward(
-                q, k, v, mask=FULL, block_sizes=blocks_full, interpret=False
-            )[0]
-        )
-        t_full = measure(f_full, q, k, v, iters=iters, warmup=3)
 
-        f_both = jax.jit(
-            jax.grad(
+        def build_fwd(b, mask=CAUSAL, blk=blocks):
+            q, k, v = qkv(b)
+            f = jax.jit(lambda q, k, v: flash_attention_forward(
+                q, k, v, mask=mask, block_sizes=blk, interpret=False)[0])
+            return f, (q, k, v)
+
+        t_fwd = slope_time(lambda b: build_fwd(b), iters)
+        t_full = slope_time(
+            lambda b: build_fwd(b, FULL, blocks_full), iters)
+
+        def build_both(b):
+            q, k, v = qkv(b)
+            do = jax.random.normal(
+                jax.random.PRNGKey(7), (b, h, s, d), jnp.bfloat16)
+            f = jax.jit(jax.grad(
                 lambda q, k, v: jnp.sum(
                     flash_attention(
                         q, k, v, mask=CAUSAL, block_sizes=blocks
-                    ).astype(jnp.float32)
-                    * do.astype(jnp.float32)
+                    ).astype(jnp.float32) * do.astype(jnp.float32)
                 ),
                 argnums=(0, 1, 2),
-            )
-        )
-        t_both = measure(f_both, q, k, v, iters=max(5, iters // 2), warmup=3)
+            ))
+            return f, (q, k, v)
 
+        t_both = slope_time(build_both, max(4, iters // 2))
+
+        # Legacy dequant-on-load int8 (ROW/CENTERED in-kernel dequant) —
+        # kept as the comparison row for the folded path's win.
         cfg8 = QuantConfig(
             bits=8, granularity=QuantGranularity.ROW,
             strategy=QuantStrategy.CENTERED,
         )
-        kq, vq = quantize(k.astype(jnp.float32), cfg8), quantize(
-            v.astype(jnp.float32), cfg8
-        )
         qblocks = tuner.recommend("fwd_q", d, s, bits=8)
-        f_q8 = jax.jit(
-            lambda q: quantized_flash_attention_forward(
-                q, kq, vq, mask=CAUSAL, block_sizes=qblocks, interpret=False
-            )[0]
-        )
-        t_q8 = measure(f_q8, q, iters=iters, warmup=3)
 
-        # Full-integer pipeline (production int8 path): int8 Q×K scores
-        # AND int8 P×V accumulation — both MXU dots at 2× the bf16 rate.
+        def build_q8(b):
+            q, k, v = qkv(b)
+            kq = quantize(k.astype(jnp.float32), cfg8)
+            vq = quantize(v.astype(jnp.float32), cfg8)
+            f = jax.jit(lambda q: quantized_flash_attention_forward(
+                q, kq, vq, mask=CAUSAL, block_sizes=qblocks,
+                interpret=False)[0])
+            return f, (q,)
+
+        t_q8 = slope_time(build_q8, iters)
+
+        # Full-integer pipeline: int8 Q×K scores AND int8 P×V.
         cfg_k8 = QuantConfig(
             bits=8, granularity=QuantGranularity.ROW,
             strategy=QuantStrategy.SYMMETRIC,
@@ -123,16 +154,17 @@ def run(args):
             bits=8, granularity=QuantGranularity.CHANNEL,
             strategy=QuantStrategy.SYMMETRIC,
         )
-        kqs, vqs = quantize(k.astype(jnp.float32), cfg_k8), quantize(
-            v.astype(jnp.float32), cfg_v8
-        )
-        f_qi = jax.jit(
-            lambda q: quantized_flash_attention_forward(
-                q, kqs, vqs, mask=CAUSAL, block_sizes=qblocks,
-                quantize_q=True, interpret=False,
-            )[0]
-        )
-        t_qi = measure(f_qi, q, iters=iters, warmup=3)
+
+        def build_qi(b):
+            q, k, v = qkv(b)
+            kq = quantize(k.astype(jnp.float32), cfg_k8)
+            vq = quantize(v.astype(jnp.float32), cfg_v8)
+            f = jax.jit(lambda q: quantized_flash_attention_forward(
+                q, kq, vq, mask=CAUSAL, block_sizes=qblocks,
+                quantize_q=True, interpret=False)[0])
+            return f, (q,)
+
+        t_qi = slope_time(build_qi, iters)
 
         # FOLDED int8 (the fastest int8 config, docs/perf_notes.md):
         # symmetric TENSOR K folds into the Q pre-scale, CHANNEL V folds
@@ -143,14 +175,17 @@ def run(args):
             bits=8, granularity=QuantGranularity.TENSOR,
             strategy=QuantStrategy.SYMMETRIC,
         )
-        kqf = quantize(k.astype(jnp.float32), cfg_kt8)
-        f_qf = jax.jit(
-            lambda q: quantized_flash_attention_forward(
-                q, kqf, vqs, mask=CAUSAL, block_sizes=blocks,
-                interpret=False,
-            )[0]
-        )
-        t_qf = measure(f_qf, q, iters=iters, warmup=3)
+
+        def build_qf(b):
+            q, k, v = qkv(b)
+            kq = quantize(k.astype(jnp.float32), cfg_kt8)
+            vq = quantize(v.astype(jnp.float32), cfg_v8)
+            f = jax.jit(lambda q: quantized_flash_attention_forward(
+                q, kq, vq, mask=CAUSAL, block_sizes=blocks,
+                interpret=False)[0])
+            return f, (q,)
+
+        t_qf = slope_time(build_qf, iters)
 
         fwd_tf = tf(t_fwd, "forward")
         full_tf = tf(t_full, "forward", causal=False)
@@ -190,11 +225,12 @@ def run(args):
         )
 
     # ------------------------------------------------------------------
-    # Paged-decode regime (VERDICT r1 item 2): 4 seqs x 32K context via the
+    # Paged-decode regime (VERDICT r1 item 2): 32K context via the
     # multi-page DMA-wave decode kernel; bf16 vs int8 cache.  256-token
     # pages (the bandwidth-bound regime — 128-token pages are async-copy
     # ISSUE-bound, exp26) with DISJOINT page sets per sequence so HBM
     # reads can't cache-hit.  int8 pools feed mixed bf16×int8 MXU dots.
+    # Slope between 4 and 16 sequences cancels the dispatch intercept.
     # ------------------------------------------------------------------
     import numpy as np
 
@@ -202,54 +238,59 @@ def run(args):
         paged_decode_attention,
     )
 
-    b1, hq1, hkv1, d1, pt1, skv1 = 4, 8, 8, 128, 256, 32768
+    hq1, hkv1, d1, pt1, skv1 = 8, 8, 128, 256, 32768
     pps = skv1 // pt1
-    npg = b1 * pps + 1
-    ks = jax.random.split(jax.random.PRNGKey(1), 2)
-    q1 = jax.random.normal(ks[0], (b1, hq1, d1), jnp.bfloat16)
-    kvp = jax.random.normal(ks[1], (hkv1, npg, 2 * pt1, d1), jnp.bfloat16)
-    rng = np.random.default_rng(0)
-    perm1 = rng.permutation(npg - 1)
-    pts = jnp.asarray(np.stack(
-        [perm1[i * pps:(i + 1) * pps] for i in range(b1)]
-    ).astype(np.int32))
-    lens = jnp.full((b1,), skv1, jnp.int32)
-    fb = jax.jit(lambda q, kvp: paged_decode_attention(
-        q, kvp, pts, lens, page_tokens=pt1))
-    fb(q1, kvp)
-    t_bf16 = measure(fb, q1, kvp, iters=20, warmup=3)
-    kv_bytes = 2 * b1 * skv1 * hkv1 * d1 * 2
-    decode_rows = [dict(
-        kv="bf16", ms=round(t_bf16 * 1e3, 3),
-        gbs=round(kv_bytes / t_bf16 / 1e9, 1), speedup=1.0,
-        capacity=1.0,
-    )]
-    kvq = jnp.clip(jnp.round(kvp.astype(jnp.float32) * 10), -127, 127
-                   ).astype(jnp.int8)
-    sc = jnp.full((hkv1, npg, 1, pt1), 0.1, jnp.float32)
-    f8 = jax.jit(lambda q, kvq, sc: paged_decode_attention(
-        q, kvq, pts, lens, page_tokens=pt1, k_scales=sc, v_scales=sc))
-    f8(q1, kvq, sc)
-    t8 = measure(f8, q1, kvq, sc, iters=20, warmup=3)
-    decode_rows.append(dict(
-        kv="int8", ms=round(t8 * 1e3, 3),
-        gbs=round(kv_bytes / 2 / t8 / 1e9, 1),
-        speedup=round(t_bf16 / t8, 2), capacity=2.0,
-    ))
+
+    def build_decode(b, int8):
+        npg = b * pps + 1
+        ks = jax.random.split(jax.random.PRNGKey(1), 2)
+        q = jax.random.normal(ks[0], (b, hq1, d1), jnp.bfloat16)
+        kvp = jax.random.normal(
+            ks[1], (hkv1, npg, 2 * pt1, d1), jnp.bfloat16)
+        rng = np.random.default_rng(0)
+        perm = rng.permutation(npg - 1)
+        pts = jnp.asarray(np.stack(
+            [perm[i * pps:(i + 1) * pps] for i in range(b)]
+        ).astype(np.int32))
+        lens = jnp.full((b,), skv1, jnp.int32)
+        if int8:
+            kvq = jnp.clip(
+                jnp.round(kvp.astype(jnp.float32) * 10), -127, 127
+            ).astype(jnp.int8)
+            sc = jnp.full((hkv1, npg, 1, pt1), 0.1, jnp.float32)
+            f = jax.jit(lambda q, kvq, sc: paged_decode_attention(
+                q, kvq, pts, lens, page_tokens=pt1,
+                k_scales=sc, v_scales=sc))
+            return f, (q, kvq, sc)
+        f = jax.jit(lambda q, kvp: paged_decode_attention(
+            q, kvp, pts, lens, page_tokens=pt1))
+        return f, (q, kvp)
+
+    t_bf16 = slope_time(lambda b: build_decode(b, False), 10)
+    t8 = slope_time(lambda b: build_decode(b, True), 10)
+    kv_bytes_seq = 2 * skv1 * hkv1 * d1 * 2
+    decode_rows = [
+        dict(kv="bf16", us_per_seq=round(t_bf16 * 1e6, 1),
+             gbs=round(kv_bytes_seq / t_bf16 / 1e9, 1),
+             speedup=1.0, capacity=1.0),
+        dict(kv="int8", us_per_seq=round(t8 * 1e6, 1),
+             gbs=round(kv_bytes_seq / 2 / t8 / 1e9, 1),
+             speedup=round(t_bf16 / t8, 2), capacity=2.0),
+    ]
     print(
-        f"32K paged decode: bf16 {t_bf16*1e3:.2f} ms "
-        f"({kv_bytes/t_bf16/1e9:.0f} GB/s), int8 {t8*1e3:.2f} ms",
+        f"32K paged decode: bf16 {t_bf16*1e6:.0f} us/seq "
+        f"({kv_bytes_seq/t_bf16/1e9:.0f} GB/s), int8 {t8*1e6:.0f} us/seq "
+        f"({t_bf16/t8:.2f}x)",
         flush=True,
     )
 
     report = dict(
         chip=chip.name,
         bf16_peak_tflops=chip.bf16_tflops,
-        seq=args.seq,
-        batch=args.batch,
+        seq=s,
+        timing="two-point batch slope (b=4 vs 16), min-of-2x3 trains",
         decode_regime=dict(
-            shape=dict(b=b1, hq=hq1, hkv=hkv1, skv=skv1, d=d1,
-                       page_tokens=pt1),
+            shape=dict(hq=hq1, hkv=hkv1, skv=skv1, d=d1, page_tokens=pt1),
             rows=decode_rows,
         ),
         note=(
@@ -263,7 +304,8 @@ def run(args):
     out.write_text(json.dumps(report, indent=1))
     print(f"wrote {out}")
 
-    print("\n| D | fwd causal | fwd full | fwd+bwd | int8-KV | int8-full |")
+    print("\n| D | fwd causal | fwd full | fwd+bwd | int8-KV legacy "
+          "| int8 folded |")
     print("|---|---|---|---|---|---|")
     for r in rows:
         print(
@@ -271,13 +313,13 @@ def run(args):
             f"| {r['fwd_full_tflops']} TF ({r['fwd_full_util']:.0%}) "
             f"| {r['fwd_bwd_tflops']} TF ({r['fwd_bwd_util']:.0%}) "
             f"| {r['int8_kv_tflops']} TF ({r['int8_kv_util']:.0%}) "
-            f"| {r['int8_full_tflops']} TF ({r['int8_full_util']:.0%}) |"
+            f"| {r['int8_folded_tflops']} TF ({r['int8_folded_util']:.0%}, "
+            f"{r['int8_folded_speedup_vs_bf16']}x) |"
         )
 
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--seq", type=int, default=4096)
-    ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--quick", action="store_true")
     run(ap.parse_args())

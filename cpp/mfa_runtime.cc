@@ -55,8 +55,9 @@ extern "C" int mfa_resolve_blocks(int32_t head_dim, int32_t bits,
     } else if (head_dim <= 128) {
       bq = 1024; bkv = 1024; bkvm = 2048;
     } else if (bits == 4) {
-      // Folded int4 path optimum (slope-measured, exp23): K4V8 143 TF/s.
-      bq = 512; bkv = 512; bkvm = 1024;
+      // Folded int4 path optimum (slope-measured, exp23, two sessions):
+      // M2048 beats M1024 within-run (113.3 vs 106.6 TF/s K4V4).
+      bq = 512; bkv = 512; bkvm = 2048;
     } else {
       bq = 512; bkv = 512; bkvm = 2048;
     }

@@ -72,12 +72,14 @@ def default_block_sizes(
         elif head_dim <= 128:
             bq, bkv, bkvm = 1024, 1024, 2048
         elif bits == 4:
-            # Slope-measured (exp23, v5e): the FOLDED int4 path (CHANNEL/
-            # TENSOR/ROW symmetric — the default since round 2) peaks at
-            # (512,512,M1024): K4V8 143.2 TF/s, K4V4 120.9 (vs bf16 122).
-            # The BLOCK_2D dequant kernel prefers (1024,512,M1024) (93.1,
-            # exp21) — calibrate() overrides per deployment if needed.
-            bq, bkv, bkvm = 512, 512, 1024
+            # Slope-measured (exp23, v5e, two sessions): the FOLDED int4
+            # path (CHANNEL/TENSOR/ROW symmetric — the default since
+            # round 2) prefers (512,512,M2048): within-run it beats M1024
+            # 113.3 vs 106.6 TF/s (K4V4) with K4V8 flat across the two
+            # (116.0 vs 115.8).  The BLOCK_2D dequant kernel prefers
+            # (1024,512,M1024) (93.1, exp21) — calibrate() overrides per
+            # deployment if needed.
+            bq, bkv, bkvm = 512, 512, 2048
         else:
             bq, bkv, bkvm = 512, 512, 2048
     elif head_dim > 128:
