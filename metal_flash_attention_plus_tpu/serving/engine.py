@@ -85,8 +85,14 @@ class ServingEngine:
         params,
         cfg: TransformerConfig,
         *,
+        # 256-token pages are the measured default: the decode wave kernel
+        # issues ONE async copy per page (~0.25 µs regardless of bytes), so
+        # 128-token pages are issue-bound and cap int8-cache decode at
+        # ~1.4× over bf16 where 256+ reaches the 1.7-1.9× bandwidth bound
+        # (exp26 sweep, docs/perf_notes.md).  Callers with many short
+        # sequences can drop back to 128 to halve page fragmentation.
         num_pages: int = 256,
-        page_tokens: int = 128,
+        page_tokens: int = 256,
         max_batch: int = 8,
         max_pages_per_seq: Optional[int] = None,
         cache_dtype=jnp.bfloat16,
