@@ -73,11 +73,25 @@ def slope_time(build, iters, b1=B1, b2=B2):
             f2, a2 = build(bb2)
             f1(*a1)
             f2(*a2)
-            t1 = min(measure(f1, *a1, iters=iters, warmup=2, trains=3)
-                     for _ in range(2))
-            t2 = min(measure(f2, *a2, iters=iters, warmup=2, trains=3)
-                     for _ in range(2))
-            return max((t2 - t1) / (bb2 - bb1), 1e-9)
+            for _attempt in range(2):
+                t1 = min(measure(f1, *a1, iters=iters, warmup=2, trains=3)
+                         for _ in range(2))
+                t2 = min(measure(f2, *a2, iters=iters, warmup=2, trains=3)
+                         for _ in range(2))
+                if t2 > t1:
+                    return (t2 - t1) / (bb2 - bb1)
+                # Non-positive slope = a corrupted measurement (queue
+                # noise can exceed the small-batch time); re-measure
+                # once, then fall through to the next endpoint pair —
+                # never clamp, a clamped slope fabricates ~1e12 TF rows.
+                print(
+                    f"non-positive slope at b=({bb1},{bb2}) "
+                    f"(t1={t1:.4f}s t2={t2:.4f}s) — remeasuring",
+                    file=sys.stderr, flush=True,
+                )
+            last = RuntimeError(
+                f"slope non-positive at every attempt for b=({bb1},{bb2})"
+            )
         except Exception as e:  # noqa: BLE001 — compile OOM on an arm
             last = e
     print(f"slope arm failed at every endpoint pair: {str(last)[:200]}",
@@ -285,24 +299,31 @@ def run(args):
 
     t_bf16 = slope_time(lambda b: build_decode(b, False), 10)
     t8 = slope_time(lambda b: build_decode(b, True), 10)
-    if t_bf16 is None or t8 is None:
-        t_bf16 = t_bf16 or 1.0
-        t8 = t8 or 1.0
     kv_bytes_seq = 2 * skv1 * hkv1 * d1 * 2
-    decode_rows = [
-        dict(kv="bf16", us_per_seq=round(t_bf16 * 1e6, 1),
-             gbs=round(kv_bytes_seq / t_bf16 / 1e9, 1),
-             speedup=1.0, capacity=1.0),
-        dict(kv="int8", us_per_seq=round(t8 * 1e6, 1),
-             gbs=round(kv_bytes_seq / 2 / t8 / 1e9, 1),
-             speedup=round(t_bf16 / t8, 2), capacity=2.0),
-    ]
-    print(
-        f"32K paged decode: bf16 {t_bf16*1e6:.0f} us/seq "
-        f"({kv_bytes_seq/t_bf16/1e9:.0f} GB/s), int8 {t8*1e6:.0f} us/seq "
-        f"({t_bf16/t8:.2f}x)",
-        flush=True,
-    )
+    decode_rows = []
+    for kv, t, byte_div in (("bf16", t_bf16, 1), ("int8", t8, 2)):
+        if t is None:
+            # An arm that never produced a valid slope is reported as
+            # failed — never as a 1.0 s placeholder that fabricates
+            # speedup/GB/s numbers downstream.
+            decode_rows.append(dict(kv=kv, failed=True))
+            continue
+        row = dict(kv=kv, us_per_seq=round(t * 1e6, 1),
+                   gbs=round(kv_bytes_seq / byte_div / t / 1e9, 1),
+                   capacity=float(byte_div))
+        if t_bf16 is not None:
+            row["speedup"] = round(t_bf16 / t, 2)
+        decode_rows.append(row)
+    if t_bf16 is not None and t8 is not None:
+        print(
+            f"32K paged decode: bf16 {t_bf16*1e6:.0f} us/seq "
+            f"({kv_bytes_seq/t_bf16/1e9:.0f} GB/s), int8 "
+            f"{t8*1e6:.0f} us/seq ({t_bf16/t8:.2f}x)",
+            flush=True,
+        )
+    else:
+        print(f"32K paged decode: FAILED arms bf16={t_bf16} int8={t8}",
+              flush=True)
 
     report = dict(
         chip=chip.name,

@@ -23,7 +23,10 @@ def test_resolve_blocks_matches_python_table():
         default_block_sizes,
     )
 
-    for d, bits in [(64, 16), (128, 16), (256, 16), (64, 8), (512, 16)]:
+    for d, bits in [
+        (64, 16), (128, 16), (256, 16), (64, 8), (512, 16),
+        (128, 8), (256, 8), (128, 4), (256, 4),
+    ]:
         for causal in (True, False):
             native = resolve_blocks(d, bits, causal=causal)
             py = default_block_sizes(d, bits, causal)
