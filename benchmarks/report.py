@@ -41,6 +41,7 @@ from metal_flash_attention_plus_tpu.ops.flash_attention import (
     flash_attention_forward,
 )
 from metal_flash_attention_plus_tpu.ops.quantized_attention import (
+    quantized_flash_attention,
     quantized_flash_attention_forward,
 )
 from metal_flash_attention_plus_tpu.quant.params import (
@@ -212,6 +213,26 @@ def run(args):
 
         t_qf = slope_time(build_qf, iters)
 
+        # Quantized fwd+bwd (the north-star phase): folded int8 KV
+        # through the full custom-vjp — forward + dequantizing dQ + dKV
+        # kernels with scale/zp cotangents.
+        def build_qf_both(b):
+            q, k, v = qkv(b)
+            kq = quantize(k.astype(jnp.float32), cfg_kt8)
+            vq = quantize(v.astype(jnp.float32), cfg_v8)
+            do = jax.random.normal(
+                jax.random.PRNGKey(7), (b, h, s, d), jnp.bfloat16)
+            f = jax.jit(jax.grad(
+                lambda q: jnp.sum(
+                    quantized_flash_attention(
+                        q, kq, vq, mask=CAUSAL, block_sizes=blocks
+                    ).astype(jnp.float32) * do.astype(jnp.float32)
+                )
+            ))
+            return f, (q,)
+
+        t_qf_both = slope_time(build_qf_both, max(4, iters // 2))
+
         def tf_or(t, *a, **k):
             return 0.0 if t is None else tf(t, *a, **k)
 
@@ -224,6 +245,7 @@ def run(args):
         q8_tf = tf_or(t_q8, "forward")
         qi_tf = tf_or(t_qi, "forward")
         qf_tf = tf_or(t_qf, "forward")
+        qfb_tf = tf_or(t_qf_both, "fwd_bwd")
         rows.append(
             dict(
                 d=d,
@@ -241,6 +263,8 @@ def run(args):
                 int8_folded_tflops=round(qf_tf, 1),
                 int8_folded_util=round(qf_tf / peak, 3),
                 int8_folded_speedup_vs_bf16=ratio(t_fwd, t_qf),
+                int8_fwd_bwd_tflops=round(qfb_tf, 1),
+                int8_fwd_bwd_util=round(qfb_tf / peak, 3),
             )
         )
         print(
@@ -251,7 +275,8 @@ def run(args):
             f"int8-full {qi_tf:.1f} ({qi_tf/peak:.0%}, "
             f"{ratio(t_fwd, t_qi)}x bf16), "
             f"int8-folded {qf_tf:.1f} ({qf_tf/peak:.0%}, "
-            f"{ratio(t_fwd, t_qf)}x bf16)",
+            f"{ratio(t_fwd, t_qf)}x bf16), "
+            f"int8-fwd+bwd {qfb_tf:.1f} ({qfb_tf/peak:.0%})",
             flush=True,
         )
 
@@ -346,8 +371,8 @@ def run(args):
     print(f"wrote {out}")
 
     print("\n| D | fwd causal | fwd full | fwd+bwd | int8-KV legacy "
-          "| int8 folded |")
-    print("|---|---|---|---|---|---|")
+          "| int8 folded | int8 fwd+bwd |")
+    print("|---|---|---|---|---|---|---|")
     for r in rows:
         print(
             f"| {r['d']} | {r['fwd_causal_tflops']} TF ({r['fwd_causal_util']:.0%}) "
@@ -355,7 +380,9 @@ def run(args):
             f"| {r['fwd_bwd_tflops']} TF ({r['fwd_bwd_util']:.0%}) "
             f"| {r['int8_kv_tflops']} TF ({r['int8_kv_util']:.0%}) "
             f"| {r['int8_folded_tflops']} TF ({r['int8_folded_util']:.0%}, "
-            f"{r['int8_folded_speedup_vs_bf16']}x) |"
+            f"{r['int8_folded_speedup_vs_bf16']}x) "
+            f"| {r['int8_fwd_bwd_tflops']} TF "
+            f"({r['int8_fwd_bwd_util']:.0%}) |"
         )
 
 

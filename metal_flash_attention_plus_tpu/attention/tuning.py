@@ -339,7 +339,7 @@ class AttentionTuner:
                 f = jax.jit(
                     lambda a, bm=bm, bn=bn, bk=bk: mm(
                         a, wq, block_m=bm, block_n=bn, block_k=bk,
-                        interpret=False,
+                        interpret=None,
                     )
                 )
                 sec = measure(f, a, iters=iters, warmup=3)
@@ -424,7 +424,7 @@ class AttentionTuner:
 
                 return jax.jit(
                     lambda q, k, v: flash_attention_forward(
-                        q, k, v, mask=mask, block_sizes=bs, interpret=False
+                        q, k, v, mask=mask, block_sizes=bs, interpret=None
                     )[0]
                 ), (q, k, v)
             if kind == "fwd_q":
@@ -449,7 +449,7 @@ class AttentionTuner:
                 return jax.jit(
                     lambda q: quantized_flash_attention_forward(
                         q, kq, vq, mask=mask, block_sizes=bs,
-                        interpret=False,
+                        interpret=None,
                     )[0]
                 ), (q,)
             # kind == "bwd": time dQ + dKV from saved residuals.
@@ -462,14 +462,14 @@ class AttentionTuner:
 
             o, l = jax.jit(
                 lambda q, k, v: flash_attention_forward(
-                    q, k, v, mask=mask, interpret=False
+                    q, k, v, mask=mask, interpret=None
                 )
             )(q, k, v)
             do = jnp.ones_like(q)
             return jax.jit(
                 lambda q, k, v, o, l, do: flash_attention_backward(
                     q, k, v, o, l, do, mask=mask, block_sizes=bs,
-                    interpret=False,
+                    interpret=None,
                 )[0]
             ), (q, k, v, o, l, do)
 

@@ -26,6 +26,7 @@ from metal_flash_attention_plus_tpu.attention.precisions import (
 from metal_flash_attention_plus_tpu.ops.quantized_gemm import (
     compensated_matmul,
     quantized_matmul,
+    quantized_matmul_qa,
 )
 from metal_flash_attention_plus_tpu.quant.capabilities import (
     resolve_strategy,
@@ -61,9 +62,11 @@ def matmul(
 
     - float × float          → XLA matmul (precision policy applied).
     - float × QuantizedTensor → dequant-on-load Pallas kernel (B is [N, K]).
+    - QuantizedTensor × float → dequant-on-load on A (the reference loads
+      EITHER operand quantized, ``GEMMKernel+Multiply.swift:128-158``).
     - QuantizedTensor × QuantizedTensor → compensated int8 MXU kernel when
       the device + block layout support it (capability degradation
-      otherwise: dequantize B, use the dequant-on-load path).
+      otherwise: dequantize A, use the dequant-on-load path).
     """
     a_q = isinstance(a, QuantizedTensor)
     b_q = isinstance(b, QuantizedTensor)
@@ -80,19 +83,21 @@ def matmul(
             a, b, out_dtype=out_dtype, interpret=interpret
         )
 
-    if a_q and b_q:
-        res = resolve_strategy(a.config, both_operands=True)
-        if (
-            res.use_compensated_path
-            and b.config.granularity == QuantGranularity.BLOCK
-            and a.config.block_size == b.config.block_size
-        ):
-            out = compensated_matmul(a, b, interpret=interpret)
-            return out.astype(out_dtype or jnp.float32)
-        # Degraded path: widen A once, stream B through dequant-on-load.
-        a_f = a.dequantize().astype(jnp.bfloat16)
-        return quantized_matmul(
-            a_f, b, out_dtype=out_dtype or jnp.float32, interpret=interpret
+    if a_q and not b_q:
+        return quantized_matmul_qa(
+            a, b, out_dtype=out_dtype, interpret=interpret
         )
 
-    raise NotImplementedError("QuantizedTensor × float: store B quantized")
+    res = resolve_strategy(a.config, both_operands=True)
+    if (
+        res.use_compensated_path
+        and b.config.granularity == QuantGranularity.BLOCK
+        and a.config.block_size == b.config.block_size
+    ):
+        out = compensated_matmul(a, b, interpret=interpret)
+        return out.astype(out_dtype or jnp.float32)
+    # Degraded path: widen A once, stream B through dequant-on-load.
+    a_f = a.dequantize().astype(jnp.bfloat16)
+    return quantized_matmul(
+        a_f, b, out_dtype=out_dtype or jnp.float32, interpret=interpret
+    )

@@ -1344,6 +1344,8 @@ def _scale_zp_cotangents(dxdeq, qt: QuantizedTensor):
             jnp.repeat(qt.scale.astype(jnp.float32), br, axis=2),
             bs2, axis=3,
         )
+    elif g == QuantGranularity.CHANNEL:
+        scale_el = qt.scale.astype(jnp.float32)  # [B,H,1,D] broadcasts
     else:
         scale_el, _zp_b = _per_token_params(qt)  # [B,H,S,1] fp32
     w_minus_z = deq / scale_el
@@ -1352,6 +1354,13 @@ def _scale_zp_cotangents(dxdeq, qt: QuantizedTensor):
     if g == QuantGranularity.ROW:
         ds = jnp.sum(ds_cells, axis=-1).reshape(qt.scale.shape)
         dz = jnp.sum(dz_cells, axis=-1).reshape(qt.zero_point.shape)
+    elif g == QuantGranularity.CHANNEL:
+        ds = jnp.sum(ds_cells, axis=-2, keepdims=True).reshape(
+            qt.scale.shape
+        )
+        dz = jnp.sum(dz_cells, axis=-2, keepdims=True).reshape(
+            qt.zero_point.shape
+        )
     elif g == QuantGranularity.BLOCK_2D:
         # Reduce cells per (block_rows × block_size) 2D block.
         def per_block(cells):

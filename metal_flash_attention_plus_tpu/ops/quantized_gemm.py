@@ -420,6 +420,242 @@ def quantized_matmul(
 
 
 # ---------------------------------------------------------------------------
+# Quantized-A × float-B (the reference dequant-loads EITHER operand:
+# ``GEMMKernel+Multiply.swift:128-158`` selects load_quantized_* per operand)
+# ---------------------------------------------------------------------------
+
+
+def _qa_kernel(
+    aq_ref, b_ref, scale_ref, zp_ref, out_ref, acc_ref,
+    *, cfg, bm, bk, precision, compute_dtype,
+):
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    if cfg.bits == 4:
+        q = unpack_int4_tile(aq_ref[...], bk)
+    else:
+        q = aq_ref[...].astype(jnp.float32)
+    g = cfg.granularity
+    if g == QuantGranularity.TENSOR:
+        scale = scale_ref[0, 0]
+        zp = zp_ref[0, 0].astype(jnp.float32)
+    else:
+        # ROW → [bm, 1] per-A-row; BLOCK → [1, bk] per-element-expanded.
+        scale = scale_ref[...]
+        zp = zp_ref[...].astype(jnp.float32)
+    a_deq = ((q - zp) * scale).astype(compute_dtype)
+    acc_ref[...] += jax.lax.dot_general(
+        a_deq,
+        b_ref[...].astype(compute_dtype),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+
+    @pl.when(k == nk - 1)
+    def _store():
+        out_ref[...] = acc_ref[...].astype(out_ref.dtype)
+
+
+def _qa_folded_kernel(
+    aq_ref, b_ref, scale_ref, out_ref, acc_ref, *, bits, bk, tensor_scale,
+):
+    # Dequant-free: the int8 A payload feeds a MIXED int8×bf16 MXU dot;
+    # symmetric TENSOR/ROW(-of-A) scales multiply the accumulator rows once
+    # at store — the transpose of _wo_folded_kernel's fold.
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    aq = aq_ref[...]
+    if bits == 4:
+        aq = unpack_int4_tile_int8(aq, bk)
+    acc_ref[...] += jax.lax.dot_general(
+        aq, b_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(k == nk - 1)
+    def _store():
+        s = scale_ref[0, 0] if tensor_scale else scale_ref[...]  # [bm, 1]
+        out_ref[...] = (acc_ref[...] * s).astype(out_ref.dtype)
+
+
+def quantized_matmul_qa(
+    a_q: QuantizedTensor,
+    b: jnp.ndarray,
+    *,
+    block_m: int = 512,
+    block_n: int = 512,
+    block_k: int = 512,
+    out_dtype: Optional[jnp.dtype] = None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """dequant(A [M, K]) × B [K, N] (bf16/fp32) → [M, N].
+
+    The quantized-ACTIVATION orientation of :func:`quantized_matmul`: the A
+    payload moves HBM→VMEM at integer width and is widened in-kernel.  With
+    symmetric TENSOR/ROW scales and a non-fp32 B, the FOLDED kernel runs
+    (mixed int8×bf16 dots; per-row scales multiply the output rows once at
+    store).  ROW granularity here means per-row-of-A (the natural transpose
+    of ``quantized_matmul``'s per-output-channel).
+    """
+    if interpret is None:
+        from metal_flash_attention_plus_tpu.ops.flash_attention import (
+            default_interpret,
+        )
+
+        interpret = default_interpret()
+    m, kdim = a_q.shape
+    k2, n = b.shape
+    assert kdim == k2, (kdim, k2)
+    cfg = a_q.config
+    out_dtype = out_dtype or b.dtype
+
+    bm = min(block_m, _round_up(m, 128))
+    bn = min(block_n, _round_up(n, 128))
+    bk = min(block_k, _round_up(kdim, 128))
+    if cfg.granularity == QuantGranularity.BLOCK:
+        bs = cfg.block_size
+        if bk % bs != 0:
+            bk = max(bs, (bk // bs) * bs)
+            bk = _round_up(bk, 128)
+        assert kdim % bs == 0
+    if cfg.bits == 4:
+        bk = _round_up(bk, 256)
+        if kdim % 256 != 0:
+            raise ValueError(
+                f"int4 kernel path requires K % 256 == 0 (got K={kdim}); "
+                "dequantize explicitly for ragged K"
+            )
+
+    m_p, n_p, k_p = _round_up(m, bm), _round_up(n, bn), _round_up(kdim, bk)
+    payload = a_q.data  # [M, K] int8 or [M, K//2] packed uint8
+    pk_p = k_p // 2 if cfg.bits == 4 else k_p
+    if (m_p, pk_p) != payload.shape:
+        payload = jnp.pad(
+            payload,
+            ((0, m_p - m), (0, pk_p - payload.shape[1])),
+            constant_values=0x88 if cfg.bits == 4 else 0,
+        )
+    if (k_p, n_p) != b.shape:
+        b = jnp.pad(b, ((0, k_p - kdim), (0, n_p - n)))
+
+    g = cfg.granularity
+    scale, zp = a_q.scale, a_q.zero_point
+    payload_bk = bk // 2 if cfg.bits == 4 else bk
+    folded = (
+        cfg.strategy == QuantStrategy.SYMMETRIC
+        and g in (QuantGranularity.TENSOR, QuantGranularity.ROW)
+        and b.dtype != jnp.float32
+    )
+    if folded:
+        tensor_scale = g == QuantGranularity.TENSOR
+        if tensor_scale:
+            scale_t = scale.reshape(1, 1).astype(jnp.float32)
+            scale_spec = pl.BlockSpec((1, 1), lambda i, j, k: (0, 0))
+        else:
+            scale_t = jnp.pad(
+                scale.reshape(-1, 1).astype(jnp.float32),
+                ((0, m_p - m), (0, 0)),
+            )
+            scale_spec = pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0))
+        out = pl.pallas_call(
+            functools.partial(
+                _qa_folded_kernel,
+                bits=cfg.bits, bk=bk, tensor_scale=tensor_scale,
+            ),
+            grid=(m_p // bm, n_p // bn, k_p // bk),
+            in_specs=[
+                pl.BlockSpec((bm, payload_bk), lambda i, j, k: (i, k)),
+                pl.BlockSpec((bk, bn), lambda i, j, k: (k, j)),
+                scale_spec,
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
+            out_shape=jax.ShapeDtypeStruct((m_p, n_p), out_dtype),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * m_p * n_p * k_p,
+                bytes_accessed=int(
+                    payload.size + b.size * b.dtype.itemsize + m_p * n_p * 4
+                ),
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(payload, b.astype(jnp.bfloat16), scale_t)
+        return out[:m, :n]
+
+    if g == QuantGranularity.TENSOR:
+        scale_spec = pl.BlockSpec((1, 1), lambda i, j, k: (0, 0))
+        zp_spec = pl.BlockSpec((1, 1), lambda i, j, k: (0, 0))
+    elif g == QuantGranularity.ROW:
+        scale = jnp.pad(scale, ((0, m_p - m), (0, 0)))
+        zp = jnp.pad(zp, ((0, m_p - m), (0, 0)))
+        scale_spec = pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0))
+        zp_spec = pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0))
+    elif g == QuantGranularity.BLOCK:
+        scale = jnp.repeat(
+            scale.reshape(1, -1), cfg.block_size, axis=-1
+        ).astype(jnp.float32)
+        zp = jnp.repeat(zp.reshape(1, -1), cfg.block_size, axis=-1)
+        scale = jnp.pad(
+            scale, ((0, 0), (0, k_p - kdim)), constant_values=1.0
+        )
+        zp = jnp.pad(zp, ((0, 0), (0, k_p - kdim)))
+        scale_spec = pl.BlockSpec((1, bk), lambda i, j, k: (0, k))
+        zp_spec = pl.BlockSpec((1, bk), lambda i, j, k: (0, k))
+    else:
+        raise NotImplementedError(g)
+
+    compute_dtype = jnp.float32 if b.dtype == jnp.float32 else jnp.bfloat16
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if compute_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _qa_kernel,
+            cfg=cfg, bm=bm, bk=bk,
+            precision=precision, compute_dtype=compute_dtype,
+        ),
+        grid=(m_p // bm, n_p // bn, k_p // bk),
+        in_specs=[
+            pl.BlockSpec((bm, payload_bk), lambda i, j, k: (i, k)),
+            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j)),
+            scale_spec,
+            zp_spec,
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m_p, n_p), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_p * n_p * k_p,
+            bytes_accessed=int(
+                payload.size + b.size * b.dtype.itemsize + m_p * n_p * 4
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(payload, b, scale, zp)
+    return out[:m, :n]
+
+
+# ---------------------------------------------------------------------------
 # Both-operands int8 with blockwise compensation (int8 MXU path)
 # ---------------------------------------------------------------------------
 
@@ -484,6 +720,110 @@ def _comp_kernel(
         out_ref[...] = acc_ref[...].astype(out_ref.dtype)
 
 
+def _comp_small_kernel(
+    aq_ref, bq_ref, sa_ref, zsa_ref, sb_ref, zsb_ref, out_ref, acc_ref,
+):
+    # Sub-128 quant blocks: the per-K-block compensation
+    #   Σ_b s_a·s_b·(Sqq − z_b·SqA − z_a·SqB + cnt·z_a·z_b)
+    # is algebraically Σ_k (qa−z_a)·s_a · (qb−z_b)·s_b — per-element dequant
+    # with blockwise-constant (s, z·s) vectors (expanded host-side to [1, K],
+    # K floats of HBM — negligible next to the N·K payload).  Blocks smaller
+    # than a lane tile can't be separated inside an int8 MXU dot without a
+    # per-block dot (contraction < 128 → part-empty systolic array), so this
+    # arm trades the int8 MXU rate for exact f32 dequant + HIGHEST dots —
+    # the same trade the reference makes when its per-8×8-tile scale lookup
+    # runs inside the accumulate loop (AttentionKernel+Accumulate.swift:
+    # 451-511).  The pure-int8 fast path engages at block_size % 128 == 0.
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    a_deq = (
+        aq_ref[...].astype(jnp.float32) * sa_ref[...] - zsa_ref[...]
+    )
+    b_deq = (
+        bq_ref[...].astype(jnp.float32) * sb_ref[...] - zsb_ref[...]
+    )
+    acc_ref[...] += jax.lax.dot_general(
+        a_deq, b_deq, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    @pl.when(k == nk - 1)
+    def _store():
+        out_ref[...] = acc_ref[...].astype(out_ref.dtype)
+
+
+def _expand_block_params(t: QuantizedTensor, k_p: int):
+    """Per-K-block (scale, z·scale) → per-element [1, K] f32 vectors."""
+    bs = t.config.block_size
+    s = jnp.repeat(t.scale.reshape(1, -1), bs, axis=-1).astype(jnp.float32)
+    zs = jnp.repeat(
+        (t.zero_point.astype(jnp.float32) * t.scale).reshape(1, -1),
+        bs, axis=-1,
+    )
+    kdim = s.shape[-1]
+    if k_p != kdim:
+        s = jnp.pad(s, ((0, 0), (0, k_p - kdim)), constant_values=1.0)
+        zs = jnp.pad(zs, ((0, 0), (0, k_p - kdim)))
+    return s, zs
+
+
+def _compensated_small_blocks(
+    a, b_t, *, block_m, block_n, out_dtype, interpret
+):
+    """Sub-128-block arm of :func:`compensated_matmul` (see kernel note)."""
+    bs = a.config.block_size
+    m, kdim = a.shape
+    n, _ = b_t.shape
+    bm = min(block_m, _round_up(m, 128))
+    bn = min(block_n, _round_up(n, 128))
+    # k-tile: lane-aligned AND whole quant blocks (bs % 8 == 0 per the
+    # QuantConfig contract; bs ∈ {16..64} divides 128, others lcm up).
+    base = 128
+    while base % bs != 0:
+        base += 128
+    bk = base * max(1, min(512, kdim) // base)
+
+    m_p, n_p = _round_up(m, bm), _round_up(n, bn)
+    k_p = _round_up(kdim, bk)
+    aq, bq = a.data, b_t.data
+    if (m_p, k_p) != aq.shape:
+        aq = jnp.pad(aq, ((0, m_p - m), (0, k_p - kdim)))
+    if (n_p, k_p) != bq.shape:
+        bq = jnp.pad(bq, ((0, n_p - n), (0, k_p - kdim)))
+    sa, zsa = _expand_block_params(a, k_p)
+    sb, zsb = _expand_block_params(b_t, k_p)
+
+    vec_spec = pl.BlockSpec((1, bk), lambda i, j, k: (0, k))
+    out = pl.pallas_call(
+        _comp_small_kernel,
+        grid=(m_p // bm, n_p // bn, k_p // bk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
+            pl.BlockSpec((bn, bk), lambda i, j, k: (j, k)),
+            vec_spec, vec_spec, vec_spec, vec_spec,
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m_p, n_p), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_p * n_p * k_p,
+            bytes_accessed=int(aq.size + bq.size + m_p * n_p * 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(aq, bq, sa, zsa, sb, zsb)
+    return out[:m, :n]
+
+
 def compensated_matmul(
     a: QuantizedTensor,
     b_t: QuantizedTensor,
@@ -496,10 +836,12 @@ def compensated_matmul(
     """int8 A [M, K] × int8 Bᵀ [N, K] with per-K-block zero-point
     compensation → fp32 [M, N].
 
-    One grid step per quant block (``bk == block_size``), so the scale /
-    zero-point factors stay out of the MXU loop — the MXU sees only
-    int8×int8→int32.  Requires ``block_size % 128 == 0`` (lane alignment);
-    use :func:`quantized_matmul`-style dequant-on-load for smaller blocks.
+    At ``block_size % 128 == 0``: one grid step per quant block
+    (``bk == block_size``), so the scale / zero-point factors stay out of
+    the MXU loop — the MXU sees only int8×int8→int32.  Smaller blocks
+    (the reference's {16..64} contract sizes,
+    ``BlockwiseQuantizationContract.swift:176-217``) run the exact
+    per-element-dequant arm (see ``_comp_small_kernel``).
     """
     if interpret is None:
         from metal_flash_attention_plus_tpu.ops.flash_attention import (
@@ -514,9 +856,9 @@ def compensated_matmul(
     bs = cfg_a.block_size
     assert bs == cfg_b.block_size, "operand block sizes must match"
     if bs % 128 != 0:
-        raise ValueError(
-            f"compensated_matmul needs block_size % 128 == 0, got {bs}; "
-            "use quantized_matmul (dequant-on-load) for small blocks"
+        return _compensated_small_blocks(
+            a, b_t, block_m=block_m, block_n=block_n,
+            out_dtype=out_dtype, interpret=interpret,
         )
     m, kdim = a.shape
     n, k2 = b_t.shape

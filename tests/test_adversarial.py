@@ -3,6 +3,7 @@
 translated: random shapes / masks / GQA layouts / dtypes through the fwd
 kernel vs the dense golden."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -22,6 +23,7 @@ BS = BlockSizes(
 )
 
 
+@pytest.mark.slow
 def test_adversarial_random_configs():
     rng = np.random.RandomState(0)
     for trial in range(12):

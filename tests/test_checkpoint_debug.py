@@ -1,5 +1,6 @@
 """Checkpoint/resume round-trips and the debug/observability helpers."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -28,6 +29,7 @@ CFG = TransformerConfig(
 )
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_bitexact(tmp_path):
     params = init_params(CFG, jax.random.PRNGKey(0))
     opt = optax.adam(1e-3)

@@ -55,6 +55,7 @@ def _uncached_greedy(params, prompt, n_tokens):
     return toks[len(prompt):]
 
 
+@pytest.mark.slow
 def test_mla_engine_matches_uncached_greedy():
     from metal_flash_attention_plus_tpu.runtime import native_available
 
@@ -127,6 +128,7 @@ def test_mla_engine_quantized_latent_cache():
     assert agree / total >= 0.8, (outs[False], outs[True])
 
 
+@pytest.mark.slow
 def test_mla_engine_with_quantized_weights():
     """Compressed cache + W8A8 weights: the MLA executors run int8
     projections through the polymorphic ``linear`` (quantize_mla_weights);

@@ -204,6 +204,7 @@ class TestRemat:
             np.asarray(g_remat), np.asarray(g_plain), atol=1e-5
         )
 
+    @pytest.mark.slow
     def test_spmd_remat_matches_golden(self):
         import dataclasses
 

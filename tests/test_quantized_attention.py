@@ -67,13 +67,26 @@ def test_rel_error_gates_vs_fp32():
     q, k, v = _data(seed=3)
     o_fp, _ = reference_attention(q, k, v, mask=CAUSAL)
 
-    def rel(cfg):
-        kq, vq = quantize(k, cfg), quantize(v, cfg)
+    def rel_kv(cfg_k, cfg_v):
+        kq, vq = quantize(k, cfg_k), quantize(v, cfg_v)
         o, _ = quantized_flash_attention_forward(q, kq, vq, mask=CAUSAL)
         return float(jnp.linalg.norm(o - o_fp) / jnp.linalg.norm(o_fp))
 
+    def rel(cfg):
+        return rel_kv(cfg, cfg)
+
     assert rel(ROW8) < 0.05  # reference gate: FP16-class < 0.05
-    assert rel(ROW4) < 0.25  # reference gate: INT8 < 0.25 (we hold INT4 to it)
+    # int4-specific gates at the measured information-theoretic floor
+    # (docs/perf_notes.md "int4 error anatomy": per-element int4 noise is
+    # ~0.08-0.16 rel on iid data — the reference's blanket 0.25 INT8 gate
+    # would hide a 2x regression).  K4-only (the reference's honest 0.0206
+    # config class) must beat full int4-KV, and both must sit near their
+    # floors, not merely under 0.25.
+    r_k4v8 = rel_kv(ROW4, ROW8)
+    r_int4 = rel(ROW4)
+    assert r_k4v8 < 0.12, r_k4v8  # K-side int4 + int8 V
+    assert r_int4 < 0.20, r_int4  # full int4-KV: V error passes undamped
+    assert r_k4v8 < r_int4
 
 
 def test_sliding_window_and_ragged():
@@ -213,6 +226,42 @@ def test_scale_zero_point_cotangents_finite_diff():
     idx = tuple([0] * kq.scale.ndim)
     fd = (loss(kq.scale.at[idx].add(eps))
           - loss(kq.scale.at[idx].add(-eps))) / (2 * eps)
+    assert abs(float(g_s[idx]) - float(fd)) <= 0.05 * max(
+        1.0, abs(float(fd))
+    )
+
+
+def test_channel_v_scale_cotangents_finite_diff():
+    """CHANNEL granularity (the folded pipeline's V default) through the
+    differentiable path: dq flows and the per-channel scale cotangent
+    matches central finite differences."""
+    import dataclasses
+
+    q, k, v = _data(hq=2, hkv=2, sq=128, skv=128)
+    q = q.astype(jnp.bfloat16)  # CHANNEL V rides the folded fast path
+    kq = quantize(
+        k, QuantConfig(
+            bits=8, granularity=QuantGranularity.TENSOR,
+            strategy=QuantStrategy.SYMMETRIC,
+        ),
+    )
+    vq = quantize(
+        v, QuantConfig(
+            bits=8, granularity=QuantGranularity.CHANNEL,
+            strategy=QuantStrategy.SYMMETRIC,
+        ),
+    )
+
+    def loss(scale_arr):
+        v2 = dataclasses.replace(vq, scale=scale_arr)
+        o = quantized_flash_attention(q, kq, v2, mask=CAUSAL)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    g_s = jax.jit(jax.grad(loss))(vq.scale)
+    eps = 1e-3
+    idx = (0, 0, 0, 5)
+    fd = (loss(vq.scale.at[idx].add(eps))
+          - loss(vq.scale.at[idx].add(-eps))) / (2 * eps)
     assert abs(float(g_s[idx]) - float(fd)) <= 0.05 * max(
         1.0, abs(float(fd))
     )

@@ -94,11 +94,94 @@ def test_compensated_matmul_matches_golden():
     np.testing.assert_allclose(np.asarray(gold), np.asarray(deq), atol=1e-3)
 
 
-def test_compensated_matmul_rejects_small_blocks():
+@pytest.mark.parametrize("bs", [16, 32, 64])
+def test_compensated_matmul_small_blocks(bs):
+    """Sub-128 quant blocks (the reference's {16..64} contract sizes,
+    ``BlockwiseQuantizationContract.swift:176-217``) through the exact
+    per-element-dequant arm, vs the compensation golden."""
     a, bt = _data()
-    cfg = int8_blockwise(64)
-    with pytest.raises(ValueError, match="block_size"):
-        compensated_matmul(quantize(a, cfg), quantize(bt, cfg))
+    cfg = int8_blockwise(bs)
+    aq, btq = quantize(a, cfg), quantize(bt, cfg)
+    out = compensated_matmul(aq, btq)
+    gold = compensated_gemm_reference(aq, btq)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(gold), atol=1e-3)
+
+
+def test_compensated_matmul_small_blocks_asymmetric():
+    """Nonzero zero points at bs=32: compensation identity must hold."""
+    a, bt = _data(seed=3)
+    cfg = QuantConfig(
+        bits=8, granularity=QuantGranularity.BLOCK,
+        strategy=QuantStrategy.ASYMMETRIC, block_size=32,
+    )
+    aq, btq = quantize(a + 0.5, cfg), quantize(bt - 0.25, cfg)
+    out = compensated_matmul(aq, btq)
+    deq = dequantized_gemm_reference(aq, btq)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(deq), atol=1e-3)
+
+
+QA_CONFIGS = [
+    QuantConfig(bits=8),
+    QuantConfig(bits=8, granularity=QuantGranularity.ROW),
+    QuantConfig(
+        bits=8, granularity=QuantGranularity.ROW,
+        strategy=QuantStrategy.ASYMMETRIC,
+    ),
+    int8_blockwise(128),
+    int8_blockwise(64),
+    QuantConfig(bits=4),
+    QuantConfig(
+        bits=4, granularity=QuantGranularity.ROW,
+        strategy=QuantStrategy.CENTERED,
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "cfg", QA_CONFIGS,
+    ids=lambda c: f"{c.bits}b-{c.granularity.value}-{c.strategy.value}",
+)
+def test_quantized_matmul_qa_matches_dequant(cfg):
+    """Quantized-A × float-B — the reference dequant-loads EITHER operand
+    (``GEMMKernel+Multiply.swift:128-158``)."""
+    a, bt = _data()
+    from metal_flash_attention_plus_tpu.ops.quantized_gemm import (
+        quantized_matmul_qa,
+    )
+
+    aq = quantize(a, cfg)
+    b = bt.T  # [K, N] float
+    out = quantized_matmul_qa(aq, b)
+    ref = jnp.matmul(aq.dequantize(), b, precision="highest")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_quantized_matmul_qa_folded_bf16():
+    """Symmetric ROW-of-A scales + bf16 B → the folded mixed-dot kernel."""
+    from metal_flash_attention_plus_tpu.ops.quantized_gemm import (
+        quantized_matmul_qa,
+    )
+
+    a, bt = _data(m=200, k=512, n=130)
+    aq = quantize(a, QuantConfig(bits=8, granularity=QuantGranularity.ROW))
+    b16 = bt.T.astype(jnp.bfloat16)
+    out = quantized_matmul_qa(aq, b16, out_dtype=jnp.float32)
+    ref = jnp.matmul(
+        aq.dequantize(), b16.astype(jnp.float32), precision="highest"
+    )
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.02, rel  # bf16 MXU noise only
+
+
+def test_matmul_dispatch_qa_orientation():
+    """ops.gemm.matmul routes QuantizedTensor × float through the QA path."""
+    from metal_flash_attention_plus_tpu.ops.gemm import matmul
+
+    a, bt = _data(m=128, k=256, n=128)
+    aq = quantize(a, QuantConfig(bits=8))
+    out = matmul(aq, bt.T)
+    ref = jnp.matmul(aq.dequantize(), bt.T, precision="highest")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
 
 
 def test_per_row_block_sums():

@@ -4,6 +4,7 @@ Gates follow the reference's quantized accuracy ladder: int8 end-to-end
 logits within a few percent relative error; greedy decoding mostly
 agrees with the float model."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -55,6 +56,7 @@ def test_w8a8_forward_close_to_float():
     assert agree > 0.85, agree
 
 
+@pytest.mark.slow
 def test_w8a8_with_quantized_kv_attention():
     params = init_params(CFG, jax.random.PRNGKey(2))
     qparams = quantize_weights(params)
@@ -74,6 +76,7 @@ def test_w8_memory_compression():
     assert qb < fb / 2.5, (fb, qb)
 
 
+@pytest.mark.slow
 def test_w8a8_causality():
     params = init_params(CFG, jax.random.PRNGKey(4))
     qparams = quantize_weights(params)

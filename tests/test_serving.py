@@ -115,7 +115,11 @@ def _uncached_greedy(params, prompt, n_tokens):
     return toks[len(prompt):]
 
 
-@pytest.mark.parametrize("chunk_size", [None, 16], ids=["one-chunk", "chunked"])
+@pytest.mark.parametrize(
+    "chunk_size",
+    [pytest.param(None, marks=pytest.mark.slow), 16],
+    ids=["one-chunk", "chunked"],
+)
 def test_engine_matches_uncached_greedy(chunk_size):
     from metal_flash_attention_plus_tpu.runtime import native_available
 
@@ -276,6 +280,7 @@ def test_engine_with_quantized_cache():
     assert agree / total >= 0.8, (outs[False], outs[True])
 
 
+@pytest.mark.slow
 def test_engine_with_quantized_weights():
     """W8A8 weights in the serving executors (r1 item 6): the engine over
     ``quantize_weights`` params must reproduce greedy decoding of the
@@ -319,6 +324,7 @@ def test_engine_with_quantized_weights():
         assert out[rid] == expect, (rid, out[rid], expect)
 
 
+@pytest.mark.slow
 def test_engine_with_w4a8_weights():
     """W4A8 weights in the serving executors: int4 projections (group-
     planar packed, in-kernel unpacked onto the int8 MXU) through the same

@@ -58,9 +58,11 @@ def _setup(mesh_shape, seed=0):
 @pytest.mark.parametrize(
     "mesh_shape,attn_mode",
     [
-        ((2, 2, 2), "ring"),
+        # Default tier keeps one ring + the local mode; the remaining
+        # mesh shapes run in the slow tier (MFA_SLOW_TESTS=1, CI).
+        pytest.param((2, 2, 2), "ring", marks=pytest.mark.slow),
         ((1, 2, 4), "ring"),
-        ((2, 2, 2), "ulysses"),
+        pytest.param((2, 2, 2), "ulysses", marks=pytest.mark.slow),
         ((2, 2, 1), "local"),
     ],
 )
@@ -84,6 +86,7 @@ def test_spmd_loss_and_grads_match_golden(mesh_shape, attn_mode):
         )
 
 
+@pytest.mark.slow
 def test_spmd_forward_matches_golden():
     mesh, params, tokens = _setup((2, 2, 2), seed=4)
     sc = ShardingConfig(attn_mode="ring")
