@@ -262,17 +262,30 @@ def run_bandwidth_arm() -> dict:
 
     b1, b2 = 4, 16
 
-    def slope_time(int8):
-        f1, a1 = build(b1, int8)
-        f2, a2 = build(b2, int8)
-        t1 = min(measure(f1, *a1, iters=10, warmup=2, trains=3)
-                 for _ in range(2))
-        t2 = min(measure(f2, *a2, iters=10, warmup=2, trains=3)
-                 for _ in range(2))
+    # INTERLEAVED A/B: the tunnel's steady-state rate drifts within a
+    # session (r2 published 2.66×, a same-code rerun 1.67×).  Measuring
+    # bf16 fully then int8 fully lets a rate shift between the arms move
+    # the RATIO; cycling (bf16-b1, int8-b1, bf16-b2, int8-b2) × R rounds
+    # and taking per-target mins pins both arms to the same rate regime.
+    arms = {}
+    for key, int8 in (("bf16", False), ("int8", True)):
+        arms[key] = (build(b1, int8), build(b2, int8))
+    times = {("bf16", 0): [], ("bf16", 1): [], ("int8", 0): [], ("int8", 1): []}
+    for _ in range(4):
+        for key in ("bf16", "int8"):
+            for bi in (0, 1):
+                f, a = arms[key][bi]
+                times[(key, bi)].append(
+                    measure(f, *a, iters=10, warmup=1, trains=2)
+                )
+
+    def slope_of(key):
+        t1 = min(times[(key, 0)])
+        t2 = min(times[(key, 1)])
         return max((t2 - t1) / (b2 - b1), 1e-9), t1
 
-    per_seq_bf16, t1_bf16 = slope_time(False)
-    per_seq_int8, _ = slope_time(True)
+    per_seq_bf16, t1_bf16 = slope_of("bf16")
+    per_seq_int8, _ = slope_of("int8")
     kv_bytes_seq = 2 * skv * hkv * d * 2
     out = dict(
         decode_bf16_ms=round(per_seq_bf16 * b1 * 1e3, 3),
