@@ -40,11 +40,14 @@ def init_cache(
     num_pages: int,
     page_tokens: int,
     dtype=jnp.bfloat16,
-    quantized: bool = False,
+    quantized=False,
 ) -> PagedKVCache:
+    """``quantized``: False → float pool; True or 8 → int8 halves;
+    4 → shared-byte int4 (K low nibble / V high nibble)."""
+    bits = {False: 16, True: 8, 8: 8, 4: 4}[quantized]
     return PagedKVCache.create(
         cfg.num_layers, cfg.num_kv_heads, num_pages, page_tokens,
-        cfg.head_dim, dtype, quantized=quantized,
+        cfg.head_dim, dtype, quantized=bits != 16, bits=bits,
     )
 
 
@@ -121,7 +124,31 @@ def prefill_chunk(
         off_in = (offset + t) % cache.page_tokens
         kt = k[0].transpose(1, 0, 2)
         vt = v[0].transpose(1, 0, 2)
-        if cache.quantized:
+        if cache.bits == 4:
+            from metal_flash_attention_plus_tpu.serving.kv_cache import (
+                _pack_tokens_kv4,
+            )
+
+            byte_, ks_, vs_ = _pack_tokens_kv4(kt, vt)
+            cache = _dc.replace(
+                cache,
+                kv_pages=cache.kv_pages.at[li, :, pidx, off_in, :].set(
+                    byte_
+                ),
+                k_scales=cache.k_scales.at[li, :, pidx, 0, off_in].set(
+                    ks_[:, :, 0]
+                ),
+                v_scales=cache.v_scales.at[li, :, pidx, 0, off_in].set(
+                    vs_[:, :, 0]
+                ),
+            )
+            o = paged_prefill_attention(
+                q[0], cache.kv_pages[li], page_row, offset,
+                page_tokens=cache.page_tokens,
+                k_scales=cache.k_scales[li], v_scales=cache.v_scales[li],
+                kv_bits=4,
+            )
+        elif cache.quantized:
             kq_, ks_ = _quantize_tokens_sym(kt)
             vq_, vs_ = _quantize_tokens_sym(vt)
             cache = _dc.replace(
@@ -199,6 +226,7 @@ def decode_step(
             page_tokens=cache.page_tokens,
             k_scales=cache.k_scales[li] if cache.quantized else None,
             v_scales=cache.v_scales[li] if cache.quantized else None,
+            kv_bits=cache.bits if cache.quantized else 8,
         )
         x = x + linear(
             o[:, None, :, :].reshape(x.shape[0], 1, -1), layer["wo"], x.dtype

@@ -97,7 +97,10 @@ class ServingEngine:
         max_pages_per_seq: Optional[int] = None,
         cache_dtype=jnp.bfloat16,
         chunk_size: Optional[int] = None,
-        quantized_cache: bool = False,
+        # False → float pages; True/8 → int8 K/V halves (2× capacity);
+        # 4 → shared-byte int4 pages (4× capacity, K low nibble / V high
+        # nibble — the reference's INT4 cache mode, README.md:291-296).
+        quantized_cache=False,
         executor=None,
     ):
         self.params = params

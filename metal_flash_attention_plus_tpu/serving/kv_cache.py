@@ -15,6 +15,18 @@ into the score/probability row instead of dequantizing whole K/V tiles:
 one [rows, tokens] multiply instead of a [tokens, D] pass).  2-4× cache
 capacity per HBM byte; zero points add nothing for zero-mean K/V.
 Quantization happens at WRITE time (absmax/127 per token vector).
+
+INT4 mode (``bits=4``): K and V of the SAME token share one byte — K in
+the low nibble, V in the high nibble ([L, Hkv, NP+1, page_tokens, D]
+int8, HALF the int8 pool's bytes and a QUARTER of bf16's — the
+reference's "INT4 = 12.5% memory" headline,
+``/root/reference/README.md:291-296``; dequantizing int4 load parity:
+``GEMMHeaders.swift:740-808``).  This layout was chosen over packing
+along D or along tokens because it keeps the lane dim at D (Mosaic can
+DMA-slice the pool), keeps tokens in order (no permuted masks), needs no
+read-modify-write (K and V of a token are always written together), and
+ONE page DMA still covers both operands.  Scales stay per-token
+symmetric (absmax/7) in the same row-vector pools as int8.
 """
 
 from __future__ import annotations
@@ -47,6 +59,9 @@ class PagedKVCache:
     quantized: bool = dataclasses.field(
         default=False, metadata=dict(static=True)
     )
+    # Payload width: 16 (float pool), 8 (int8 K/V halves), 4 (K-low/V-high
+    # shared-byte nibbles).
+    bits: int = dataclasses.field(default=16, metadata=dict(static=True))
 
     @property
     def trash_page(self) -> int:
@@ -61,11 +76,17 @@ class PagedKVCache:
         head_dim: int,
         dtype=jnp.bfloat16,
         quantized: bool = False,
+        bits: int = None,
     ) -> "PagedKVCache":
-        shape = (
-            num_layers, num_kv_heads, num_pages + 1, 2 * page_tokens,
-            head_dim,
-        )
+        if bits is None:
+            bits = 8 if quantized else 16
+        quantized = bits != 16
+        if bits not in (4, 8, 16):
+            raise ValueError(f"bits must be 4, 8 or 16, got {bits}")
+        # int4 packs K and V nibbles into ONE byte row per token: the
+        # token axis is page_tokens (not 2·page_tokens).
+        rows = page_tokens if bits == 4 else 2 * page_tokens
+        shape = (num_layers, num_kv_heads, num_pages + 1, rows, head_dim)
         if quantized:
             sshape = (num_layers, num_kv_heads, num_pages + 1, 1,
                       page_tokens)
@@ -76,6 +97,7 @@ class PagedKVCache:
                 page_tokens=page_tokens,
                 num_pages=num_pages,
                 quantized=True,
+                bits=bits,
             )
         placeholder = jnp.zeros((1, 1, 1, 1, 1), jnp.float32)
         return PagedKVCache(
@@ -95,6 +117,37 @@ def _quantize_tokens_sym(x: jnp.ndarray):
     return q.astype(jnp.int8), scale
 
 
+def _pack_tokens_kv4(k: jnp.ndarray, v: jnp.ndarray):
+    """Symmetric per-token int4 K/V packed into ONE byte plane.
+
+    k, v: [..., D] floats → (byte [..., D] int8 with K+8 in the low nibble
+    and V+8 in the high nibble, k_scale [..., 1], v_scale [..., 1]).
+    Scale = absmax/7 (the int4 analog of the int8 absmax/127; the +8
+    offset mirrors the reference's nibble convention,
+    ``GEMMQuantization.swift`` int4 pack)."""
+
+    def q4(x):
+        absmax = jnp.max(
+            jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True
+        )
+        scale = jnp.maximum(absmax, 1e-12) / 7.0
+        q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -8, 7)
+        return q.astype(jnp.int32), scale
+
+    kq, ks = q4(k)
+    vq, vs = q4(v)
+    byte = ((kq + 8) | ((vq + 8) << 4)).astype(jnp.int8)
+    return byte, ks, vs
+
+
+def unpack_kv4(byte: jnp.ndarray):
+    """Inverse of the :func:`_pack_tokens_kv4` byte plane → (k4, v4) int32
+    in [-8, 7].  Works on any shape; sign-extension of the int8 bytes is
+    masked off (&0xF) exactly like ``ops.quantized_gemm.unpack_int4_tile``."""
+    wide = byte.astype(jnp.int32)
+    return (wide & 0xF) - 8, ((wide >> 4) & 0xF) - 8
+
+
 def write_prompt(
     cache: PagedKVCache,
     layer: int,
@@ -111,6 +164,18 @@ def write_prompt(
     # selected shape is [L, Hkv, D], so feed token-major values.
     kt = k.transpose(1, 0, 2)
     vt = v.transpose(1, 0, 2)
+    if cache.bits == 4:
+        byte, ks, vs = _pack_tokens_kv4(kt, vt)
+        return dataclasses.replace(
+            cache,
+            kv_pages=cache.kv_pages.at[layer, :, pidx, off, :].set(byte),
+            k_scales=cache.k_scales.at[layer, :, pidx, 0, off].set(
+                ks[:, :, 0]
+            ),
+            v_scales=cache.v_scales.at[layer, :, pidx, 0, off].set(
+                vs[:, :, 0]
+            ),
+        )
     if cache.quantized:
         kq, ks = _quantize_tokens_sym(kt)
         vq, vs = _quantize_tokens_sym(vt)
@@ -147,6 +212,18 @@ def append_tokens(
     pidx = page_tables[rows, positions // cache.page_tokens]  # [B]
     off = positions % cache.page_tokens
     # Selected shape is [B, Hkv, D] (advanced indices land in front).
+    if cache.bits == 4:
+        byte, ks, vs = _pack_tokens_kv4(k, v)
+        return dataclasses.replace(
+            cache,
+            kv_pages=cache.kv_pages.at[layer, :, pidx, off, :].set(byte),
+            k_scales=cache.k_scales.at[layer, :, pidx, 0, off].set(
+                ks[:, :, 0]
+            ),
+            v_scales=cache.v_scales.at[layer, :, pidx, 0, off].set(
+                vs[:, :, 0]
+            ),
+        )
     if cache.quantized:
         kq, ks = _quantize_tokens_sym(k)
         vq, vs = _quantize_tokens_sym(v)
@@ -180,13 +257,25 @@ def gather_kv(
     # and stay in place: gathered shape is [Hkv, L, D] directly.  (In the
     # .at[layer, :, pidx, off, :] writes above, the integer layer index
     # makes the advanced indices non-contiguous, moving them to the front.)
+    if cache.bits == 4:
+        byte = cache.kv_pages[layer][:, pidx, off, :]
+        k4, v4 = unpack_kv4(byte)
+        ks = cache.k_scales[layer][:, pidx, 0, off]  # [Hkv, L]
+        vs = cache.v_scales[layer][:, pidx, 0, off]
+        return (
+            k4.astype(jnp.float32) * ks[..., None],
+            v4.astype(jnp.float32) * vs[..., None],
+        )
     k = cache.kv_pages[layer][:, pidx, off, :]
     v = cache.kv_pages[layer][:, pidx, cache.page_tokens + off, :]
     if cache.quantized:
-        ks = cache.k_scales[layer][:, pidx, 0, off]  # [L, Hkv] (adv front)
+        # [Hkv, L]: the scalar 2nd-axis index is itself an advanced index,
+        # so (pidx, 0, off) broadcast together IN PLACE (consecutive
+        # advanced indices do not move to the front).
+        ks = cache.k_scales[layer][:, pidx, 0, off]
         vs = cache.v_scales[layer][:, pidx, 0, off]
         return (
-            k.astype(jnp.float32) * ks.T[..., None],
-            v.astype(jnp.float32) * vs.T[..., None],
+            k.astype(jnp.float32) * ks[..., None],
+            v.astype(jnp.float32) * vs[..., None],
         )
     return k, v

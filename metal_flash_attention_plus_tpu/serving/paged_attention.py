@@ -32,6 +32,25 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -jnp.inf
 
 
+def _unpack_kv4_low(byte):
+    """K half of an int4 shared-byte payload → int8 in [-8, 7].
+
+    The pool packs K in the low nibble and V in the high nibble of ONE
+    byte per (token, d) — see ``serving.kv_cache`` — so one page DMA
+    feeds BOTH dots at a quarter of bf16's bytes (the reference's int4
+    dequantizing load, ``GEMMHeaders.swift:740-808``).  Nibble math
+    widens to int32 (8-bit vector arithmetic does not lower on Mosaic)
+    and casts back down for the mixed int8 MXU dot."""
+    wide = byte.astype(jnp.int32)
+    return ((wide & 0xF) - 8).astype(jnp.int8)
+
+
+def _unpack_kv4_high(byte):
+    """V half (high nibble) of an int4 shared-byte payload."""
+    wide = byte.astype(jnp.int32)
+    return (((wide >> 4) & 0xF) - 8).astype(jnp.int8)
+
+
 DECODE_CHUNK_PAGES = 8  # pages gathered per DMA wave
 DECODE_SLOTS = 4  # waves in flight (page copies are LATENCY-bound: ~0.6-1.7
 #                   us/copy single-stream; depth hides it)
@@ -50,6 +69,7 @@ def _decode_kernel(
     head_dim: int,
     s_sub: int,
     quantized: bool,
+    kv_bits: int,
     v_tail_zero: int,
     precision,
 ):
@@ -123,7 +143,9 @@ def _decode_kernel(
         # rows [0, PT) and V in [PT, 2PT); s_sub == 1 means K IS V (MLA
         # latent pages).
         k = kvbuf[slot, :, :page_tokens].reshape(ct, head_dim)
-        if not quantized:
+        if kv_bits == 4:
+            k = _unpack_kv4_low(k)
+        elif not quantized:
             k = k.astype(q.dtype)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
@@ -147,7 +169,9 @@ def _decode_kernel(
         v = kvbuf[slot, :, (s_sub - 1) * page_tokens:].reshape(
             ct, head_dim
         )
-        if not quantized:
+        if kv_bits == 4:
+            v = _unpack_kv4_high(v)
+        elif not quantized:
             v = v.astype(q.dtype)
         if quantized:
             p = p * vsd_ref[0, 0, :, pl.ds(ci * ct, ct)]
@@ -186,6 +210,7 @@ def _decode_kernel_streamed(
     group_pad: int,
     head_dim: int,
     quantized: bool,
+    kv_bits: int,
     v_tail_zero: int,
     precision,
 ):
@@ -209,7 +234,12 @@ def _decode_kernel_streamed(
     def _compute():
         q = q_ref[0, 0]  # [group_pad, D] (pre-scaled)
         # Merged page block [1, 1, s_sub*PT, D]: K rows [0, PT).
-        k = kv_ref[0, 0, :page_tokens].astype(q.dtype)
+        if kv_bits == 4:
+            k = _unpack_kv4_low(kv_ref[0, 0, :page_tokens])
+        elif quantized:
+            k = kv_ref[0, 0, :page_tokens]
+        else:
+            k = kv_ref[0, 0, :page_tokens].astype(q.dtype)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
@@ -237,9 +267,12 @@ def _decode_kernel_streamed(
         )
         m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
 
-        v = kv_ref[
-            0, 0, kv_ref.shape[2] - page_tokens:
-        ].astype(q.dtype)
+        if kv_bits == 4:
+            v = _unpack_kv4_high(kv_ref[0, 0, kv_ref.shape[2] - page_tokens:])
+        elif quantized:
+            v = kv_ref[0, 0, kv_ref.shape[2] - page_tokens:]
+        else:
+            v = kv_ref[0, 0, kv_ref.shape[2] - page_tokens:].astype(q.dtype)
         if quantized:
             p = p * vs_ref[0, 0]  # row-vector V scales
         if v_tail_zero:
@@ -250,7 +283,8 @@ def _decode_kernel_streamed(
             )
             v = jnp.where(lane < head_dim - v_tail_zero, v, 0)
         pv = jax.lax.dot(
-            p.astype(v.dtype), v,
+            # int8 V: mixed dot (P stays in the compute dtype).
+            p.astype(q.dtype if quantized else v.dtype), v,
             preferred_element_type=jnp.float32, precision=precision,
         )
         acc_scr[...] = acc_scr[...] * alpha + pv
@@ -274,6 +308,7 @@ def _prefill_kernel(
     chunk: int,
     head_dim: int,
     quantized: bool,
+    kv_bits: int,
     v_tail_zero: int,
     precision,
 ):
@@ -297,8 +332,14 @@ def _prefill_kernel(
     def _compute():
         q = q_ref[0]  # [rows_pad, D] pre-scaled
         # kv_ref block is [1, 1, s_sub*PT, D]: K rows [0, PT), V rows
-        # [PT, 2PT) (s_sub == 1 → K IS V, MLA latent pages).
-        k = kv_ref[0, 0, :page_tokens].astype(q.dtype)
+        # [PT, 2PT) (s_sub == 1 → K IS V, MLA latent pages; int4 → K/V
+        # nibble-share the same byte rows).
+        if kv_bits == 4:
+            k = _unpack_kv4_low(kv_ref[0, 0, :page_tokens])
+        elif quantized:
+            k = kv_ref[0, 0, :page_tokens]
+        else:
+            k = kv_ref[0, 0, :page_tokens].astype(q.dtype)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
@@ -330,7 +371,12 @@ def _prefill_kernel(
             alpha * l_prev + jnp.sum(p, axis=1, keepdims=True), l_scr.shape
         )
         m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
-        v = kv_ref[0, 0, kv_ref.shape[2] - page_tokens:].astype(q.dtype)
+        if kv_bits == 4:
+            v = _unpack_kv4_high(kv_ref[0, 0, kv_ref.shape[2] - page_tokens:])
+        elif quantized:
+            v = kv_ref[0, 0, kv_ref.shape[2] - page_tokens:]
+        else:
+            v = kv_ref[0, 0, kv_ref.shape[2] - page_tokens:].astype(q.dtype)
         if quantized:
             p = p * vs_ref[0, 0]  # row-vector V scales
         if v_tail_zero:
@@ -339,7 +385,8 @@ def _prefill_kernel(
             )
             v = jnp.where(lane < head_dim - v_tail_zero, v, 0)
         pv = jax.lax.dot(
-            p.astype(v.dtype), v,
+            # int8 V: mixed dot (P stays in the compute dtype).
+            p.astype(q.dtype if quantized else v.dtype), v,
             preferred_element_type=jnp.float32, precision=precision,
         )
         acc_scr[...] = acc_scr[...] * alpha + pv
@@ -362,6 +409,7 @@ def paged_prefill_attention(
     v_scales: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
     v_tail_zero: int = 0,
+    kv_bits: int = 8,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Chunked-prefill attention for ONE sequence over its paged cache.
@@ -377,6 +425,9 @@ def paged_prefill_attention(
         (see paged_decode_attention).
       page_row: [max_pages] int32 physical page ids for this sequence.
       offset: scalar int32 — the chunk's first global position.
+      kv_bits: 4 → the pool is the K-low/V-high shared-byte int4 layout
+        ([Hkv, num_pages, page_tokens, D] int8); only meaningful with
+        scales.  8 (default) → int8 halves / float pool.
 
     Returns [Hq, chunk, D] in q.dtype.
     """
@@ -387,6 +438,13 @@ def paged_prefill_attention(
         page_tokens = page_rows  # s_sub == 1 (MLA latent pages)
     s_sub = page_rows // page_tokens
     assert dk == d and s_sub in (1, 2) and hq % hkv == 0
+    if kv_bits == 4:
+        assert quantized and s_sub == 1 and v_tail_zero == 0, (
+            "int4 pools need scales, a [.., page_tokens, D] shared-byte "
+            "pool, and no MLA tail"
+        )
+    else:
+        kv_bits = 8
     group = hq // hkv
     max_pages = page_row.shape[0]
     if scale is None:
@@ -443,6 +501,7 @@ def paged_prefill_attention(
         chunk=chunk,
         head_dim=d,
         quantized=quantized,
+        kv_bits=kv_bits,
         v_tail_zero=v_tail_zero,
         precision=(
             jax.lax.Precision.HIGHEST
@@ -478,6 +537,7 @@ def paged_decode_attention(
     v_scales: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
     v_tail_zero: int = 0,
+    kv_bits: int = 8,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Single-token decode attention over a paged KV cache.
@@ -494,9 +554,13 @@ def paged_decode_attention(
         (INCLUDING the token being decoded, which the caller has already
         appended; every length must be ≥ 1).
       k_scales, v_scales: [Hkv, num_pages, 1, page_tokens] per-token
-        symmetric scales for int8 pools, LANE-major row vectors — gathered
-        DENSELY per batch with one XLA gather (4 B/token) and folded into
-        the score/probability rows in-kernel.
+        symmetric scales for int8/int4 pools, LANE-major row vectors —
+        gathered DENSELY per batch with one XLA gather (4 B/token) and
+        folded into the score/probability rows in-kernel.
+      kv_bits: 4 → the pool is the K-low/V-high shared-byte int4 layout
+        ([Hkv, num_pages, page_tokens, D] int8, a QUARTER of bf16's
+        bytes in the bandwidth-bound decode regime — the reference's
+        "INT4 = 3.0× faster" claim, ``README.md:291-296``).
 
     Returns [B, Hq, D] in q.dtype.
     """
@@ -508,6 +572,13 @@ def paged_decode_attention(
     s_sub = page_rows // page_tokens
     assert dk == d and s_sub in (1, 2)
     assert hq % hkv == 0
+    if kv_bits == 4:
+        assert quantized and s_sub == 1 and v_tail_zero == 0, (
+            "int4 pools need scales, a [.., page_tokens, D] shared-byte "
+            "pool, and no MLA tail"
+        )
+    else:
+        kv_bits = 8
     group = hq // hkv
     max_pages = page_table.shape[1]
     if scale is None:
@@ -568,6 +639,7 @@ def paged_decode_attention(
             group_pad=group_pad,
             head_dim=d,
             quantized=quantized,
+            kv_bits=kv_bits,
             v_tail_zero=v_tail_zero,
             precision=(
                 jax.lax.Precision.HIGHEST
@@ -641,6 +713,7 @@ def paged_decode_attention(
         head_dim=d,
         s_sub=s_sub,
         quantized=quantized,
+        kv_bits=kv_bits,
         v_tail_zero=v_tail_zero,
         precision=(
             jax.lax.Precision.HIGHEST
