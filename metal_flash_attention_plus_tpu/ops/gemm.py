@@ -56,6 +56,7 @@ def matmul(
     *,
     descriptor: Optional[GEMMDescriptor] = None,
     out_dtype: Optional[jnp.dtype] = None,
+    c: Optional[jnp.ndarray] = None,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Dispatch A×B by operand kinds.
@@ -67,6 +68,10 @@ def matmul(
     - QuantizedTensor × QuantizedTensor → compensated int8 MXU kernel when
       the device + block layout support it (capability degradation
       otherwise: dequantize A, use the dequant-on-load path).
+
+    ``c``: optional [M, N] accumulate-into-C operand (the reference's
+    ``loadPreviousC``, ``GEMMDescriptor.swift:11-94``): result = c + A·B,
+    with C added in fp32 in the kernels' store epilogues.
     """
     a_q = isinstance(a, QuantizedTensor)
     b_q = isinstance(b, QuantizedTensor)
@@ -74,19 +79,25 @@ def matmul(
         a = a.T
 
     if not a_q and not b_q:
-        return jnp.matmul(
-            a, b, precision=matmul_precision(a.dtype)
-        ).astype(out_dtype or a.dtype)
+        out = jnp.matmul(a, b, precision=matmul_precision(a.dtype))
+        if c is not None:
+            out = out + c.astype(out.dtype)
+        return out.astype(out_dtype or a.dtype)
 
     if not a_q and b_q:
         return quantized_matmul(
-            a, b, out_dtype=out_dtype, interpret=interpret
+            a, b, out_dtype=out_dtype, c=c, interpret=interpret
         )
 
     if a_q and not b_q:
-        return quantized_matmul_qa(
+        out = quantized_matmul_qa(
             a, b, out_dtype=out_dtype, interpret=interpret
         )
+        if c is not None:  # qa path: epilogue add outside the kernel
+            out = (out.astype(jnp.float32) + c.astype(jnp.float32)).astype(
+                out.dtype
+            )
+        return out
 
     res = resolve_strategy(a.config, both_operands=True)
     if (
@@ -94,10 +105,10 @@ def matmul(
         and b.config.granularity == QuantGranularity.BLOCK
         and a.config.block_size == b.config.block_size
     ):
-        out = compensated_matmul(a, b, interpret=interpret)
+        out = compensated_matmul(a, b, c=c, interpret=interpret)
         return out.astype(out_dtype or jnp.float32)
     # Degraded path: widen A once, stream B through dequant-on-load.
     a_f = a.dequantize().astype(jnp.bfloat16)
     return quantized_matmul(
-        a_f, b, out_dtype=out_dtype or jnp.float32, interpret=interpret
+        a_f, b, out_dtype=out_dtype or jnp.float32, c=c, interpret=interpret
     )

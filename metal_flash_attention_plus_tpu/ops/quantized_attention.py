@@ -785,6 +785,20 @@ def quantized_flash_attention_forward(
         # (MFA_INTERPRET_TWO_LEVEL=1 overrides, for structure tests).
         bkv_major = bkv
     n_inner = bkv_major // bkv
+    if n_inner >= 8 and not interpret:
+        # Known Mosaic compiler crash (HTTP 500 from tpu_compile_helper,
+        # not a Python exception): the dequant/fold code unrolled 8× per
+        # grid step blows up the Mosaic lowering (docs/perf_notes.md
+        # round-2 "two-level"; repro: experiments/exp34_mosaic_crash_repro
+        # .py).  The tuned tables cap majors at 2-4 inner tiles; reject
+        # explicit BlockSizes that would hit the crash with an actionable
+        # error instead of a runtime RPC failure.
+        raise ValueError(
+            f"quantized forward with block_kv_major/block_kv = {n_inner} "
+            ">= 8 crashes the Mosaic compiler on TPU (known toolchain "
+            "bug); use block_kv_major <= 4*block_kv — e.g. "
+            f"BlockSizes(block_kv={bkv}, block_kv_major={4 * bkv})"
+        )
     sq_p = _round_up(sq, bq)
     skv_p = _round_up(skv, bkv_major)
     # ones-fused rowsum when the head dim leaves lane slack (see

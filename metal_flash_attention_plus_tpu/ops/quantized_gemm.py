@@ -194,9 +194,17 @@ def _dequant_tile(qtile, scale_ref, zp_ref, j, k, *, cfg, bn, bk, out_dtype):
 
 
 def _wo_kernel(
-    a_ref, bq_ref, scale_ref, zp_ref, out_ref, acc_ref,
-    *, cfg, bm, bn, bk, precision, compute_dtype,
+    a_ref, bq_ref, scale_ref, zp_ref, *rest,
+    cfg, bm, bn, bk, precision, compute_dtype, has_c=False,
 ):
+    # ``has_c``: accumulate onto an existing C in the store epilogue — the
+    # reference's ``loadPreviousC`` (``GEMMDescriptor.swift:11-94``,
+    # ``GEMMKernel+Caching.swift`` createLoadC).  C streams in as one more
+    # [bm, bn] tile and adds in fp32 before the final cast.
+    if has_c:
+        c_ref, out_ref, acc_ref = rest
+    else:
+        out_ref, acc_ref = rest
     k = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -218,13 +226,20 @@ def _wo_kernel(
 
     @pl.when(k == nk - 1)
     def _store():
-        out_ref[...] = acc_ref[...].astype(out_ref.dtype)
+        r = acc_ref[...]
+        if has_c:
+            r = r + c_ref[...].astype(jnp.float32)
+        out_ref[...] = r.astype(out_ref.dtype)
 
 
 def _wo_folded_kernel(
-    a_ref, bq_ref, scale_ref, out_ref, acc_ref,
-    *, bits, bk, tensor_scale,
+    a_ref, bq_ref, scale_ref, *rest,
+    bits, bk, tensor_scale, has_c=False,
 ):
+    if has_c:
+        c_ref, out_ref, acc_ref = rest
+    else:
+        out_ref, acc_ref = rest
     # Dequant-free weight-only GEMM: the int8 payload (int4 unpacked to
     # int8 in-kernel) feeds a MIXED bf16×int8 MXU dot directly; the
     # symmetric per-channel/tensor scales multiply the accumulator ONCE at
@@ -249,7 +264,12 @@ def _wo_folded_kernel(
     @pl.when(k == nk - 1)
     def _store():
         s = scale_ref[0, 0] if tensor_scale else scale_ref[...]  # [1, bn]
-        out_ref[...] = (acc_ref[...] * s).astype(out_ref.dtype)
+        r = acc_ref[...] * s
+        if has_c:
+            # loadPreviousC epilogue: C is NOT scaled — only the A·B part
+            # carries the folded weight scales.
+            r = r + c_ref[...].astype(jnp.float32)
+        out_ref[...] = r.astype(out_ref.dtype)
 
 
 def quantized_matmul(
@@ -260,6 +280,7 @@ def quantized_matmul(
     block_n: int = 512,
     block_k: int = 512,
     out_dtype: Optional[jnp.dtype] = None,
+    c: Optional[jnp.ndarray] = None,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """A [M, K] (bf16/fp32) × dequant(Bᵀ [N, K]) → [M, N].
@@ -269,6 +290,10 @@ def quantized_matmul(
     (mixed bf16×int8 dots, scales applied once at store); otherwise
     dequantization happens on tiles in VMEM (the ``load_quantized_*``
     analog).
+
+    ``c``: optional [M, N] accumulate-into-C operand — the result is
+    ``c + A·dequant(B)ᵀ`` with C added in fp32 in the store epilogue (the
+    reference's ``loadPreviousC``, ``GEMMDescriptor.swift:11-94``).
     """
     if interpret is None:
         from metal_flash_attention_plus_tpu.ops.flash_attention import (
@@ -308,6 +333,12 @@ def quantized_matmul(
     pk_p = k_p // 2 if cfg.bits == 4 else k_p
     if (n_p, pk_p) != payload.shape:
         payload = jnp.pad(payload, ((0, n_p - n), (0, pk_p - pk)))
+    if c is not None:
+        assert c.shape == (m, n), (c.shape, m, n)
+        if (m_p, n_p) != (m, n):
+            c = jnp.pad(c, ((0, m_p - m), (0, n_p - n)))
+    c_spec = [pl.BlockSpec((bm, bn), lambda i, j, k: (i, j))]
+    c_in = [] if c is None else [c]
 
     g = cfg.granularity
     scale, zp = b_t.scale, b_t.zero_point
@@ -331,6 +362,7 @@ def quantized_matmul(
         kernel = functools.partial(
             _wo_folded_kernel,
             bits=cfg.bits, bk=bk, tensor_scale=tensor_scale,
+            has_c=c is not None,
         )
         out = pl.pallas_call(
             kernel,
@@ -339,7 +371,7 @@ def quantized_matmul(
                 pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
                 pl.BlockSpec((bn, payload_bk), lambda i, j, k: (j, k)),
                 scale_spec,
-            ],
+            ] + (c_spec if c is not None else []),
             out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
             out_shape=jax.ShapeDtypeStruct((m_p, n_p), out_dtype),
             scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
@@ -354,7 +386,7 @@ def quantized_matmul(
                 transcendentals=0,
             ),
             interpret=interpret,
-        )(a.astype(jnp.bfloat16), payload, scale_t)
+        )(a.astype(jnp.bfloat16), payload, scale_t, *c_in)
         return out[:m, :n]
     if g == QuantGranularity.TENSOR:
         scale_spec = pl.BlockSpec((1, 1), lambda i, j, k: (0, 0))
@@ -391,6 +423,7 @@ def quantized_matmul(
         _wo_kernel,
         cfg=cfg, bm=bm, bn=bn, bk=bk,
         precision=precision, compute_dtype=compute_dtype,
+        has_c=c is not None,
     )
     out = pl.pallas_call(
         kernel,
@@ -400,7 +433,7 @@ def quantized_matmul(
             pl.BlockSpec((bn, payload_bk), lambda i, j, k: (j, k)),
             scale_spec,
             zp_spec,
-        ],
+        ] + (c_spec if c is not None else []),
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((m_p, n_p), out_dtype),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
@@ -415,7 +448,7 @@ def quantized_matmul(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(a, payload, scale, zp)
+    )(a, payload, scale, zp, *c_in)
     return out[:m, :n]
 
 
@@ -673,8 +706,12 @@ def per_row_block_sums(qt: QuantizedTensor) -> jnp.ndarray:
 
 def _comp_kernel(
     aq_ref, bq_ref, sa_ref, za_ref, sb_ref, zb_ref, sqa_ref, sqb_ref,
-    out_ref, acc_ref, *, bs,
+    *rest, bs, has_c=False,
 ):
+    if has_c:
+        c_ref, out_ref, acc_ref = rest
+    else:
+        out_ref, acc_ref = rest
     k = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -717,12 +754,19 @@ def _comp_kernel(
 
     @pl.when(k == nk - 1)
     def _store():
-        out_ref[...] = acc_ref[...].astype(out_ref.dtype)
+        r = acc_ref[...]
+        if has_c:
+            r = r + c_ref[...].astype(jnp.float32)  # loadPreviousC
+        out_ref[...] = r.astype(out_ref.dtype)
 
 
 def _comp_small_kernel(
-    aq_ref, bq_ref, sa_ref, zsa_ref, sb_ref, zsb_ref, out_ref, acc_ref,
+    aq_ref, bq_ref, sa_ref, zsa_ref, sb_ref, zsb_ref, *rest, has_c=False,
 ):
+    if has_c:
+        c_ref, out_ref, acc_ref = rest
+    else:
+        out_ref, acc_ref = rest
     # Sub-128 quant blocks: the per-K-block compensation
     #   Σ_b s_a·s_b·(Sqq − z_b·SqA − z_a·SqB + cnt·z_a·z_b)
     # is algebraically Σ_k (qa−z_a)·s_a · (qb−z_b)·s_b — per-element dequant
@@ -755,7 +799,10 @@ def _comp_small_kernel(
 
     @pl.when(k == nk - 1)
     def _store():
-        out_ref[...] = acc_ref[...].astype(out_ref.dtype)
+        r = acc_ref[...]
+        if has_c:
+            r = r + c_ref[...].astype(jnp.float32)  # loadPreviousC
+        out_ref[...] = r.astype(out_ref.dtype)
 
 
 def _expand_block_params(t: QuantizedTensor, k_p: int):
@@ -774,7 +821,7 @@ def _expand_block_params(t: QuantizedTensor, k_p: int):
 
 
 def _compensated_small_blocks(
-    a, b_t, *, block_m, block_n, out_dtype, interpret
+    a, b_t, *, block_m, block_n, out_dtype, interpret, c=None
 ):
     """Sub-128-block arm of :func:`compensated_matmul` (see kernel note)."""
     bs = a.config.block_size
@@ -798,16 +845,22 @@ def _compensated_small_blocks(
         bq = jnp.pad(bq, ((0, n_p - n), (0, k_p - kdim)))
     sa, zsa = _expand_block_params(a, k_p)
     sb, zsb = _expand_block_params(b_t, k_p)
+    if c is not None and (m_p, n_p) != c.shape:
+        c = jnp.pad(c, ((0, m_p - m), (0, n_p - n)))
+    c_in = [] if c is None else [c]
 
     vec_spec = pl.BlockSpec((1, bk), lambda i, j, k: (0, k))
     out = pl.pallas_call(
-        _comp_small_kernel,
+        functools.partial(_comp_small_kernel, has_c=c is not None),
         grid=(m_p // bm, n_p // bn, k_p // bk),
         in_specs=[
             pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
             pl.BlockSpec((bn, bk), lambda i, j, k: (j, k)),
             vec_spec, vec_spec, vec_spec, vec_spec,
-        ],
+        ] + (
+            [pl.BlockSpec((bm, bn), lambda i, j, k: (i, j))]
+            if c is not None else []
+        ),
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((m_p, n_p), out_dtype),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
@@ -820,7 +873,7 @@ def _compensated_small_blocks(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(aq, bq, sa, zsa, sb, zsb)
+    )(aq, bq, sa, zsa, sb, zsb, *c_in)
     return out[:m, :n]
 
 
@@ -831,10 +884,14 @@ def compensated_matmul(
     block_m: int = 512,
     block_n: int = 512,
     out_dtype: jnp.dtype = jnp.float32,
+    c: Optional[jnp.ndarray] = None,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """int8 A [M, K] × int8 Bᵀ [N, K] with per-K-block zero-point
     compensation → fp32 [M, N].
+
+    ``c``: optional [M, N] accumulate-into-C operand (``loadPreviousC``,
+    ``GEMMDescriptor.swift:11-94``): result = c + dequant(A)·dequant(B)ᵀ.
 
     At ``block_size % 128 == 0``: one grid step per quant block
     (``bk == block_size``), so the scale / zero-point factors stay out of
@@ -858,7 +915,7 @@ def compensated_matmul(
     if bs % 128 != 0:
         return _compensated_small_blocks(
             a, b_t, block_m=block_m, block_n=block_n,
-            out_dtype=out_dtype, interpret=interpret,
+            out_dtype=out_dtype, interpret=interpret, c=c,
         )
     m, kdim = a.shape
     n, k2 = b_t.shape
@@ -884,8 +941,13 @@ def compensated_matmul(
     za = a.zero_point.reshape(1, nb).astype(jnp.int32)
     sb = b_t.scale.reshape(1, nb)
     zb = b_t.zero_point.reshape(1, nb).astype(jnp.int32)
+    if c is not None:
+        assert c.shape == (m, n), (c.shape, m, n)
+        if (m_p, n_p) != (m, n):
+            c = jnp.pad(c, ((0, m_p - m), (0, n_p - n)))
+    c_in = [] if c is None else [c]
 
-    kernel = functools.partial(_comp_kernel, bs=bs)
+    kernel = functools.partial(_comp_kernel, bs=bs, has_c=c is not None)
     out = pl.pallas_call(
         kernel,
         grid=(m_p // bm, n_p // bn, nb),
@@ -898,7 +960,10 @@ def compensated_matmul(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # zb
             pl.BlockSpec((bm, nb), lambda i, j, k: (i, 0)),  # sqa
             pl.BlockSpec((bn, nb), lambda i, j, k: (j, 0)),  # sqb
-        ],
+        ] + (
+            [pl.BlockSpec((bm, bn), lambda i, j, k: (i, j))]
+            if c is not None else []
+        ),
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((m_p, n_p), out_dtype),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
@@ -911,7 +976,7 @@ def compensated_matmul(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(aq, bq, sa, za, sb, zb, sqa, sqb)
+    )(aq, bq, sa, za, sb, zb, sqa, sqb, *c_in)
     return out[:m, :n]
 
 
@@ -935,7 +1000,11 @@ def unpack_int4_tile_int8(qtile: jnp.ndarray, bk: int) -> jnp.ndarray:
 
 
 def _dyn_kernel(qa_ref, qb_ref, sa_ref, rs_ref, sbt_ref, zbt_ref,
-                out_ref, acc_ref, *, bits, bk):
+                *rest, bits, bk, has_c=False):
+    if has_c:
+        c_ref, out_ref, acc_ref = rest
+    else:
+        out_ref, acc_ref = rest
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -959,6 +1028,8 @@ def _dyn_kernel(qa_ref, qb_ref, sa_ref, rs_ref, sbt_ref, zbt_ref,
         out = acc_ref[...].astype(jnp.float32)
         out = out - rs_ref[...] * zbt_ref[...]
         out = out * (sa_ref[...] * sbt_ref[...])
+        if has_c:
+            out = out + c_ref[...].astype(jnp.float32)  # loadPreviousC
         out_ref[...] = out.astype(out_ref.dtype)
 
 
@@ -970,9 +1041,13 @@ def dynamic_quantized_matmul(
     block_n: int = 512,
     block_k: int = 1024,
     out_dtype: Optional[jnp.dtype] = None,
+    c: Optional[jnp.ndarray] = None,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Dynamic W8A8 GEMM: float A [M, K] × int8 Bᵀ [N, K] → [M, N].
+
+    ``c``: optional [M, N] accumulate-into-C (``loadPreviousC``) added in
+    fp32 during the single output pass.
 
     A is quantized per row on the fly (int8 symmetric, absmax/127 — the
     runtime-activation-quantization analog of the reference's
@@ -1054,10 +1129,17 @@ def dynamic_quantized_matmul(
         zb = jnp.pad(zb, ((0, n_p - n), (0, 0)))
     sbt = jnp.transpose(sb)  # [1, N]
     zbt = jnp.transpose(zb)
+    if c is not None:
+        assert c.shape == (m, n), (c.shape, m, n)
+        if (m_p, n_p) != (m, n):
+            c = jnp.pad(c, ((0, m_p - m), (0, n_p - n)))
+    c_in = [] if c is None else [c]
 
     payload_bk = bk // 2 if cfg.bits == 4 else bk
     out = pl.pallas_call(
-        functools.partial(_dyn_kernel, bits=cfg.bits, bk=bk),
+        functools.partial(
+            _dyn_kernel, bits=cfg.bits, bk=bk, has_c=c is not None
+        ),
         grid=(m_p // bm, n_p // bn, k_p // bk),
         in_specs=[
             pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
@@ -1066,7 +1148,10 @@ def dynamic_quantized_matmul(
             pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0)),
             pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
             pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
-        ],
+        ] + (
+            [pl.BlockSpec((bm, bn), lambda i, j, k: (i, j))]
+            if c is not None else []
+        ),
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((m_p, n_p), out_dtype),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
@@ -1079,5 +1164,5 @@ def dynamic_quantized_matmul(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(qa, qb, sa, rs, sbt, zbt)
+    )(qa, qb, sa, rs, sbt, zbt, *c_in)
     return out[:m, :n]

@@ -299,3 +299,84 @@ def test_folded_weight_only_matches_dequant(bits, gran):
     )
     rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
     assert rel < 0.02, rel  # bf16 MXU noise only; int payload is exact
+
+
+def test_load_previous_c_accumulate():
+    """loadPreviousC parity (``GEMMDescriptor.swift:11-94``): every
+    quantized-GEMM entry point with a ``c`` operand must equal
+    C + (same matmul without C), with C added in fp32."""
+    from metal_flash_attention_plus_tpu.ops.quantized_gemm import (
+        compensated_matmul,
+        dynamic_quantized_matmul,
+        quantized_matmul,
+    )
+
+    ks = jax.random.split(jax.random.PRNGKey(7), 3)
+    m, n, k = 96, 160, 256
+    a = jax.random.normal(ks[0], (m, k), jnp.float32)
+    b = jax.random.normal(ks[1], (n, k), jnp.float32)
+    cmat = jax.random.normal(ks[2], (m, n), jnp.float32)
+
+    # Weight-only dequant-on-load (fp32 A keeps the non-folded kernel).
+    bq = quantize(b, QuantConfig(bits=8, granularity=QuantGranularity.ROW))
+    base = quantized_matmul(a, bq, out_dtype=jnp.float32)
+    acc = quantized_matmul(a, bq, out_dtype=jnp.float32, c=cmat)
+    np.testing.assert_allclose(
+        np.asarray(acc), np.asarray(base + cmat), rtol=1e-5, atol=1e-5
+    )
+
+    # Folded mixed-dot kernel (bf16 A + symmetric ROW scales).
+    bq_s = quantize(
+        b, QuantConfig(
+            bits=8, granularity=QuantGranularity.ROW,
+            strategy=QuantStrategy.SYMMETRIC,
+        ),
+    )
+    a16 = a.astype(jnp.bfloat16)
+    base = quantized_matmul(a16, bq_s, out_dtype=jnp.float32)
+    acc = quantized_matmul(a16, bq_s, out_dtype=jnp.float32, c=cmat)
+    np.testing.assert_allclose(
+        np.asarray(acc), np.asarray(base + cmat), rtol=1e-5, atol=1e-5
+    )
+
+    # Compensated int8×int8 (128-multiple blocks → MXU arm).
+    cfgb = QuantConfig(
+        bits=8, granularity=QuantGranularity.BLOCK, block_size=128,
+        strategy=QuantStrategy.CENTERED,
+    )
+    aq = quantize(a, cfgb)
+    bqb = quantize(b, cfgb)
+    base = compensated_matmul(aq, bqb)
+    acc = compensated_matmul(aq, bqb, c=cmat)
+    np.testing.assert_allclose(
+        np.asarray(acc), np.asarray(base + cmat), rtol=1e-5, atol=1e-5
+    )
+
+    # Compensated sub-128 blocks (per-element dequant arm).
+    cfgs = QuantConfig(
+        bits=8, granularity=QuantGranularity.BLOCK, block_size=32,
+        strategy=QuantStrategy.CENTERED,
+    )
+    aqs = quantize(a, cfgs)
+    bqs = quantize(b, cfgs)
+    base = compensated_matmul(aqs, bqs)
+    acc = compensated_matmul(aqs, bqs, c=cmat)
+    np.testing.assert_allclose(
+        np.asarray(acc), np.asarray(base + cmat), rtol=1e-5, atol=1e-5
+    )
+
+    # Dynamic W8A8.
+    base = dynamic_quantized_matmul(a, bq_s)
+    acc = dynamic_quantized_matmul(a, bq_s, c=cmat)
+    np.testing.assert_allclose(
+        np.asarray(acc), np.asarray(base + cmat), rtol=1e-5, atol=1e-5
+    )
+
+    # Facade dispatch.
+    from metal_flash_attention_plus_tpu.ops.gemm import matmul
+
+    base = matmul(a, bq, out_dtype=jnp.float32)
+    acc = matmul(a, bq, out_dtype=jnp.float32, c=cmat)
+    np.testing.assert_allclose(
+        np.asarray(acc), np.asarray(base + cmat), rtol=1e-5, atol=1e-5
+    )
