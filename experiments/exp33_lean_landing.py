@@ -76,9 +76,11 @@ def kernel(q_ref, k_ref, v_ref, vsc_ref, o_ref, l_ref, m_scr, l_scr,
             preferred_element_type=jnp.float32)
         if d == LANES:
             acc_scr[r, :] = acc_scr[r, :] * alpha + pv
-        else:
+        elif d % LANES == 0:
             acc_scr[r, :] = acc_scr[r, :] * pltpu.repeat(
                 alpha, d // LANES, axis=1) + pv
+        else:
+            acc_scr[r, :] = acc_scr[r, :] * alpha[:, :d] + pv
 
     def inner(t, masked):
         k_int = k_ref[0, 0, pl.ds(t * bkv, bkv), :]
@@ -115,7 +117,10 @@ def kernel(q_ref, k_ref, v_ref, vsc_ref, o_ref, l_ref, m_scr, l_scr,
         lsum = l_scr[...]
         safe = jnp.where(lsum == 0.0, 1.0, lsum)
         inv = 1.0 / safe
-        out = acc_scr[...] * pltpu.repeat(inv, d // LANES, axis=1)
+        if d % LANES == 0:
+            out = acc_scr[...] * pltpu.repeat(inv, d // LANES, axis=1)
+        else:
+            out = acc_scr[...] * inv[:, :d]
         out = out * vsc_ref[0, 0]
         o_ref[0, 0] = out.astype(o_ref.dtype)
         l_ref[0, 0] = jnp.where(
