@@ -70,6 +70,7 @@ print(f"FINAL_LOSS {l0:.10f}")
     os.environ.get("MFA_TPU_TESTS") == "1",
     reason="multi-process CPU harness; covered on CPU CI",
 )
+@pytest.mark.slow
 def test_two_process_dp_tp_train_step(tmp_path):
     port = socket.socket()
     port.bind(("127.0.0.1", 0))

@@ -136,6 +136,7 @@ def test_ulysses_grads():
     np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_r), atol=5e-5)
 
 
+@pytest.mark.slow
 def test_zigzag_ring_forward_and_grads():
     from metal_flash_attention_plus_tpu.parallel.ring import (
         ring_attention_zigzag,

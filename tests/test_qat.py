@@ -4,6 +4,7 @@ reference's external PyTorch autograd bridge
 (``QuantizedAttention.swift:1542-1556``)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 import optax
@@ -29,6 +30,7 @@ ROW8 = QuantConfig(
 )
 
 
+@pytest.mark.slow
 def test_qat_through_quantized_attention_path():
     """A tiny attention regressor trained with int8 fake-quant on K/V: the
     STE must pass useful gradients (loss decreases >5×) and the final

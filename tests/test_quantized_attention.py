@@ -304,7 +304,9 @@ def test_block2d_matches_dequantized_golden(cfg, mask):
 
 
 @pytest.mark.parametrize(
-    "cfg", [B2D8, B2D8R, B2D4], ids=["b1x32", "b8x32", "b1x32-int4"]
+    "cfg",
+    [B2D8, pytest.param(B2D8R, marks=pytest.mark.slow), B2D4],
+    ids=["b1x32", "b8x32", "b1x32-int4"],
 )
 def test_block2d_backward_matches_dequantized_golden(cfg):
     """BLOCK_2D scales run in BOTH backward kernels too (closing VERDICT
@@ -365,6 +367,7 @@ def test_mixed_bits_k8_v4():
     assert rel_mixed < rel_int4
 
 
+@pytest.mark.slow
 def test_hadamard_rotated_kv_exact_and_outlier_win():
     """hadamard_block: rotation is exact through the kernel (Q rotated in,
     O un-rotated out) and reduces quantization error on heavy-tailed data

@@ -38,6 +38,7 @@ CFG = TransformerConfig(
 )
 
 
+@pytest.mark.slow
 def test_w8a8_forward_close_to_float():
     params = init_params(CFG, jax.random.PRNGKey(0))
     qparams = quantize_weights(params)

@@ -117,7 +117,8 @@ def _uncached_greedy(params, prompt, n_tokens):
 
 @pytest.mark.parametrize(
     "chunk_size",
-    [pytest.param(None, marks=pytest.mark.slow), 16],
+    [pytest.param(None, marks=pytest.mark.slow),
+     pytest.param(16, marks=pytest.mark.slow)],
     ids=["one-chunk", "chunked"],
 )
 def test_engine_matches_uncached_greedy(chunk_size):

@@ -61,7 +61,7 @@ def _setup(mesh_shape, seed=0):
         # Default tier keeps one ring + the local mode; the remaining
         # mesh shapes run in the slow tier (MFA_SLOW_TESTS=1, CI).
         pytest.param((2, 2, 2), "ring", marks=pytest.mark.slow),
-        ((1, 2, 4), "ring"),
+        pytest.param((1, 2, 4), "ring", marks=pytest.mark.slow),
         pytest.param((2, 2, 2), "ulysses", marks=pytest.mark.slow),
         ((2, 2, 1), "local"),
     ],
