@@ -297,7 +297,7 @@ def run(args):
     hq1, hkv1, d1, pt1, skv1 = 8, 8, 128, 256, 32768
     pps = skv1 // pt1
 
-    def build_decode(b, int8):
+    def build_decode(b, bits):
         npg = b * pps + 1
         ks = jax.random.split(jax.random.PRNGKey(1), 2)
         q = jax.random.normal(ks[0], (b, hq1, d1), jnp.bfloat16)
@@ -309,7 +309,7 @@ def run(args):
             [perm[i * pps:(i + 1) * pps] for i in range(b)]
         ).astype(np.int32))
         lens = jnp.full((b,), skv1, jnp.int32)
-        if int8:
+        if bits == 8:
             kvq = jnp.clip(
                 jnp.round(kvp.astype(jnp.float32) * 10), -127, 127
             ).astype(jnp.int8)
@@ -318,15 +318,35 @@ def run(args):
                 q, kvq, pts, lens, page_tokens=pt1,
                 k_scales=sc, v_scales=sc))
             return f, (q, kvq, sc)
+        if bits == 4:
+            # Shared-byte int4 pool (K low nibble / V high nibble,
+            # serving.kv_cache layout): [Hkv, NP, PT, D] — a QUARTER of
+            # bf16's page bytes.
+            from metal_flash_attention_plus_tpu.serving.kv_cache import (
+                _pack_tokens_kv4,
+            )
+
+            kf = kvp[:, :, :pt1].astype(jnp.float32)
+            vf = kvp[:, :, pt1:].astype(jnp.float32)
+            byte, ksc, vsc = _pack_tokens_kv4(kf, vf)
+            ksc = ksc[..., 0][:, :, None, :]  # [Hkv, NP, 1, PT]
+            vsc = vsc[..., 0][:, :, None, :]
+            f = jax.jit(lambda q, byte, ksc, vsc: paged_decode_attention(
+                q, byte, pts, lens, page_tokens=pt1,
+                k_scales=ksc, v_scales=vsc, kv_bits=4))
+            return f, (q, byte, ksc, vsc)
         f = jax.jit(lambda q, kvp: paged_decode_attention(
             q, kvp, pts, lens, page_tokens=pt1))
         return f, (q, kvp)
 
-    t_bf16 = slope_time(lambda b: build_decode(b, False), 10)
-    t8 = slope_time(lambda b: build_decode(b, True), 10)
+    t_bf16 = slope_time(lambda b: build_decode(b, 16), 10)
+    t8 = slope_time(lambda b: build_decode(b, 8), 10)
+    t4 = slope_time(lambda b: build_decode(b, 4), 10)
     kv_bytes_seq = 2 * skv1 * hkv1 * d1 * 2
     decode_rows = []
-    for kv, t, byte_div in (("bf16", t_bf16, 1), ("int8", t8, 2)):
+    for kv, t, byte_div in (
+        ("bf16", t_bf16, 1), ("int8", t8, 2), ("int4", t4, 4)
+    ):
         if t is None:
             # An arm that never produced a valid slope is reported as
             # failed — never as a 1.0 s placeholder that fabricates
@@ -340,19 +360,26 @@ def run(args):
             row["speedup"] = round(t_bf16 / t, 2)
         decode_rows.append(row)
     if t_bf16 is not None and t8 is not None:
+        i4 = (
+            f", int4 {t4*1e6:.0f} us/seq ({t_bf16/t4:.2f}x)"
+            if t4 is not None else ", int4 FAILED"
+        )
         print(
             f"32K paged decode: bf16 {t_bf16*1e6:.0f} us/seq "
             f"({kv_bytes_seq/t_bf16/1e9:.0f} GB/s), int8 "
-            f"{t8*1e6:.0f} us/seq ({t_bf16/t8:.2f}x)",
+            f"{t8*1e6:.0f} us/seq ({t_bf16/t8:.2f}x){i4}",
             flush=True,
         )
     else:
         print(f"32K paged decode: FAILED arms bf16={t_bf16} int8={t8}",
               flush=True)
 
+    import datetime
+
     report = dict(
         chip=chip.name,
         bf16_peak_tflops=chip.bf16_tflops,
+        date=datetime.date.today().isoformat(),
         seq=s,
         timing="two-point batch slope (b=4 vs 16), min-of-2x3 trains",
         decode_regime=dict(

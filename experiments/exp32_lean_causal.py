@@ -158,7 +158,7 @@ def build_lean(variant, d, h, b, bq, bkv, n_inner):
                 (1, 1, bkvm, d),
                 lambda b, h, i, j: (b, h, jnp.minimum(j, hi_of(i) - 1), 0),
             ),
-            pl.BlockSpec((1, 1, 1, d), lambda b, h, i, j: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, 1, d), lambda b, h, i, j: (0, 0, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, bq, d), lambda b, h, i, j: (b, h, i, 0)),

@@ -156,7 +156,10 @@ def build_lean(d, h, b, bq, bkv, n_inner, causal, nchain):
             pl.BlockSpec((1, 1, bq, d), lambda b, h, i, j: (b, h, i, 0)),
             pl.BlockSpec((1, 1, bkvm, d), kv_idx),
             pl.BlockSpec((1, 1, bkvm, d), kv_idx),
-            pl.BlockSpec((1, 1, 1, d), lambda b, h, i, j: (b, h, 0, 0)),
+            # vsc is a broadcast [1, 1, 1, d] constant — index map must
+            # pin (0, 0, 0, 0); (b, h, 0, 0) reads out of bounds and
+            # hard-faults the device (the exp32 prototype's actual bug).
+            pl.BlockSpec((1, 1, 1, d), lambda b, h, i, j: (0, 0, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, bq, d), lambda b, h, i, j: (b, h, i, 0)),

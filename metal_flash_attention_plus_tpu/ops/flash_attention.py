@@ -563,6 +563,7 @@ def _fwd_kernel(
     ones: bool = False,
     packed: bool = False,
     flat: bool = False,
+    lean: bool = False,  # dense grid, no scalar prefetch (FULL/no-mask)
     skip_row_guard: bool = False,  # every row statically live: skip store guard
     static_max: bool = False,  # per-row M input replaces the running max
 ):
@@ -583,7 +584,25 @@ def _fwd_kernel(
     # Softmax runs in BASE 2 (log2(e) folded into the Q pre-scale; exp2
     # on the VPU; L converted back to natural log at store).
     has_mask = mask_mode != "none"
-    if flat:
+    if lean:
+        # LEAN dense schedule (round-4, exp33): for UNMASKED problems the
+        # live window is the whole row — no scalar-prefetch tables, no
+        # live/dead logic, plain program-id arithmetic everywhere, and a
+        # reciprocal-multiply epilogue.  Measured +7% over the flat
+        # schedule at FULL d=256 (175.2 vs 163.9 TF/s within-run,
+        # docs/perf_notes.md round 4); for masked problems the flat
+        # schedule stays (the lean dense causal grid measured SLOWER —
+        # dead steps + per-row restarts cost more than the tables).
+        refs = all_refs
+        row_block = pl.program_id(2)
+        j = pl.program_id(3)
+        jj = j
+        live = None  # statically live
+        init_cond = j == 0
+        store_cond = j == pl.num_programs(3) - 1
+        kvj = j
+        loi = hii = None
+    elif flat:
         # FLAT segment schedule (round-2): the ENTIRE (b, h, q-block,
         # live kv-major) iteration space is one arbitrary grid dimension
         # driven by per-step int32 tables — zero dead steps AND zero grid-
@@ -665,7 +684,7 @@ def _fwd_kernel(
     else:
         o_ref, l_ref, m_scr, l_scr, acc_scr = refs
 
-    if not flat:
+    if not flat and not lean:
         kvj = lo + jj  # major kv block index
         loi = loi_ref[row_block]
         hii = hii_ref[row_block]
@@ -787,7 +806,11 @@ def _fwd_kernel(
             else:
                 _inner(t, masked)
 
-    if not has_mask:
+    if lean:
+        # Every step statically live — no branch at all.
+        _loop(False, guards=False)
+
+    elif not has_mask:
 
         @pl.when(live)
         def _compute():
@@ -864,7 +887,18 @@ def _fwd_kernel(
         else:
             lsum = l_scr[...]  # [bq, 128]
             safe = jnp.where(lsum == 0.0, 1.0, lsum)
-            if head_dim == LANES:
+            if lean:
+                # Reciprocal-multiply epilogue (one VPU recip on the
+                # lane-replicated [bq, 128] stats, multiplies across D).
+                inv = 1.0 / safe
+                if head_dim % LANES == 0:
+                    out = acc_scr[...] * (
+                        inv if head_dim == LANES
+                        else pltpu.repeat(inv, head_dim // LANES, axis=1)
+                    )
+                else:
+                    out = acc_scr[...] * inv[:, :1]
+            elif head_dim == LANES:
                 out = acc_scr[...] / safe
             elif head_dim % LANES == 0:
                 out = acc_scr[...] / pltpu.repeat(
@@ -1513,14 +1547,95 @@ def flash_attention_forward(
             *inputs,
         )
 
+    def run_lean():
+        """LEAN dense dispatch for UNMASKED problems: grid (B, Hq, ni,
+        nj), plain arithmetic index maps, zero scalar prefetch, and a
+        reciprocal-multiply epilogue.  Measured +7% over the flat
+        schedule at FULL d=256 (exp33, docs/perf_notes.md round 4)."""
+        nj = skv_p // bkv_major
+        q_map = lambda bi, h, i, j: (bi, h, i, 0)
+        kv_map = lambda bi, h, i, j: (bi, kv_head(h), j, 0)
+        in_specs = []
+        inputs = []
+        if static_max:
+            in_specs.append(pl.BlockSpec((1, 1, bq, 1), q_map))
+            inputs.append(mx4)
+        in_specs += [
+            pl.BlockSpec((1, 1, bq, d), q_map),
+            pl.BlockSpec((1, 1, bkv_major, d), kv_map),
+            pl.BlockSpec((1, 1, bkv_major, dv), kv_map),
+        ]
+        inputs += [q, k, v]
+        if bias is not None:
+            bb = bias.shape[0] == 1
+            bh = bias.shape[1] == 1
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, 1, bq, bkv_major),
+                    lambda bi, h, i, j: (
+                        0 if bb else bi, 0 if bh else h, i, j
+                    ),
+                )
+            )
+            inputs.append(bias)
+        kernel = functools.partial(
+            _fwd_kernel,
+            block_q=bq, block_kv=bkv, n_inner=n_inner, head_dim=d, dv=dv,
+            mask_mode="none", affine=affine, row_base=0,
+            has_rowstats=False, has_bias=bias is not None,
+            mask_value=mask_value, precision=precision, inner_skip=False,
+            ones=ones, lean=True, skip_row_guard=True,
+            static_max=static_max,
+        )
+        out_shape = [
+            jax.ShapeDtypeStruct((b, hq, sq_p, d), out_dtype),
+            jax.ShapeDtypeStruct((b, hq, sq_p, LANES), jnp.float32),
+        ]
+        out_specs = [
+            pl.BlockSpec((1, 1, bq, d), q_map),
+            pl.BlockSpec((1, 1, bq, LANES), q_map),
+        ]
+        scratch = [pltpu.VMEM((bq, LANES), jnp.float32)]  # m
+        if not ones:
+            scratch.append(pltpu.VMEM((bq, LANES), jnp.float32))  # l
+        scratch.append(
+            pltpu.VMEM((bq, dv if ones else d), jnp.float32)  # acc
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(b, hq, ni, nj),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=(
+                    "parallel", "parallel", "arbitrary", "arbitrary"
+                ),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * b * hq * ni * nj * bq * bkv_major * d,
+                bytes_accessed=(q.size + k.size + v.size)
+                * q.dtype.itemsize,
+                transcendentals=b * hq * ni * nj * bq * bkv_major,
+            ),
+            interpret=interpret,
+        )(*inputs)
+
     # Schedule choice for ragged live windows (causal: runs 1..ni):
-    # 0. FLAT single-row schedule for every static-bounds problem (exact
-    #    live tiles, one pipeline warm-up per dispatch) unless disabled
-    #    via MFA_NO_FLAT=1.
+    # 0. LEAN dense schedule for UNMASKED static problems (no prefetch,
+    #    reciprocal epilogue) unless disabled via MFA_NO_LEAN=1.
+    # 0b. FLAT single-row schedule for every other static-bounds problem
+    #    (exact live tiles, one pipeline warm-up per dispatch) unless
+    #    disabled via MFA_NO_FLAT=1.
     # 1. Packed-pair grid when it removes ≥10% of grid steps (causal: ~2×
     #    fewer; measured ~+20-30% — docs/perf_notes.md).
     # 2. Otherwise the dense grid, with wavefront partitioning only under
     #    extreme raggedness (dead > 2× live).
+    if not dynamic and not has_mask and not os.environ.get("MFA_NO_LEAN"):
+        o, l = run_lean()
+        return o[:, :, :sq, :], l[:, :, :sq, 0]
+
     if dynamic:
         # Traced bounds: one full-width dense dispatch (no host packing).
         o, l = run_part(0, ni)

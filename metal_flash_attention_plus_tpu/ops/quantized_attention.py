@@ -38,6 +38,7 @@ The mask zoo / GQA / L conventions are identical to ops/flash_attention.py
 
 from __future__ import annotations
 
+import os
 import dataclasses
 import functools
 from typing import Optional, Tuple
@@ -113,13 +114,27 @@ def _qfwd_kernel(
     k_rowscale: bool = False,  # folded + per-token K: one score col-multiply
     v_rowscale: bool = False,  # folded + per-token V: one P col-multiply
     skip_row_guard: bool = False,  # every row statically live: skip store guard
+    lean: bool = False,  # dense grid, no scalar prefetch (FULL/no-mask)
 ):
     # Two-level schedule + ones-fused rowsum + base-2 softmax — same
     # round-2 structure as flash_attention._fwd_kernel (see its docstring
     # and docs/perf_notes.md); dequantization happens per INNER subtile on
     # slices of the major payload/scale tiles.
     has_mask = mask_mode != "none"
-    if packed:
+    if lean:
+        # LEAN dense schedule for UNMASKED problems (round-4, exp33): no
+        # scalar-prefetch tables, plain program-id arithmetic, reciprocal
+        # epilogue — see flash_attention._fwd_kernel's lean branch.
+        refs = all_refs
+        row_block = pl.program_id(2)
+        j = pl.program_id(3)
+        jj = j
+        live = None
+        init_cond = j == 0
+        store_cond = j == pl.num_programs(3) - 1
+        kvj = j
+        loi = hii = None
+    elif packed:
         # Packed-pair schedule (see flash_attention.build_packed_schedule):
         # two contiguous q-block segments per grid row, zero dead steps for
         # causal.
@@ -152,9 +167,10 @@ def _qfwd_kernel(
         live = j < run
         init_cond = j == 0
         store_cond = j == jnp.maximum(run, 1) - 1
-    kvj = lo + jj
-    loi = loi_ref[row_block]
-    hii = hii_ref[row_block]
+    if not lean:
+        kvj = lo + jj
+        loi = loi_ref[row_block]
+        hii = hii_ref[row_block]
     if has_rowstats:
         # All-rows-live [ms, me) per q-block (ranges-mode interior fast
         # path — see _fwd_kernel's dual-path block).
@@ -522,7 +538,11 @@ def _qfwd_kernel(
             else:
                 _inner(t, masked)
 
-    if not has_mask:
+    if lean:
+        # Every step statically live — no branch at all.
+        _loop(False, guards=False)
+
+    elif not has_mask:
 
         @pl.when(live)
         def _compute():
@@ -585,7 +605,17 @@ def _qfwd_kernel(
         else:
             lsum = l_scr[...]
             safe = jnp.where(lsum == 0.0, 1.0, lsum)
-            if head_dim == LANES:
+            if lean:
+                # Reciprocal-multiply epilogue (see _fwd_kernel lean).
+                inv = 1.0 / safe
+                if head_dim % LANES == 0:
+                    out = acc_scr[...] * (
+                        inv if head_dim == LANES
+                        else pltpu.repeat(inv, head_dim // LANES, axis=1)
+                    )
+                else:
+                    out = acc_scr[...] * inv[:, :1]
+            elif head_dim == LANES:
                 out = acc_scr[...] / safe
             elif head_dim % LANES == 0:
                 out = acc_scr[...] / pltpu.repeat(
@@ -1015,11 +1045,17 @@ def quantized_flash_attention_forward(
     nj_max = nj_all if dynamic else max(1, int((hi_arr - lo_arr).max()))
     q_per_kv = hq // hkv
 
-    # Packed-pair schedule (zero dead steps for causal) when it removes
-    # ≥10% of grid steps; otherwise the dense (i, j) grid.  Same policy and
-    # machinery as flash_attention_forward.
-    if dynamic:
-        packed = False  # traced bounds: no host packing, full-width grid
+    # Schedule: LEAN dense grid for UNMASKED static problems (no scalar
+    # prefetch, reciprocal epilogue — measured +7% over flat at FULL
+    # d=256, exp33/docs/perf_notes.md round 4); else packed-pair when it
+    # removes ≥10% of grid steps; else the dense (i, j) grid.  Same
+    # policy and machinery as flash_attention_forward.
+    lean = (
+        not dynamic and not has_mask
+        and not os.environ.get("MFA_NO_LEAN")
+    )
+    if dynamic or lean:
+        packed = False  # traced bounds / lean: no host packing
     else:
         q0a, q1a, n0a, ta, nrows, width = build_packed_schedule(
             lo_arr, hi_arr
@@ -1029,7 +1065,16 @@ def quantized_flash_attention_forward(
     def kv_head(h):
         return (h % hkv) if interleaved_kv else (h // q_per_kv)
 
-    if packed:
+    if lean:
+        grid = (b, hq, ni, nj_all)
+        scalars = ()
+
+        def q_block(args):
+            return args[2]
+
+        def kv_block(args):
+            return args[3]
+    elif packed:
         grid = (b, hq, nrows, width)
         scalars = (
             jnp.asarray(q0a), jnp.asarray(q1a), jnp.asarray(n0a),
@@ -1220,6 +1265,7 @@ def quantized_flash_attention_forward(
         k_rowscale=k_rowscale,
         v_rowscale=v_rowscale,
         skip_row_guard=all_live,
+        lean=lean,
     )
 
     out_shape = [
