@@ -651,6 +651,288 @@ def _qfwd_kernel(
         l_ref[0, 0] = lse
 
 
+def _hpack_kernel(
+    q_ref, k1_ref, k2_ref, v1_ref, v2_ref, vsc_ref, o_ref, l_ref,
+    m_scr, l_scr, acc_scr, *,
+    block_q: int, block_kv: int, n_inner: int, causal: bool, off: int,
+    bits_k: int, bits_v: int,
+):
+    """Head-PAIR-packed folded forward for d = 64 (round 4, exp35).
+
+    d = 64 leaves the 128-deep MXU contraction half-empty (exp28:
+    dots-only floor 33% of peak).  Pack two heads per MXU pass:
+
+      Q_cat = [q_h1 | q_h2]              [bq, 128]  (full depth)
+      K_bd  = [[k1 | 0], [0 | k2]]       [2bkv, 128] block-diagonal,
+              built IN-KERNEL from the two [bkv, 64] payload tiles
+              (lane concat with an int8 zero tile — HBM traffic stays
+              at real payload bytes)
+      S     = Q_cat · K_bdᵀ              [bq, 2bkv]: h1's scores in
+              columns [0, bkv), h2's in [bkv, 2bkv)
+      softmax per COLUMN-HALF (each row carries TWO heads' queries);
+      the m/l scratch packs both heads into the [bq, 128] lanes
+      ([0, 64) = h1, [64, 128) = h2) so alpha/epilogue multiplies are
+      plain elementwise ops — no repeats, no relayouts.
+      V_bd  = [[v1 | 0], [0 | v2]]       [2bkv, 128]
+      O_cat = P_cat · V_bd               [bq, 128] = [o_h1 | o_h2]
+              (full output lanes; contraction 2bkv).
+
+    Measured +30% over the unpacked causal kernel at d=64
+    (docs/perf_notes.md round 4).  Blocks arrive as NATURAL-layout pairs
+    via (1, 2, bq, 64) BlockSpecs — no host packing passes.
+    """
+    i = pl.program_id(2)
+    j = pl.program_id(3)
+    bkvm = block_kv * n_inner
+    nj = pl.num_programs(3)
+    if causal:
+        hi = jnp.minimum((((i + 1) * block_q + off) + bkvm - 1) // bkvm, nj)
+    else:
+        hi = nj
+    d = 64
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q_cat = jnp.concatenate([q_ref[0, 0], q_ref[0, 1]], axis=1)
+
+    def _inner(t, masked):
+        sl = pl.ds(t * block_kv, block_kv)
+        k1 = k1_ref[0, 0, sl, :]
+        k2 = k2_ref[0, 0, sl, :]
+        if bits_k == 4:
+            from metal_flash_attention_plus_tpu.ops.quantized_gemm import (
+                unpack_int4_tile_int8,
+            )
+
+            k1 = unpack_int4_tile_int8(k1, d)
+            k2 = unpack_int4_tile_int8(k2, d)
+        z8 = jnp.zeros((block_kv, d), jnp.int8)
+        k_bd = jnp.concatenate([
+            jnp.concatenate([k1, z8], axis=1),
+            jnp.concatenate([z8, k2], axis=1),
+        ], axis=0)
+        s = jax.lax.dot_general(
+            q_cat, k_bd, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [bq, 2bkv]
+        if masked:
+            c0 = (j * n_inner + t) * block_kv
+            col = jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, 2 * block_kv), 1
+            ) % block_kv + c0
+            row = (
+                jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, 2 * block_kv), 0
+                )
+                + i * block_q + off
+            )
+            s = jnp.where(col <= row, s, DEFAULT_MASK_VALUE)
+        s1 = s[:, :block_kv]
+        s2 = s[:, block_kv:]
+        m_prev = m_scr[...]
+        m_curr = jnp.concatenate([
+            jnp.broadcast_to(
+                jnp.max(s1, axis=1, keepdims=True), (block_q, d)),
+            jnp.broadcast_to(
+                jnp.max(s2, axis=1, keepdims=True), (block_q, d)),
+        ], axis=1)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp2(m_prev - m_next)
+        m1w = pltpu.repeat(m_next[:, :d], block_kv // d, axis=1)
+        m2w = pltpu.repeat(m_next[:, d:], block_kv // d, axis=1)
+        p = jnp.exp2(jnp.concatenate([s1 - m1w, s2 - m2w], axis=1))
+        l_scr[...] = alpha * l_scr[...] + jnp.concatenate([
+            jnp.broadcast_to(
+                jnp.sum(p[:, :block_kv], axis=1, keepdims=True),
+                (block_q, d)),
+            jnp.broadcast_to(
+                jnp.sum(p[:, block_kv:], axis=1, keepdims=True),
+                (block_q, d)),
+        ], axis=1)
+        m_scr[...] = m_next
+        v1 = v1_ref[0, 0, sl, :]
+        v2 = v2_ref[0, 0, sl, :]
+        if bits_v == 4:
+            from metal_flash_attention_plus_tpu.ops.quantized_gemm import (
+                unpack_int4_tile_int8,
+            )
+
+            v1 = unpack_int4_tile_int8(v1, d)
+            v2 = unpack_int4_tile_int8(v2, d)
+        v_bd = jnp.concatenate([
+            jnp.concatenate([v1, z8], axis=1),
+            jnp.concatenate([z8, v2], axis=1),
+        ], axis=0)
+        pv = jax.lax.dot_general(
+            p.astype(jnp.bfloat16), v_bd, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[...] = acc_scr[...] * alpha + pv
+
+    if causal:
+        fully_live = (j + 1) * bkvm <= i * block_q + off + 1
+
+        @pl.when(jnp.logical_and(j < hi, fully_live))
+        def _interior():
+            for t in range(n_inner):
+                _inner(t, False)
+
+        @pl.when(jnp.logical_and(j < hi, jnp.logical_not(fully_live)))
+        def _edge():
+            for t in range(n_inner):
+                _inner(t, True)
+    else:
+        for t in range(n_inner):
+            _inner(t, False)
+
+    @pl.when(j == hi - 1)
+    def _store():
+        lsum = l_scr[...]  # per-lane-half denominators — already aligned
+        safe = jnp.where(lsum == 0.0, 1.0, lsum)
+        inv = 1.0 / safe
+        out = acc_scr[...] * inv * vsc_ref[0, 0]
+        o_ref[0, 0] = out[:, :d].astype(o_ref.dtype)
+        o_ref[0, 1] = out[:, d:].astype(o_ref.dtype)
+        lse = jnp.where(
+            lsum > 0.0, m_scr[...] * _LN2 + jnp.log(safe), NEG_INF
+        )
+        l_ref[0, 0] = pltpu.repeat(lse[:, :d], 2, axis=1)
+        l_ref[0, 1] = pltpu.repeat(lse[:, d:], 2, axis=1)
+
+
+def _hpack_forward(
+    q, k, v, *, mask, scale, interleaved_kv, out_dtype, interpret,
+    block_sizes,
+):
+    """Dispatch the head-pair-packed d=64 folded forward.
+
+    Caller (quantized_flash_attention_forward) has already validated the
+    folded preconditions; this path additionally requires d=64, even hq,
+    NONE/CAUSAL mask, no bias/padding, TENSOR/CHANNEL scales.  Returns
+    (o [B,Hq,Sq,64] out_dtype, l [B,Hq,Sq] natural-log lse)."""
+    b, hq, sq, d = q.shape
+    _, hkv, skv, _ = k.shape
+    h2 = hq // 2
+    q_per_kv = hq // hkv
+    causal = mask.kind == MaskKind.CAUSAL
+    off = skv - sq
+    bits_k, bits_v = k.config.bits, v.config.bits
+
+    # Sweep (exp35/exp35b, docs/perf_notes.md round 4): causal best at
+    # (1024, 512, M1024) = 51.7 TF/s (+40% over the unpacked 36.8);
+    # FULL at (512, 512, M1024) = 70.4.  bq=2048 VMEM-OOMs.
+    bq = min(block_sizes.block_q, 1024 if causal else 512)
+    while sq % bq:
+        bq //= 2
+    bkv = min(block_sizes.block_kv, 512)
+    while skv % bkv:
+        bkv //= 2
+    bkvm = min(1024, skv)
+    bkvm -= bkvm % bkv
+    if interpret and not _interpret_two_level():
+        bkvm = bkv
+    n_inner = bkvm // bkv
+    ni, nj = sq // bq, skv // bkvm
+
+    # Fold softmax scale · log2e (+ K scales) into Q.
+    pre = scale * _LOG2E
+    if k.config.granularity == QuantGranularity.CHANNEL:
+        ksc = k.scale.reshape(b, hkv, 1, 1, d).astype(jnp.float32)
+        qf = q.astype(jnp.float32).reshape(b, hkv, q_per_kv, sq, d)
+        q = (qf * (ksc * pre)).reshape(b, hq, sq, d).astype(q.dtype)
+    else:
+        pre = pre * k.scale.reshape(()).astype(jnp.float32)
+        q = (q.astype(jnp.float32) * pre).astype(q.dtype)
+
+    def kvh(h):
+        return (h % hkv) if interleaved_kv else (h // q_per_kv)
+
+    # Folded V scales, lane-concatenated per head pair: [B, h2, 1, 128].
+    if v.config.granularity == QuantGranularity.CHANNEL:
+        vs_full = v.scale.reshape(b, hkv, d).astype(jnp.float32)
+    else:
+        vs_full = jnp.broadcast_to(
+            v.scale.reshape(1, 1, 1).astype(jnp.float32), (b, hkv, d)
+        )
+    i1 = np.asarray([kvh(2 * p) for p in range(h2)])
+    i2 = np.asarray([kvh(2 * p + 1) for p in range(h2)])
+    vsc_cat = jnp.concatenate(
+        [vs_full[:, i1], vs_full[:, i2]], axis=-1
+    )[:, :, None, :]  # [B, h2, 1, 128]
+
+    pd = d // 2 if bits_k == 4 else d
+    pdv = d // 2 if bits_v == 4 else d
+
+    def hi_of(i):
+        # Works on traced index-map args and concrete ints alike.
+        return jnp.clip(-(-((i + 1) * bq + off) // bkvm), 1, nj)
+
+    def kv_map(add):
+        # Pure arithmetic kv-head resolution (index maps must lower to
+        # scalar ops — no constant-array gathers).
+        def f(bi, p, i, j):
+            h = 2 * p + add
+            g = (h % hkv) if interleaved_kv else (h // q_per_kv)
+            jj = jnp.minimum(j, hi_of(i) - 1) if causal else j
+            return (bi, g, jj, 0)
+
+        return f
+
+    q_map = lambda bi, p, i, j: (bi, p, i, 0)
+    in_specs = [
+        pl.BlockSpec((1, 2, bq, d), q_map),
+        pl.BlockSpec((1, 1, bkvm, pd), kv_map(0)),
+        pl.BlockSpec((1, 1, bkvm, pd), kv_map(1)),
+        pl.BlockSpec((1, 1, bkvm, pdv), kv_map(0)),
+        pl.BlockSpec((1, 1, bkvm, pdv), kv_map(1)),
+        pl.BlockSpec((1, 1, 1, 2 * d), lambda bi, p, i, j: (bi, p, 0, 0)),
+    ]
+    inputs = [q, k.data, k.data, v.data, v.data, vsc_cat]
+    out_specs = [
+        pl.BlockSpec((1, 2, bq, d), q_map),
+        pl.BlockSpec((1, 2, bq, LANES), q_map),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, hq, sq, d), out_dtype),
+        jax.ShapeDtypeStruct((b, hq, sq, LANES), jnp.float32),
+    ]
+    kernel = functools.partial(
+        _hpack_kernel,
+        block_q=bq, block_kv=bkv, n_inner=n_inner, causal=causal,
+        off=off, bits_k=bits_k, bits_v=bits_v,
+    )
+    o, l = pl.pallas_call(
+        kernel,
+        grid=(b, h2, ni, nj),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((bq, LANES), jnp.float32),
+            pltpu.VMEM((bq, LANES), jnp.float32),
+            pltpu.VMEM((bq, LANES), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(
+                "parallel", "parallel", "arbitrary", "arbitrary"
+            ),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * hq * sq * skv * d // (2 if causal else 1),
+            bytes_accessed=int(
+                q.size * q.dtype.itemsize + k.data.size + v.data.size
+            ),
+            transcendentals=b * hq * sq * skv // (2 if causal else 1),
+        ),
+        interpret=interpret,
+    )(*inputs)
+    return o, l[:, :, :, 0]
+
+
 def _per_token_params(t: QuantizedTensor) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Normalize scale/zp of a [B, H, S, D] quantized tensor to per-token
     [B, H, S, 1] float32 arrays (TENSOR broadcast; ROW pass-through)."""
@@ -792,6 +1074,31 @@ def quantized_flash_attention_forward(
             "CHANNEL-granularity V requires the full-integer pipeline "
             "(quantize_q=True) or the folded int8 fast path (symmetric "
             "TENSOR K, non-fp32 Q)"
+        )
+
+    # Head-PAIR-packed d=64 path (round 4, exp35: +30% causal / +5% FULL
+    # over the unpacked kernel — the half-empty 128-deep contraction is
+    # the d=64 ceiling).  Engages for the folded TENSOR/CHANNEL configs
+    # on NONE/CAUSAL masks with no bias/padding; MFA_NO_HPACK=1 reverts.
+    if (
+        kv_folded
+        and not (k_rowscale or v_rowscale)
+        and d == 64
+        and hq % 2 == 0
+        and bias is None
+        and mask_ranges is None
+        and hadamard_block is None
+        and mask.kind in (MaskKind.NONE, MaskKind.CAUSAL)
+        and not (mask.kind == MaskKind.CAUSAL and skv < sq)
+        and sq % 128 == 0
+        and skv % 128 == 0
+        and mask_value == DEFAULT_MASK_VALUE
+        and not os.environ.get("MFA_NO_HPACK")
+    ):
+        return _hpack_forward(
+            q, k, v, mask=mask, scale=scale,
+            interleaved_kv=interleaved_kv, out_dtype=out_dtype,
+            interpret=interpret, block_sizes=block_sizes,
         )
 
     if hadamard_block:
