@@ -50,17 +50,20 @@ def build(h, b, mask, bits_k, bits_v, gran_k, gran_v, qq, blocks,
     q = jax.random.normal(ks[0], (b, h, S, D), jnp.bfloat16)
     k = jax.random.normal(ks[1], (b, h, S, D), jnp.float32)
     v = jax.random.normal(ks[2], (b, h, S, D), jnp.float32)
-    if bits_k == 0:  # bf16 control
+    if bits_k == 0:  # bf16 control — operands as ARGS (large closures
+        # blow the remote-compile request size limit, HTTP 413)
         kb = k.astype(jnp.bfloat16)
         vb = v.astype(jnp.bfloat16)
-        f = jax.jit(lambda q: flash_attention_forward(
+        fj = jax.jit(lambda q, kb, vb: flash_attention_forward(
             q, kb, vb, mask=mask, block_sizes=blocks, interpret=False)[0])
+        f = lambda q: fj(q, kb, vb)
     else:
         kq = quantize(k, cfg(bits_k, gran_k))
         vq = quantize(v, cfg(bits_v, gran_v))
-        f = jax.jit(lambda q: quantized_flash_attention_forward(
+        fj = jax.jit(lambda q, kq, vq: quantized_flash_attention_forward(
             q, kq, vq, mask=mask, block_sizes=blocks,
             quantize_q=qq, interpret=False)[0])
+        f = lambda q: fj(q, kq, vq)
     f(q)
     rel = None
     if want_err:

@@ -697,7 +697,11 @@ def _hpack_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    q_cat = jnp.concatenate([q_ref[0, 0], q_ref[0, 1]], axis=1)
+    # Q arrives HOST-PACKED [bq, 128] (lane-concatenated head pair): a
+    # (1, 2, bq, 64) pair-block fetch + in-kernel concat measured ~25%
+    # SLOWER (strided half-lane blocks defeat the tile layout); the one
+    # host transpose pass is ~10% of Q bytes and amortizes to noise.
+    q_cat = q_ref[0, 0]
 
     def _inner(t, masked):
         sl = pl.ds(t * block_kv, block_kv)
@@ -795,13 +799,12 @@ def _hpack_kernel(
         safe = jnp.where(lsum == 0.0, 1.0, lsum)
         inv = 1.0 / safe
         out = acc_scr[...] * inv * vsc_ref[0, 0]
-        o_ref[0, 0] = out[:, :d].astype(o_ref.dtype)
-        o_ref[0, 1] = out[:, d:].astype(o_ref.dtype)
-        lse = jnp.where(
+        # O stays lane-packed [bq, 128] = [o_h1 | o_h2]; the wrapper
+        # unpacks with one host transpose (same rationale as Q).
+        o_ref[0, 0] = out.astype(o_ref.dtype)
+        l_ref[0, 0] = jnp.where(
             lsum > 0.0, m_scr[...] * _LN2 + jnp.log(safe), NEG_INF
         )
-        l_ref[0, 0] = pltpu.repeat(lse[:, :d], 2, axis=1)
-        l_ref[0, 1] = pltpu.repeat(lse[:, d:], 2, axis=1)
 
 
 def _hpack_forward(
@@ -847,6 +850,9 @@ def _hpack_forward(
     else:
         pre = pre * k.scale.reshape(()).astype(jnp.float32)
         q = (q.astype(jnp.float32) * pre).astype(q.dtype)
+    # Host-pack head pairs into lanes: [B, Hq, Sq, 64] → [B, h2, Sq, 128]
+    # (one XLA transpose; pair-block kernel fetches measured ~25% slower).
+    q = q.reshape(b, h2, 2, sq, d).swapaxes(2, 3).reshape(b, h2, sq, 2 * d)
 
     def kvh(h):
         return (h % hkv) if interleaved_kv else (h // q_per_kv)
@@ -884,7 +890,7 @@ def _hpack_forward(
 
     q_map = lambda bi, p, i, j: (bi, p, i, 0)
     in_specs = [
-        pl.BlockSpec((1, 2, bq, d), q_map),
+        pl.BlockSpec((1, 1, bq, 2 * d), q_map),
         pl.BlockSpec((1, 1, bkvm, pd), kv_map(0)),
         pl.BlockSpec((1, 1, bkvm, pd), kv_map(1)),
         pl.BlockSpec((1, 1, bkvm, pdv), kv_map(0)),
@@ -893,12 +899,12 @@ def _hpack_forward(
     ]
     inputs = [q, k.data, k.data, v.data, v.data, vsc_cat]
     out_specs = [
-        pl.BlockSpec((1, 2, bq, d), q_map),
-        pl.BlockSpec((1, 2, bq, LANES), q_map),
+        pl.BlockSpec((1, 1, bq, 2 * d), q_map),
+        pl.BlockSpec((1, 1, bq, LANES), q_map),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((b, hq, sq, d), out_dtype),
-        jax.ShapeDtypeStruct((b, hq, sq, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((b, h2, sq, 2 * d), out_dtype),
+        jax.ShapeDtypeStruct((b, h2, sq, LANES), jnp.float32),
     ]
     kernel = functools.partial(
         _hpack_kernel,
@@ -930,7 +936,13 @@ def _hpack_forward(
         ),
         interpret=interpret,
     )(*inputs)
-    return o, l[:, :, :, 0]
+    # Unpack the lane-paired outputs: O [B, h2, Sq, 128] → [B, Hq, Sq, 64];
+    # L lanes [0, 64) hold h1's replicated lse, [64, 128) h2's.
+    o = o.reshape(b, h2, sq, 2, d).swapaxes(2, 3).reshape(b, hq, sq, d)
+    l = jnp.stack([l[:, :, :, 0], l[:, :, :, d]], axis=2).reshape(
+        b, hq, sq
+    )
+    return o, l
 
 
 def _per_token_params(t: QuantizedTensor) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -1076,10 +1088,14 @@ def quantized_flash_attention_forward(
             "TENSOR K, non-fp32 Q)"
         )
 
-    # Head-PAIR-packed d=64 path (round 4, exp35: +30% causal / +5% FULL
-    # over the unpacked kernel — the half-empty 128-deep contraction is
-    # the d=64 ceiling).  Engages for the folded TENSOR/CHANNEL configs
-    # on NONE/CAUSAL masks with no bias/padding; MFA_NO_HPACK=1 reverts.
+    # Head-PAIR-packed d=64 path (round 4, exp35/exp37): one full-depth
+    # MXU pass per head pair.  Production A/B (within-run): FULL +0-9%
+    # over the unpacked kernel; CAUSAL measured NEUTRAL-to-NEGATIVE once
+    # the control ran its proper block table (the exp35 prototype's +40%
+    # was against a mis-blocked control, and the production path pays
+    # pack/unpack transposes the prototype didn't) — so hpack engages
+    # for UNMASKED problems only; MFA_HPACK_CAUSAL=1 re-enables the
+    # causal variant for experiments, MFA_NO_HPACK=1 disables entirely.
     if (
         kv_folded
         and not (k_rowscale or v_rowscale)
@@ -1088,7 +1104,13 @@ def quantized_flash_attention_forward(
         and bias is None
         and mask_ranges is None
         and hadamard_block is None
-        and mask.kind in (MaskKind.NONE, MaskKind.CAUSAL)
+        and (
+            mask.kind == MaskKind.NONE
+            or (
+                mask.kind == MaskKind.CAUSAL
+                and os.environ.get("MFA_HPACK_CAUSAL") == "1"
+            )
+        )
         and not (mask.kind == MaskKind.CAUSAL and skv < sq)
         and sq % 128 == 0
         and skv % 128 == 0
