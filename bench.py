@@ -25,12 +25,14 @@ short-row structure tax — docs/perf_notes.md round 4):
   the contraction, so utilization is vs full peak like the reference's.
 
 TIME-BOXING (round-4 rework; round 3 shipped rc=124/no JSON): every arm
-runs under a global ``MFA_BENCH_BUDGET_S`` budget (default 420 s).  Arms
+runs under a global ``MFA_BENCH_BUDGET_S`` budget (default 480 s).  Arms
 run in priority order; an arm whose cost estimate no longer fits is
-SKIPPED (flagged in the metric string), and the headline JSON is printed
-as soon as the graded arms settle — BEFORE the detail arms — so a slow
-detail arm can never starve the round of its number.  SIGTERM/SIGALRM
-backstops emit the headline from whatever completed.
+SKIPPED (flagged in the metric string).  The fwd+bwd arm runs LAST: its
+grad executables leave the device unable to allocate for the rest of
+the process (tunnel-runtime quirk — RESOURCE_EXHAUSTED with zero live
+client bytes, not released by gc or jax.clear_caches()).  SIGTERM and
+SIGALRM backstops emit the headline from whatever completed, so a
+stalled arm can never starve the round of its number.
 
 Detail lines (stderr) additionally cover the BANDWIDTH-BOUND regime the
 int KV cache exists for (batch-1, Skv=32K decode-shape: int8/int4 speedup
@@ -114,20 +116,42 @@ def _arm(name: str, est_s: float, fn):
         print(f"skip: {name} — budget", file=sys.stderr, flush=True)
         return None
     t_arm = time.monotonic()
-    try:
-        r = fn()
-    except _Deadline:
-        raise
-    except Exception as e:  # noqa: BLE001 — isolate arm failures
-        _skipped.append(f"{name}({type(e).__name__})")
-        print(
-            f"skip: {name} — {type(e).__name__}: {str(e)[:120]}",
-            file=sys.stderr, flush=True,
-        )
-        return None
+    r = None
+    for attempt in (0, 1):
+        try:
+            r = fn()
+            break
+        except _Deadline:
+            raise
+        except Exception as e:  # noqa: BLE001 — isolate arm failures
+            # RESOURCE_EXHAUSTED here tracks tunnel CONGESTION, not HBM
+            # (a fresh probe allocates 12+ GB while arms fail) — back
+            # off once and retry before giving up on the arm.
+            transient = "RESOURCE_EXHAUSTED" in str(e)
+            if attempt == 0 and transient and remaining() > est_s + 45:
+                print(
+                    f"retry: {name} after transient {type(e).__name__}",
+                    file=sys.stderr, flush=True,
+                )
+                time.sleep(30)
+                continue
+            _skipped.append(f"{name}({type(e).__name__})")
+            print(
+                f"skip: {name} — {type(e).__name__}: {str(e)[:120]}",
+                file=sys.stderr, flush=True,
+            )
+            return None
     _results[name] = r
+    import gc
+
+    gc.collect()  # drop the arm's device buffers before the next build
+    try:
+        live = sum(x.nbytes for x in jax.live_arrays()) / 1e9
+    except Exception:  # noqa: BLE001
+        live = -1.0
     print(
-        f"detail: {name}: {r} [{time.monotonic() - t_arm:.0f}s]",
+        f"detail: {name}: {r} [{time.monotonic() - t_arm:.0f}s, "
+        f"live {live:.2f} GB]",
         file=sys.stderr, flush=True,
     )
     return r
@@ -305,19 +329,27 @@ def run_fwd_bwd_config(d: int, h: int, chip, causal: bool = False) -> dict:
         do = jax.random.normal(ks[3], (b, h, SEQ, d), jnp.bfloat16)
         kq = quantize(k, kv_config(8, "k"))
         vq = quantize(v, kv_config(8, "v"))
-        fj = jax.jit(
-            jax.grad(
-                lambda q, kq, vq, do: jnp.sum(
-                    quantized_flash_attention(
-                        q, kq, vq, mask=mask, block_sizes=blocks,
-                    ).astype(jnp.float32)
-                    * do.astype(jnp.float32)
-                )
+        import dataclasses as _dc
+
+        def loss(q, ks_, vs_, kq, vq, do):
+            # Differentiate wrt q AND the K/V scales: scale cotangents
+            # flow through the dKV kernel, so XLA cannot dead-code it.
+            # (grad-wrt-q-only let the dKV pallas call be DCE'd — the
+            # r2/r3 "fwd+bwd" numbers actually measured fwd+dQ under a
+            # fwd+bwd FLOP model; docs/perf_notes.md round 4.)
+            kq = _dc.replace(kq, scale=ks_)
+            vq = _dc.replace(vq, scale=vs_)
+            return jnp.sum(
+                quantized_flash_attention(
+                    q, kq, vq, mask=mask, block_sizes=blocks,
+                ).astype(jnp.float32)
+                * do.astype(jnp.float32)
             )
-        )
+
+        fj = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
 
         def f(q):
-            return fj(q, kq, vq, do)
+            return fj(q, kq.scale, vq.scale, kq, vq, do)
 
         f(q)
         return f, q
@@ -554,19 +586,24 @@ def main():
             lambda: run_config(
                 64, 8, 8, chip, gate_key="int8", causal=False),
         )
+        # Decode runs EARLY (second): its six interleaved workloads hold
+        # the largest live set (~5 GB at b2=16), and an allocation
+        # failure poisons the device for the rest of the process on this
+        # runtime — give it the emptiest possible HBM.
+        _arm("paged_decode_32k", 150, run_bandwidth_arm)
         _arm(
             "fwd_d256_int8_full", 130,
             lambda: run_config(
                 256, 4, 8, chip, gate_key="int8", causal=False,
                 fullint=True, b2=16),
         )
-        _arm(
-            "fwd_bwd_d256_int8_full", 150,
-            lambda: run_fwd_bwd_config(256, 4, chip),
-        )
-        emit_headline(chip)
-        # Detail arms (stderr only) with whatever budget remains.
-        _arm("paged_decode_32k", 150, run_bandwidth_arm)
+        # Detail arms BEFORE the fwd+bwd arm: an allocation failure (or
+        # grad-executable residue) can leave the device unable to
+        # allocate for the rest of the process (RESOURCE_EXHAUSTED with
+        # zero live client bytes; neither gc nor jax.clear_caches()
+        # releases it), so everything that must run goes first and
+        # fwd+bwd runs LAST.  The SIGTERM/SIGALRM backstops still emit
+        # the headline from completed arms if an arm stalls.
         _arm(
             "fwd_d64_int8_causal", 70,
             lambda: run_config(64, 8, 8, chip, gate_key="int8"),
@@ -583,6 +620,10 @@ def main():
         _arm(
             "fwd_d256_int4_causal", 70,
             lambda: run_config(256, 4, 4, chip, gate_key="int4"),
+        )
+        _arm(
+            "fwd_bwd_d256_int8_full", 150,
+            lambda: run_fwd_bwd_config(256, 4, chip),
         )
     except _Deadline:
         print("deadline hit — emitting partial headline", file=sys.stderr)

@@ -222,14 +222,22 @@ def run(args):
             vq = quantize(v.astype(jnp.float32), cfg_v8)
             do = jax.random.normal(
                 jax.random.PRNGKey(7), (b, h, s, d), jnp.bfloat16)
-            f = jax.jit(jax.grad(
-                lambda q: jnp.sum(
+            import dataclasses as _dc
+
+            def loss(q, ks_, vs_):
+                # Grads wrt q AND the K/V scales — scale cotangents run
+                # through the dKV kernel so it cannot be DCE'd (grad-
+                # wrt-q-only silently measured fwd+dQ only).
+                kq2 = _dc.replace(kq, scale=ks_)
+                vq2 = _dc.replace(vq, scale=vs_)
+                return jnp.sum(
                     quantized_flash_attention(
-                        q, kq, vq, mask=CAUSAL, block_sizes=blocks
+                        q, kq2, vq2, mask=CAUSAL, block_sizes=blocks
                     ).astype(jnp.float32) * do.astype(jnp.float32)
                 )
-            ))
-            return f, (q,)
+
+            fj = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+            return (lambda q: fj(q, kq.scale, vq.scale)), (q,)
 
         t_qf_both = slope_time(build_qf_both, max(4, iters // 2))
 

@@ -1144,19 +1144,24 @@ def quantized_flash_attention_forward(
         # (MFA_INTERPRET_TWO_LEVEL=1 overrides, for structure tests).
         bkv_major = bkv
     n_inner = bkv_major // bkv
-    if n_inner >= 8 and not interpret:
+    if (
+        n_inner >= 8 and not interpret
+        and not kv_folded and not quantize_q
+    ):
         # Known Mosaic compiler crash (HTTP 500 from tpu_compile_helper,
-        # not a Python exception): the dequant/fold code unrolled 8× per
-        # grid step blows up the Mosaic lowering (docs/perf_notes.md
+        # not a Python exception): the DEQUANT-ON-LOAD code unrolled 8×
+        # per grid step blows up the Mosaic lowering (docs/perf_notes.md
         # round-2 "two-level"; repro: experiments/exp34_mosaic_crash_repro
-        # .py).  The tuned tables cap majors at 2-4 inner tiles; reject
-        # explicit BlockSizes that would hit the crash with an actionable
-        # error instead of a runtime RPC failure.
+        # .py).  The folded/full-integer pipelines carry no per-tile
+        # dequant code and compile fine at n_inner=8 (they have shipped
+        # that way since round 2) — only the legacy dequant and block2d
+        # paths are guarded.  Reject with an actionable error instead of
+        # a runtime RPC failure.
         raise ValueError(
-            f"quantized forward with block_kv_major/block_kv = {n_inner} "
-            ">= 8 crashes the Mosaic compiler on TPU (known toolchain "
-            "bug); use block_kv_major <= 4*block_kv — e.g. "
-            f"BlockSizes(block_kv={bkv}, block_kv_major={4 * bkv})"
+            f"quantized dequant-on-load forward with block_kv_major/"
+            f"block_kv = {n_inner} >= 8 crashes the Mosaic compiler on "
+            "TPU (known toolchain bug); use block_kv_major <= 4*block_kv "
+            f"— e.g. BlockSizes(block_kv={bkv}, block_kv_major={4 * bkv})"
         )
     sq_p = _round_up(sq, bq)
     skv_p = _round_up(skv, bkv_major)
