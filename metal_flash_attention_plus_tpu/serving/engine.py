@@ -154,14 +154,26 @@ class ServingEngine:
         """Run one scheduler step.  Returns False when fully drained."""
         items = self.sched.next_step()
         if not items:
+            if self.sched.num_running > 0:
+                # Every running sequence is page-blocked mid-stream (the
+                # scheduler skips decodes that cannot reserve their next
+                # KV slot) and nothing else can free pages — the state
+                # can never change, so fail loudly instead of spinning.
+                # (True preemption — evict + re-prefill — is the round-5
+                # upgrade; documented in docs/serving.md.)
+                raise RuntimeError(
+                    "KV page pool exhausted mid-stream: all "
+                    f"{self.sched.num_running} running sequences are "
+                    "blocked on page allocation and no request can "
+                    "finish to free pages.  Increase num_pages, lower "
+                    "max_batch, or shorten max_new_tokens."
+                )
             if self.sched.num_waiting == 0:
                 return False
-            if self.sched.num_running == 0:
-                raise RuntimeError(
-                    "scheduler stalled: waiting requests cannot be admitted "
-                    "(prompt larger than the page pool?)"
-                )
-            return True
+            raise RuntimeError(
+                "scheduler stalled: waiting requests cannot be admitted "
+                "(prompt larger than the page pool?)"
+            )
         self._seq_of = getattr(self, "_seq_of", {})
 
         prefills = [i for i in items if i.kind == ScheduledItem.PREFILL]

@@ -513,3 +513,31 @@ def test_engine_with_int4_cache():
         len(outs[4][rid]) == len(outs[False][rid]) for rid in prompts
     ), (outs[False], outs[4])
     assert agree / total >= 0.6, (outs[False], outs[4])
+
+
+def test_engine_pool_exhaustion_mid_stream_fails_loudly():
+    """Failure injection (SURVEY §5 'failure detection'): two sequences
+    whose prompts fit the pool exactly, but whose FIRST decode token
+    crosses a page boundary with zero free pages — every running
+    sequence is blocked, nothing can finish, and the engine must raise
+    an actionable error instead of livelocking."""
+    from metal_flash_attention_plus_tpu.runtime import native_available
+
+    if not native_available():
+        pytest.skip("native runtime unavailable")
+    from metal_flash_attention_plus_tpu.serving.engine import (
+        GenerationRequest,
+        ServingEngine,
+    )
+
+    params = init_params(CFG, jax.random.PRNGKey(0))
+    engine = ServingEngine(
+        params, CFG, num_pages=2, page_tokens=16, max_batch=2,
+        cache_dtype=jnp.float32, chunk_size=16,
+    )
+    # Each prompt fills exactly one page; decode token 17 needs a second
+    # page per sequence and the pool has none.
+    engine.submit(GenerationRequest(1, list(range(16)), max_new_tokens=8))
+    engine.submit(GenerationRequest(2, list(range(16)), max_new_tokens=8))
+    with pytest.raises(RuntimeError, match="exhausted mid-stream"):
+        engine.run(max_steps=50)
