@@ -427,9 +427,12 @@ def run_bandwidth_arm() -> dict:
                 _pack_tokens_kv4,
             )
 
-            kf = kvp[:, :, :pt].astype(jnp.float32)
-            vf = kvp[:, :, pt:].astype(jnp.float32)
-            byte, ksc, vsc = _pack_tokens_kv4(kf, vf)
+            # jit the pack on bf16 slices: the eager f32 path
+            # materializes ~5x the pool in int32/f32 temps and OOMs at
+            # b2=16; under jit the conversions fuse.
+            byte, ksc, vsc = jax.jit(_pack_tokens_kv4)(
+                kvp[:, :, :pt], kvp[:, :, pt:]
+            )
             ksc = ksc[..., 0][:, :, None, :]
             vsc = vsc[..., 0][:, :, None, :]
             f = jax.jit(

@@ -334,9 +334,10 @@ def run(args):
                 _pack_tokens_kv4,
             )
 
-            kf = kvp[:, :, :pt1].astype(jnp.float32)
-            vf = kvp[:, :, pt1:].astype(jnp.float32)
-            byte, ksc, vsc = _pack_tokens_kv4(kf, vf)
+            # jit the pack on bf16 slices (eager f32 temps OOM at b=16)
+            byte, ksc, vsc = jax.jit(_pack_tokens_kv4)(
+                kvp[:, :, :pt1], kvp[:, :, pt1:]
+            )
             ksc = ksc[..., 0][:, :, None, :]  # [Hkv, NP, 1, PT]
             vsc = vsc[..., 0][:, :, None, :]
             f = jax.jit(lambda q, byte, ksc, vsc: paged_decode_attention(
