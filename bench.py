@@ -25,7 +25,7 @@ short-row structure tax — docs/perf_notes.md round 4):
   the contraction, so utilization is vs full peak like the reference's.
 
 TIME-BOXING (round-4 rework; round 3 shipped rc=124/no JSON): every arm
-runs under a global ``MFA_BENCH_BUDGET_S`` budget (default 480 s).  Arms
+runs under a global ``MFA_BENCH_BUDGET_S`` budget (default 540 s).  Arms
 run in priority order; an arm whose cost estimate no longer fits is
 SKIPPED (flagged in the metric string).  The fwd+bwd arm runs LAST: its
 grad executables leave the device unable to allocate for the rest of
@@ -87,7 +87,7 @@ SEQ = 4096
 # the documented floors; real (structured) KV sits well below.
 REL_GATES = {"int8": 0.05, "k4v8": 0.16, "int4": 0.25}
 
-BUDGET_S = float(os.environ.get("MFA_BENCH_BUDGET_S", "480"))
+BUDGET_S = float(os.environ.get("MFA_BENCH_BUDGET_S", "540"))
 _T0 = time.monotonic()
 
 
@@ -476,16 +476,19 @@ def run_bandwidth_arm() -> dict:
             rounds[key].append(pair)
 
     def slope_of(key):
-        # Per-round slopes; min over rounds with t2 > t1.  Inverted rounds
-        # (t2 <= t1: a drift-regime flip mid-round) are dropped and
-        # flagged rather than silently clamped (ADVICE r3).
-        slopes = [
+        # Per-round slopes; MEDIAN over rounds with t2 > t1 (min picks
+        # the most noise-deflated round and produced >HBM-roofline
+        # readings; median is stable).  Inverted rounds (t2 <= t1: a
+        # drift-regime flip mid-round) are dropped and flagged rather
+        # than silently clamped (ADVICE r3).
+        slopes = sorted(
             (t2 - t1) / (b2 - b1) for t1, t2 in rounds[key] if t2 > t1
-        ]
+        )
         inverted = len(slopes) < len(rounds[key])
         if not slopes:
             return None, min(t1 for t1, _ in rounds[key]), True
-        return min(slopes), min(t1 for t1, _ in rounds[key]), inverted
+        mid = slopes[len(slopes) // 2]
+        return mid, min(t1 for t1, _ in rounds[key]), inverted
 
     per_seq_bf16, t1_bf16, inv_b = slope_of("bf16")
     per_seq_int8, _, inv_i = slope_of("int8")
@@ -625,7 +628,7 @@ def main():
             lambda: run_config(256, 4, 4, chip, gate_key="int4"),
         )
         _arm(
-            "fwd_bwd_d256_int8_full", 150,
+            "fwd_bwd_d256_int8_full", 120,
             lambda: run_fwd_bwd_config(256, 4, chip),
         )
     except _Deadline:
