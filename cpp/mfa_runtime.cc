@@ -375,6 +375,12 @@ struct MfaScheduler {
   std::deque<MfaRequest> waiting;
   std::unordered_map<int64_t, Running> running;  // by request_id
   std::vector<int64_t> running_order;            // admission order
+  int64_t preempted_total = 0;  // recompute-policy evictions (see below)
+  // Set while a preempted request waits for a COMPLETION to free pages:
+  // re-admitting it immediately would ping-pong (the freed pages go
+  // straight back to the evictee while the blocked decoder still
+  // starves).  Cleared when any request finishes.
+  bool admission_blocked = false;
 };
 
 extern "C" MfaScheduler* mfa_sched_create(MfaPagePool* pool, int32_t max_batch,
@@ -401,58 +407,109 @@ extern "C" int32_t mfa_sched_next_step(MfaScheduler* s, MfaScheduledItem* out,
   if (!s || !out || max_out <= 0) return 0;
   std::lock_guard<std::mutex> lock(s->mu);
   int32_t n = 0;
-  int32_t budget = s->token_budget;
+  // Outer retry loop: when a full pass schedules NOTHING while sequences
+  // run, every runner is page-blocked mid-stream — preempt the YOUNGEST
+  // (vLLM's recompute policy: release its pages, re-queue it at the
+  // front of waiting with its generated tokens folded into the prompt
+  // so the host re-prefills them) and try again.  Bounded by the number
+  // of runners.
+  for (int32_t pass = 0;
+       pass <= static_cast<int32_t>(s->running_order.size()); ++pass) {
+    int32_t budget = s->token_budget;
 
-  // Admit waiting requests while batch slots + pages allow (FCFS; pages
-  // reserved for the whole prompt up front so admitted prefills never
-  // deadlock mid-prompt).
-  while (!s->waiting.empty() &&
-         static_cast<int32_t>(s->running.size()) < s->max_batch) {
-    MfaRequest req = s->waiting.front();
-    int64_t seq = mfa_seq_create(s->pool);
-    if (seq < 0) break;
-    if (mfa_seq_reserve(s->pool, seq, req.prompt_len) != 0) {
-      mfa_seq_release(s->pool, seq);
-      break;  // no pages — keep waiting (completions will free some)
+    // Admit waiting requests while batch slots + pages allow (FCFS;
+    // pages reserved for the whole prompt up front so admitted prefills
+    // never deadlock mid-prompt).  Admission pauses while a preempted
+    // request waits on a completion (see admission_blocked).
+    while (!s->admission_blocked && !s->waiting.empty() &&
+           static_cast<int32_t>(s->running.size()) < s->max_batch) {
+      MfaRequest req = s->waiting.front();
+      int64_t seq = mfa_seq_create(s->pool);
+      if (seq < 0) break;
+      if (mfa_seq_reserve(s->pool, seq, req.prompt_len) != 0) {
+        mfa_seq_release(s->pool, seq);
+        break;  // no pages — keep waiting (completions will free some)
+      }
+      s->waiting.pop_front();
+      MfaScheduler::Running r;
+      r.req = req;
+      r.seq = seq;
+      s->running[req.request_id] = r;
+      s->running_order.push_back(req.request_id);
     }
-    s->waiting.pop_front();
-    MfaScheduler::Running r;
-    r.req = req;
-    r.seq = seq;
-    s->running[req.request_id] = r;
-    s->running_order.push_back(req.request_id);
-  }
 
-  // Phase 1: prefill chunks (chunked so one long prompt cannot starve
-  // decodes — the standard continuous-batching shape).
-  for (int64_t id : s->running_order) {
-    if (n >= max_out || budget <= 0) break;
-    auto it = s->running.find(id);
-    if (it == s->running.end()) continue;
-    auto& r = it->second;
-    int32_t remaining = r.req.prompt_len - r.prefill_done;
-    if (remaining <= 0) continue;
-    int32_t chunk = std::min(remaining, budget);
-    out[n++] = {id, r.seq, /*kind=*/0, r.prefill_done, chunk};
-    r.prefill_done += chunk;
-    budget -= chunk;
-    mfa_seq_set_len(s->pool, r.seq, r.prefill_done);
-  }
+    // Phase 1: prefill chunks (chunked so one long prompt cannot starve
+    // decodes — the standard continuous-batching shape).
+    for (int64_t id : s->running_order) {
+      if (n >= max_out || budget <= 0) break;
+      auto it = s->running.find(id);
+      if (it == s->running.end()) continue;
+      auto& r = it->second;
+      int32_t remaining = r.req.prompt_len - r.prefill_done;
+      if (remaining <= 0) continue;
+      int32_t chunk = std::min(remaining, budget);
+      out[n++] = {id, r.seq, /*kind=*/0, r.prefill_done, chunk};
+      r.prefill_done += chunk;
+      budget -= chunk;
+      mfa_seq_set_len(s->pool, r.seq, r.prefill_done);
+    }
 
-  // Phase 2: decode for every fully-prefilled sequence (one token each).
-  for (int64_t id : s->running_order) {
-    if (n >= max_out) break;
-    auto it = s->running.find(id);
-    if (it == s->running.end()) continue;
-    auto& r = it->second;
-    if (r.prefill_done < r.req.prompt_len) continue;
-    // The decode token needs one more KV slot.
-    if (mfa_seq_reserve(s->pool, r.seq,
-                        r.req.prompt_len + r.generated + 1) != 0)
-      continue;  // page pressure: skip this step (freed pages will unblock)
-    out[n++] = {id, r.seq, /*kind=*/1, 0, 0};
+    // Phase 2: decode for every fully-prefilled sequence (one token
+    // each).
+    for (int64_t id : s->running_order) {
+      if (n >= max_out) break;
+      auto it = s->running.find(id);
+      if (it == s->running.end()) continue;
+      auto& r = it->second;
+      if (r.prefill_done < r.req.prompt_len) continue;
+      // The decode token needs one more KV slot.
+      if (mfa_seq_reserve(s->pool, r.seq,
+                          r.req.prompt_len + r.generated + 1) != 0)
+        continue;  // page pressure: skip this step (frees will unblock)
+      out[n++] = {id, r.seq, /*kind=*/1, 0, 0};
+    }
+    if (n > 0) return n;
+    if (s->running_order.empty()) break;
+
+    // Every runner is page-blocked: evict the youngest.  Its generated
+    // tokens fold into the prompt (the host holds the token ids and
+    // re-prefills prompt+generated on re-admission — recompute policy).
+    int64_t victim = s->running_order.back();
+    auto vit = s->running.find(victim);
+    if (vit == s->running.end()) {
+      s->running_order.pop_back();
+      continue;
+    }
+    MfaRequest requeue = vit->second.req;
+    requeue.prompt_len = vit->second.req.prompt_len + vit->second.generated;
+    requeue.max_new_tokens =
+        vit->second.req.max_new_tokens - vit->second.generated;
+    if (requeue.max_new_tokens < 1) requeue.max_new_tokens = 1;
+    // A fully-prefilled victim that generated NOTHING since its last
+    // (re-)admission made no progress — if it was also the only runner,
+    // it exceeds pool capacity and would re-prefill forever; hold
+    // admission so the host sees a clean cannot-be-admitted stall.
+    bool no_progress = vit->second.generated == 0 &&
+                       vit->second.prefill_done >= vit->second.req.prompt_len;
+    mfa_seq_release(s->pool, vit->second.seq);
+    s->running.erase(vit);
+    s->running_order.pop_back();
+    s->waiting.push_front(requeue);
+    s->preempted_total += 1;
+    // Hold admission until a completion frees pages — unless nothing
+    // runs anymore (then no completion can come; let admission retry,
+    // except in the no-progress case above).
+    s->admission_blocked =
+        !s->running_order.empty() ||
+        (no_progress && s->running_order.empty());
   }
   return n;
+}
+
+extern "C" int64_t mfa_sched_num_preempted(MfaScheduler* s) {
+  if (!s) return 0;
+  std::lock_guard<std::mutex> lock(s->mu);
+  return s->preempted_total;
 }
 
 extern "C" int mfa_sched_token(MfaScheduler* s, int64_t request_id,
@@ -471,6 +528,8 @@ extern "C" int mfa_sched_token(MfaScheduler* s, int64_t request_id,
         std::remove(s->running_order.begin(), s->running_order.end(),
                     request_id),
         s->running_order.end());
+    // A completion freed pages: preempted requests may re-admit now.
+    s->admission_blocked = false;
   }
   return 0;
 }

@@ -147,6 +147,12 @@ int32_t mfa_sched_next_step(MfaScheduler* s, MfaScheduledItem* out,
 // finished != 0 completes the request and releases its pages.
 int mfa_sched_token(MfaScheduler* s, int64_t request_id, int finished);
 
+// Total mid-stream preemptions (recompute policy: when EVERY runner is
+// page-blocked, the youngest is evicted, its pages released, and it is
+// re-queued at the waiting front with generated tokens folded into
+// prompt_len — the host must re-prefill prompt+generated tokens).
+int64_t mfa_sched_num_preempted(MfaScheduler* s);
+
 int32_t mfa_sched_num_waiting(MfaScheduler* s);
 int32_t mfa_sched_num_running(MfaScheduler* s);
 

@@ -175,6 +175,8 @@ def _load():
         lib.mfa_sched_token.restype = ctypes.c_int
         lib.mfa_sched_num_waiting.argtypes = [ctypes.c_void_p]
         lib.mfa_sched_num_waiting.restype = ctypes.c_int32
+        lib.mfa_sched_num_preempted.argtypes = [ctypes.c_void_p]
+        lib.mfa_sched_num_preempted.restype = ctypes.c_int64
         lib.mfa_sched_num_running.argtypes = [ctypes.c_void_p]
         lib.mfa_sched_num_running.restype = ctypes.c_int32
         _lib = lib
@@ -394,6 +396,11 @@ class Scheduler:
     @property
     def num_running(self) -> int:
         return self._lib.mfa_sched_num_running(self._h)
+
+    @property
+    def num_preempted(self) -> int:
+        """Total mid-stream preemptions (recompute policy)."""
+        return self._lib.mfa_sched_num_preempted(self._h)
 
     def destroy(self):
         if self._h:

@@ -155,18 +155,14 @@ class ServingEngine:
         items = self.sched.next_step()
         if not items:
             if self.sched.num_running > 0:
-                # Every running sequence is page-blocked mid-stream (the
-                # scheduler skips decodes that cannot reserve their next
-                # KV slot) and nothing else can free pages — the state
-                # can never change, so fail loudly instead of spinning.
-                # (True preemption — evict + re-prefill — is the round-5
-                # upgrade; documented in docs/serving.md.)
+                # Should be unreachable: the scheduler preempts the
+                # youngest runner (recompute policy) whenever every
+                # running sequence is page-blocked, so an empty step
+                # with runners means a scheduler invariant broke.
                 raise RuntimeError(
-                    "KV page pool exhausted mid-stream: all "
-                    f"{self.sched.num_running} running sequences are "
-                    "blocked on page allocation and no request can "
-                    "finish to free pages.  Increase num_pages, lower "
-                    "max_batch, or shorten max_new_tokens."
+                    "scheduler invariant violation: empty step with "
+                    f"{self.sched.num_running} running sequences "
+                    "(mid-stream page pressure should preempt)"
                 )
             if self.sched.num_waiting == 0:
                 return False
@@ -182,10 +178,15 @@ class ServingEngine:
         for it in prefills:
             req = self.requests[it.request_id]
             self._seq_of[it.request_id] = it.seq_handle
+            # Token source is prompt + already-generated tokens: after a
+            # mid-stream PREEMPTION (recompute policy) the scheduler
+            # re-queues the request with its generated tokens folded into
+            # the prompt length, and this re-prefill rebuilds their KV.
+            full = req.prompt + self.outputs[it.request_id]
             # Pad the chunk to the fixed compile size; pad rows scatter into
             # unreserved slots (trash page) and are masked out of the loss
             # path by last_index.
-            chunk = req.prompt[it.chunk_start : it.chunk_start + it.chunk_len]
+            chunk = full[it.chunk_start : it.chunk_start + it.chunk_len]
             padded = np.zeros(self.chunk_size, np.int32)
             padded[: len(chunk)] = chunk
             page_row = jnp.asarray(self._page_row(it.seq_handle))
@@ -197,9 +198,9 @@ class ServingEngine:
                 self.cache,
                 page_row,
             )
-            if it.chunk_start + it.chunk_len == len(req.prompt):
-                # Prompt complete: the last position's logits yield the
-                # first generated token.
+            if it.chunk_start + it.chunk_len == len(full):
+                # Sequence caught up: the last position's logits yield
+                # the next generated token.
                 self._emit(it.request_id, int(jnp.argmax(logits)))
 
         if decodes:

@@ -116,7 +116,10 @@ def test_scheduler_continuous_batching():
 def test_scheduler_page_pressure_defers_admission():
     pool = PagePool(num_pages=2, page_tokens=16)
     sched = Scheduler(pool, max_batch=4, token_budget=128)
-    sched.submit(1, prompt_len=32, max_new_tokens=1)  # takes both pages
+    # prompt 31 = two pages with one slot spare, so its decode token fits
+    # (a decode that can NEVER fit now triggers preemption instead of a
+    # silent skip — covered by the preemption tests).
+    sched.submit(1, prompt_len=31, max_new_tokens=1)  # takes both pages
     sched.submit(2, prompt_len=16, max_new_tokens=1)  # starved
     step = sched.next_step()
     assert {i.request_id for i in step} == {1}
@@ -126,5 +129,34 @@ def test_scheduler_page_pressure_defers_admission():
     sched.report_token(1, finished=True)
     step = sched.next_step()
     assert {i.request_id for i in step} == {2}
+    assert sched.num_preempted == 0
+    sched.destroy()
+    pool.destroy()
+
+
+def test_scheduler_preempts_youngest_when_all_blocked():
+    pool = PagePool(num_pages=2, page_tokens=16)
+    sched = Scheduler(pool, max_batch=4, token_budget=128)
+    # Both prompts fill one page exactly; both first decodes need a page.
+    sched.submit(1, prompt_len=16, max_new_tokens=4)
+    sched.submit(2, prompt_len=16, max_new_tokens=4)
+    step = sched.next_step()  # both admitted + prefilled
+    assert {i.request_id for i in step} == {1, 2}
+    # Both decodes blocked → youngest (2) evicted, 1 gets the freed page.
+    step = sched.next_step()
+    assert {i.request_id for i in step} == {1}
+    assert step[0].kind == ScheduledItem.DECODE
+    assert sched.num_preempted == 1
+    assert sched.num_waiting == 1  # request 2 re-queued
+    # Admission stays blocked until a completion frees pages.
+    sched.report_token(1)
+    for _ in range(3):
+        sched.next_step()
+        sched.report_token(1)
+    sched.report_token(1, finished=True)  # 1 done → pages free
+    step = sched.next_step()
+    # Request 2 re-admitted and re-prefilled (recompute policy).
+    pre = [i for i in step if i.request_id == 2]
+    assert pre and pre[0].kind == ScheduledItem.PREFILL
     sched.destroy()
     pool.destroy()

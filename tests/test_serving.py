@@ -515,12 +515,51 @@ def test_engine_with_int4_cache():
     assert agree / total >= 0.6, (outs[False], outs[4])
 
 
-def test_engine_pool_exhaustion_mid_stream_fails_loudly():
-    """Failure injection (SURVEY §5 'failure detection'): two sequences
-    whose prompts fit the pool exactly, but whose FIRST decode token
-    crosses a page boundary with zero free pages — every running
-    sequence is blocked, nothing can finish, and the engine must raise
-    an actionable error instead of livelocking."""
+def test_engine_preempts_under_mid_stream_pool_exhaustion():
+    """Failure injection (SURVEY §5): two sequences whose prompts fill
+    the pool exactly, so the FIRST decode token of each needs a page the
+    pool doesn't have.  The scheduler must PREEMPT the youngest
+    (recompute policy: evict, re-queue, re-prefill prompt+generated) and
+    the run must COMPLETE with outputs IDENTICAL to an unconstrained
+    pool — KV recompute is exact, so greedy decoding cannot diverge."""
+    from metal_flash_attention_plus_tpu.runtime import native_available
+
+    if not native_available():
+        pytest.skip("native runtime unavailable")
+    from metal_flash_attention_plus_tpu.serving.engine import (
+        GenerationRequest,
+        ServingEngine,
+    )
+
+    params = init_params(CFG, jax.random.PRNGKey(0))
+    outs = {}
+    preempted = {}
+    for pages in (2, 32):
+        engine = ServingEngine(
+            params, CFG, num_pages=pages, page_tokens=16, max_batch=2,
+            cache_dtype=jnp.float32, chunk_size=16,
+        )
+        # Each prompt fills exactly one page; decode token 17 needs a
+        # second page per sequence.
+        engine.submit(
+            GenerationRequest(1, list(range(16)), max_new_tokens=8))
+        engine.submit(
+            GenerationRequest(2, list(range(16)), max_new_tokens=8))
+        outs[pages] = engine.run(max_steps=300)
+        preempted[pages] = engine.sched.num_preempted
+    assert preempted[2] >= 1, "tight pool must have preempted"
+    assert preempted[32] == 0
+    for rid in (1, 2):
+        assert len(outs[2][rid]) == 8
+        assert outs[2][rid] == outs[32][rid], (
+            rid, outs[2][rid], outs[32][rid]
+        )
+
+
+def test_engine_unschedulable_request_fails_loudly():
+    """A single sequence whose prompt+generation exceeds the whole pool
+    can never finish: after it is preempted with no progress, admission
+    stalls and the engine raises instead of re-prefilling forever."""
     from metal_flash_attention_plus_tpu.runtime import native_available
 
     if not native_available():
@@ -535,9 +574,7 @@ def test_engine_pool_exhaustion_mid_stream_fails_loudly():
         params, CFG, num_pages=2, page_tokens=16, max_batch=2,
         cache_dtype=jnp.float32, chunk_size=16,
     )
-    # Each prompt fills exactly one page; decode token 17 needs a second
-    # page per sequence and the pool has none.
-    engine.submit(GenerationRequest(1, list(range(16)), max_new_tokens=8))
-    engine.submit(GenerationRequest(2, list(range(16)), max_new_tokens=8))
-    with pytest.raises(RuntimeError, match="exhausted mid-stream"):
-        engine.run(max_steps=50)
+    # Pool capacity is 32 tokens; this request needs 16 + 48.
+    engine.submit(GenerationRequest(1, list(range(16)), max_new_tokens=48))
+    with pytest.raises(RuntimeError, match="cannot be admitted"):
+        engine.run(max_steps=200)
