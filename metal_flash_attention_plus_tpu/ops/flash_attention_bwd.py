@@ -31,6 +31,7 @@ dQ accumulates dS·K and multiplies by scale once at store.
 
 from __future__ import annotations
 
+import os
 import functools
 from typing import Optional
 
@@ -89,6 +90,7 @@ def _dq_kernel(
     precision,
     inner_skip: bool = False,
     packed: bool = False,
+    lean: bool = False,  # dense grid, no scalar prefetch (FULL/no-mask)
     kv_gran: str = "token",
     has_er: bool = False,
     folded: bool = False,  # dequant-free MIXED bf16×int8 dots (see fwd)
@@ -101,8 +103,20 @@ def _dq_kernel(
     # ``packed``: the packed-pair schedule of
     # flash_attention.build_packed_schedule — two contiguous q-block
     # segments per grid row, zero dead steps for causal.
+    # ``lean``: UNMASKED problems — no prefetch tables, plain program-id
+    # arithmetic, every step statically live (see _fwd_kernel lean).
     has_mask = mask_mode != "none"
-    if packed:
+    if lean:
+        refs = all_refs
+        row_block = pl.program_id(2)
+        j = pl.program_id(3)
+        jj = j
+        live = None
+        init_cond = j == 0
+        store_cond = j == pl.num_programs(3) - 1
+        kvj = j
+        loi = hii = None
+    elif packed:
         (q0_ref, q1_ref, n0_ref, t_ref,
          lo_ref, hi_ref, loi_ref, hii_ref) = all_refs[:8]
         refs = all_refs[8:]
@@ -132,9 +146,10 @@ def _dq_kernel(
         live = j < run
         init_cond = j == 0
         store_cond = j == jnp.maximum(run, 1) - 1
-    kvj = lo + jj
-    loi = loi_ref[row_block]
-    hii = hii_ref[row_block]
+    if not lean:
+        kvj = lo + jj
+        loi = loi_ref[row_block]
+        hii = hii_ref[row_block]
     if has_rowstats:
         ms_ref, me_ref = refs[:2]
         refs = refs[2:]
@@ -334,7 +349,11 @@ def _dq_kernel(
             else:
                 _inner(t, masked)
 
-    if not has_mask:
+    if lean:
+        # Every step statically live — no branch at all.
+        _loop(False, guards=False)
+
+    elif not has_mask:
 
         @pl.when(live)
         def _compute():
@@ -448,6 +467,7 @@ def _dkv_kernel(
     kv_bits: Optional[int] = None,
     inner_skip: bool = False,
     packed: bool = False,
+    lean: bool = False,  # dense grid, no scalar prefetch (FULL/no-mask)
     kv_gran: str = "token",
     has_er: bool = False,
     kv_chan=(False, False),  # per-CHANNEL scales: [1, D] vector dequant
@@ -468,7 +488,19 @@ def _dkv_kernel(
     # per step (the fwd kernel can't amortize this — its KV block changes
     # every step).
     has_mask = mask_mode != "none"
-    if packed:
+    if lean:
+        # UNMASKED lean schedule: no prefetch tables, every (g, q-slab)
+        # step statically live (see _fwd_kernel lean).
+        refs = all_refs
+        kv_block = pl.program_id(2)
+        t = pl.program_id(3)
+        ioff = t % ni_max
+        live = None
+        init_cond = t == 0
+        store_cond = t == pl.num_programs(3) - 1
+        iq = ioff
+        iloi = ihii = None
+    elif packed:
         (j0_ref, j1_ref, n0_ref, t_ref,
          ilo_ref, ihi_ref, iloi_ref, ihii_ref) = all_refs[:8]
         refs = all_refs[8:]
@@ -501,9 +533,10 @@ def _dkv_kernel(
         live = ioff < run
         init_cond = t == 0
         store_cond = t == (group - 1) * ni_max + jnp.maximum(run, 1) - 1
-    iq = ilo + ioff  # major q-slab index
-    iloi = iloi_ref[kv_block]
-    ihii = ihii_ref[kv_block]
+    if not lean:
+        iq = ilo + ioff  # major q-slab index
+        iloi = iloi_ref[kv_block]
+        ihii = ihii_ref[kv_block]
     if has_rowstats:
         # All-rows-live [ms, me) per MAJOR q-slab for the interior fast path.
         ms_ref, me_ref = refs[:2]
@@ -659,7 +692,11 @@ def _dkv_kernel(
             else:
                 _inner(ti, masked)
 
-    if not has_mask:
+    if lean:
+        # Every step statically live — no branch at all.
+        _loop(False, guards=False)
+
+    elif not has_mask:
 
         @pl.when(live)
         def _compute():
@@ -1047,7 +1084,23 @@ def flash_attention_backward(
             lo_arr, hi_arr
         )
         packed_dq = ni_dq > 1 and nrows * width < 0.9 * ni_dq * nj_max_dq
-    if packed_dq:
+    # LEAN dense schedule for UNMASKED static problems (see the forward
+    # wrappers): no scalar prefetch, plain program-id arithmetic.
+    lean_dq = (
+        not dynamic and not has_mask
+        and not os.environ.get("MFA_NO_LEAN")
+    )
+    if lean_dq:
+        packed_dq = False
+        grid_dq = (b, hq, ni_dq, nj_all_dq)
+        scalars_dq = ()
+
+        def q_block_dq(a):
+            return a[2]
+
+        def kv_block_dq(a):
+            return a[3]
+    elif packed_dq:
         grid_dq = (b, hq, nrows, width)
         scalars_dq = (
             jnp.asarray(q0a), jnp.asarray(q1a), jnp.asarray(n0a),
@@ -1226,6 +1279,7 @@ def flash_attention_backward(
         precision=precision,
         inner_skip=inner_skip_dq,
         packed=packed_dq,
+        lean=lean_dq,
         kv_gran=kv_gran,
         has_er=(kv_gran == "block2d" and br > 1),
         folded=folded_dq,
@@ -1330,7 +1384,26 @@ def flash_attention_backward(
             ilo_arr, ihi_arr
         )
         packed_dkv = nj > 1 and nrows2 * width2 < 0.9 * nj * ni_max
-    if packed_dkv:
+    # LEAN dense schedule for UNMASKED static problems (see the forward
+    # wrappers): no scalar prefetch, plain program-id arithmetic.
+    lean_dkv = (
+        not dynamic and not has_mask
+        and not os.environ.get("MFA_NO_LEAN")
+    )
+    if lean_dkv:
+        packed_dkv = False
+        grid2 = (b, hkv, nj, group * ni_max)
+        scalars2 = ()
+
+        def kv_block2(a):
+            return a[2]
+
+        def g_of(a):
+            return a[3] // ni_max
+
+        def q_block(a):
+            return a[3] % ni_max
+    elif packed_dkv:
         grid2 = (b, hkv, nrows2, width2 * group)
         scalars2 = (
             jnp.asarray(j0a), jnp.asarray(j1a),
@@ -1497,6 +1570,7 @@ def flash_attention_backward(
         kv_bits=kv_bits,
         inner_skip=inner_skip_dkv,
         packed=packed_dkv,
+        lean=lean_dkv,
         kv_gran=kv_gran,
         has_er=(kv_gran == "block2d" and br > 1),
         kv_chan=(k_chan, v_chan),
