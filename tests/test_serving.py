@@ -515,6 +515,7 @@ def test_engine_with_int4_cache():
     assert agree / total >= 0.6, (outs[False], outs[4])
 
 
+@pytest.mark.slow
 def test_engine_preempts_under_mid_stream_pool_exhaustion():
     """Failure injection (SURVEY §5): two sequences whose prompts fill
     the pool exactly, so the FIRST decode token of each needs a page the
