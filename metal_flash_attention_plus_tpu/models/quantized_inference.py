@@ -133,35 +133,81 @@ def quantized_forward(
     *,
     quantize_kv: bool = False,
     positions=None,
+    packed_d64: bool = None,
 ) -> jnp.ndarray:
     """tokens [B, S] → logits [B, S, V] fp32, all projections W8A8.
 
     ``quantize_kv=True`` additionally runs attention over runtime-
     quantized int8 K/V (per-token symmetric) with int8-Q scores — the
-    fully-quantized pipeline (weights + activations + attention)."""
+    fully-quantized pipeline (weights + activations + attention).
+
+    ``packed_d64`` (default: auto when head_dim == 64, even heads, and
+    ``quantize_kv``): run attention in the PACKED head-pair layout — Q is
+    produced packed straight out of the projection (head pairs are
+    adjacent in the channel axis, so this costs the same transpose as the
+    natural split), rope applies lane-locally, O is consumed packed by
+    the output projection.  ZERO per-call pack/unpack transposes — the
+    d=64 head-pair kernel's rate survives end-to-end (round 5; exp35/37).
+    K/V quantize per-CHANNEL symmetric (the packed kernel's folded-scale
+    contract)."""
+    from metal_flash_attention_plus_tpu.models.transformer import (
+        _merge_heads_packed,
+        _split_heads_packed,
+        rope_packed,
+    )
+    from metal_flash_attention_plus_tpu.ops.quantized_attention import (
+        quantized_flash_attention_forward_packed,
+    )
+
     _, s = tokens.shape
     if positions is None:
         positions = jnp.arange(s)
+    if packed_d64 is None:
+        packed_d64 = (
+            quantize_kv and cfg.head_dim == 64 and cfg.num_heads % 2 == 0
+            and s % 128 == 0
+        )
     x = params["embed"][tokens]
     dt = x.dtype
     kv_cfg = QuantConfig(
         bits=8,
-        granularity=QuantGranularity.ROW,
+        granularity=(
+            QuantGranularity.CHANNEL if packed_d64 else QuantGranularity.ROW
+        ),
         strategy=QuantStrategy.SYMMETRIC,
     )
     for layer in params["layers"]:
         h = rms_norm(x, layer["ln1"])
-        q = _split_heads(
-            _linear(h, layer["wq"], dt), cfg.num_heads, cfg.head_dim
-        )
+        qh = _linear(h, layer["wq"], dt)
         k = _split_heads(
             _linear(h, layer["wk"], dt), cfg.num_kv_heads, cfg.head_dim
         )
         v = _split_heads(
             _linear(h, layer["wv"], dt), cfg.num_kv_heads, cfg.head_dim
         )
-        q = rope(q, positions, cfg.rope_theta)
         k = rope(k, positions, cfg.rope_theta)
+        if packed_d64:
+            q = rope_packed(
+                _split_heads_packed(qh, cfg.num_heads), positions,
+                cfg.rope_theta,
+            )
+            kq = quantize(k.astype(jnp.float32), kv_cfg)
+            vq = quantize(v.astype(jnp.float32), kv_cfg)
+            o, _ = quantized_flash_attention_forward_packed(
+                q, kq, vq, mask=CAUSAL, block_sizes=cfg.block_sizes,
+            )
+            x = x + _linear(_merge_heads_packed(o.astype(dt)),
+                            layer["wo"], dt)
+            h2 = rms_norm(x, layer["ln2"])
+            y = jax.nn.silu(
+                _linear(h2, layer["wg"], jnp.float32)
+            ) * _linear(h2, layer["wu"], jnp.float32)
+            x = x + _linear(y.astype(dt), layer["wd"], dt)
+            continue
+        q = rope(
+            _split_heads(qh, cfg.num_heads, cfg.head_dim), positions,
+            cfg.rope_theta,
+        )
         if quantize_kv:
             kq = quantize(k.astype(jnp.float32), kv_cfg)
             vq = quantize(v.astype(jnp.float32), kv_cfg)

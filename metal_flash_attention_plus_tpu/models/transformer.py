@@ -160,6 +160,52 @@ def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
     return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
 
 
+def _split_heads_packed(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """Projection output → PACKED d=64 layout [B, H/2, S, 128].
+
+    Head pairs are ADJACENT in the projection's channel axis
+    ([h0|h1|h2|…]·64 lanes), so producing the packed layout costs exactly
+    the same transpose as the natural split — the lane-concatenation the
+    d=64 head-pair kernel needs is absorbed into the weight layout for
+    free.  This is the round-5 packed-layout thesis: the exp35 kernel
+    rate survives production because no per-call pack/unpack exists.
+    """
+    b, s, _ = x.shape
+    return x.reshape(b, s, num_heads // 2, 128).transpose(0, 2, 1, 3)
+
+
+def _merge_heads_packed(x: jnp.ndarray) -> jnp.ndarray:
+    """PACKED [B, H/2, S, 128] → [B, S, H·64] with heads in natural
+    order (pairs were adjacent) — ``wo`` applies unchanged."""
+    b, h2, s, d2 = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, s, h2 * d2)
+
+
+def rope_packed(
+    x: jnp.ndarray, positions: jnp.ndarray, theta: float
+) -> jnp.ndarray:
+    """Rotary embedding over the PACKED d=64 layout [B, H/2, S, 128]:
+    each 64-lane half is an independent head, so the rotate-half
+    structure applies per half — pure lane-sliced elementwise ops, no
+    transposes (matches :func:`rope` on the unpacked heads exactly)."""
+    half = 32  # head_dim 64 → 32-lane rotation halves
+    freqs = theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
+    if positions.ndim == 1:
+        ang = positions[:, None].astype(jnp.float32) * freqs[None, :]
+        ang = ang[None, None]  # [1, 1, S, 32]
+    else:
+        ang = positions[..., None].astype(jnp.float32) * freqs
+        ang = ang[:, None]  # [B, 1, S, 32]
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
+    a1, a2, b1, b2 = jnp.split(x.astype(jnp.float32), 4, axis=-1)
+    out = jnp.concatenate(
+        [a1 * cos - a2 * sin, a2 * cos + a1 * sin,
+         b1 * cos - b2 * sin, b2 * cos + b1 * sin],
+        axis=-1,
+    )
+    return out.astype(x.dtype)
+
+
 def attention_block(
     layer: Params,
     x: jnp.ndarray,

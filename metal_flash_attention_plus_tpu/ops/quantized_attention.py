@@ -807,19 +807,160 @@ def _hpack_kernel(
         )
 
 
+def pack_heads(x: jnp.ndarray) -> jnp.ndarray:
+    """Lane-pack head pairs: [B, H, S, 64] → [B, H/2, S, 128].
+
+    The PACKED LAYOUT public API (round 5): at d=64 the head-pair-packed
+    kernel fills the 128-deep MXU contraction (one full-depth pass per
+    head pair, exp35), but the per-call pack/unpack transposes eat the
+    kernel-level gain at d=64's byte/FLOP ratio (exp37).  Keeping head
+    pairs lane-packed ACROSS layers — this layout as a first-class tensor
+    format — moves the transposes out of the hot path entirely: in a
+    transformer the pack is absorbed into the Q/O projection weight
+    layout (a permutation of the H·D axis), so it costs nothing at all
+    (models/transformer.py ``packed_d64`` mode).
+    """
+    b, h, s, d = x.shape
+    assert h % 2 == 0, "pack_heads needs an even head count"
+    return x.reshape(b, h // 2, 2, s, d).swapaxes(2, 3).reshape(
+        b, h // 2, s, 2 * d
+    )
+
+
+def unpack_heads(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`pack_heads`: [B, H/2, S, 128] → [B, H, S, 64]."""
+    b, h2, s, d2 = x.shape
+    d = d2 // 2
+    return x.reshape(b, h2, s, 2, d).swapaxes(2, 3).reshape(
+        b, 2 * h2, s, d
+    )
+
+
+def quantized_flash_attention_forward_packed(
+    q_packed: jnp.ndarray,
+    k: QuantizedTensor,
+    v: QuantizedTensor,
+    *,
+    mask: MaskSpec = FULL,
+    scale: Optional[float] = None,
+    block_sizes: BlockSizes = BlockSizes(),
+    interleaved_kv: bool = False,
+    out_dtype: jnp.dtype = jnp.float32,
+    interpret: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Head-pair-packed d=64 quantized forward over the PACKED layout.
+
+    ``q_packed``: [B, Hq/2, Sq, 128] — head pairs lane-concatenated
+    (:func:`pack_heads`).  K/V stay natural [B, Hkv, Skv, 64] quantized
+    (int8, or packed int4), SYMMETRIC with TENSOR/CHANNEL scales (the
+    folded pipeline's preconditions).  Mask: NONE or CAUSAL.  Returns
+    (o_packed [B, Hq/2, Sq, 128] ``out_dtype``, l [B, Hq, Sq] natural-log
+    lse).  Callers that keep the packed layout across layers (the
+    transformer's ``packed_d64`` mode, the serving executors) pay ZERO
+    pack/unpack transposes per attention call — this is how the exp35
+    kernel-level rate survives production (exp37/round-5 thesis).
+    """
+    b, h2, sq, d2 = q_packed.shape
+    d = d2 // 2
+    hq = 2 * h2
+    _, hkv, skv, dk_ = k.shape
+    if d != 64 or dk_ != 64:
+        raise ValueError("packed layout is the d=64 head-pair format")
+    if mask.kind not in (MaskKind.NONE, MaskKind.CAUSAL):
+        raise ValueError("packed attention supports NONE/CAUSAL masks")
+    for t, name in ((k, "K"), (v, "V")):
+        if t.config.strategy != QuantStrategy.SYMMETRIC or (
+            t.config.granularity
+            not in (QuantGranularity.TENSOR, QuantGranularity.CHANNEL)
+        ):
+            raise ValueError(
+                f"packed attention needs SYMMETRIC TENSOR/CHANNEL {name} "
+                "scales (the folded pipeline's preconditions)"
+            )
+    if scale is None:
+        scale = float(d) ** -0.5
+    if interpret is None:
+        from metal_flash_attention_plus_tpu.ops.flash_attention import (
+            default_interpret,
+        )
+
+        interpret = default_interpret()
+    q_per_kv = hq // hkv
+
+    def kvh(h):
+        return (h % hkv) if interleaved_kv else (h // q_per_kv)
+
+    i1 = np.asarray([kvh(2 * p) for p in range(h2)])
+    i2 = np.asarray([kvh(2 * p + 1) for p in range(h2)])
+
+    # Fold softmax scale · log2e (+ K scales) into packed Q.  CHANNEL K
+    # scales fold ELEMENTWISE via the pair-concatenated scale vector
+    # (exact: score = Σ_d (q[d]·s_k[d])·k_int[t,d]).
+    pre = scale * _LOG2E
+    if k.config.granularity == QuantGranularity.CHANNEL:
+        ksf = k.scale.reshape(b, hkv, d).astype(jnp.float32)
+        ksc_cat = jnp.concatenate(
+            [ksf[:, i1], ksf[:, i2]], axis=-1
+        )[:, :, None, :]  # [B, h2, 1, 128]
+        q_packed = (
+            q_packed.astype(jnp.float32) * (ksc_cat * pre)
+        ).astype(q_packed.dtype)
+    else:
+        pre = pre * k.scale.reshape(()).astype(jnp.float32)
+        q_packed = (q_packed.astype(jnp.float32) * pre).astype(
+            q_packed.dtype
+        )
+
+    # Folded V scales, lane-concatenated per head pair: [B, h2, 1, 128].
+    if v.config.granularity == QuantGranularity.CHANNEL:
+        vs_full = v.scale.reshape(b, hkv, d).astype(jnp.float32)
+    else:
+        vs_full = jnp.broadcast_to(
+            v.scale.reshape(1, 1, 1).astype(jnp.float32), (b, hkv, d)
+        )
+    vsc_cat = jnp.concatenate(
+        [vs_full[:, i1], vs_full[:, i2]], axis=-1
+    )[:, :, None, :]  # [B, h2, 1, 128]
+    return _hpack_core(
+        q_packed, k, v, vsc_cat,
+        mask=mask, interleaved_kv=interleaved_kv, out_dtype=out_dtype,
+        interpret=interpret, block_sizes=block_sizes,
+    )
+
+
 def _hpack_forward(
     q, k, v, *, mask, scale, interleaved_kv, out_dtype, interpret,
     block_sizes,
 ):
-    """Dispatch the head-pair-packed d=64 folded forward.
+    """Natural-layout boundary of the head-pair-packed d=64 forward.
 
     Caller (quantized_flash_attention_forward) has already validated the
     folded preconditions; this path additionally requires d=64, even hq,
-    NONE/CAUSAL mask, no bias/padding, TENSOR/CHANNEL scales.  Returns
-    (o [B,Hq,Sq,64] out_dtype, l [B,Hq,Sq] natural-log lse)."""
-    b, hq, sq, d = q.shape
+    NONE/CAUSAL mask, no bias/padding, TENSOR/CHANNEL scales.  Packs Q
+    host-side (one XLA transpose — pair-block kernel fetches measured
+    ~25% slower, exp35), runs the packed core, unpacks O.  Callers that
+    can keep the packed layout across calls should use
+    :func:`quantized_flash_attention_forward_packed` instead and skip
+    both transposes.  Returns (o [B,Hq,Sq,64] out_dtype, l [B,Hq,Sq]
+    natural-log lse)."""
+    o_p, l = quantized_flash_attention_forward_packed(
+        pack_heads(q), k, v,
+        mask=mask, scale=scale, interleaved_kv=interleaved_kv,
+        out_dtype=out_dtype, interpret=interpret, block_sizes=block_sizes,
+    )
+    return unpack_heads(o_p), l
+
+
+def _hpack_core(
+    q, k, v, vsc_cat, *, mask, interleaved_kv, out_dtype, interpret,
+    block_sizes,
+):
+    """Packed-layout kernel dispatch: q [B, h2, Sq, 128] pre-scaled and
+    lane-packed; returns (o_packed, l [B, Hq, Sq])."""
+    b, h2, sq, _ = q.shape
     _, hkv, skv, _ = k.shape
-    h2 = hq // 2
+    d = 64
+    hq = 2 * h2
     q_per_kv = hq // hkv
     causal = mask.kind == MaskKind.CAUSAL
     off = skv - sq
@@ -841,34 +982,8 @@ def _hpack_forward(
     n_inner = bkvm // bkv
     ni, nj = sq // bq, skv // bkvm
 
-    # Fold softmax scale · log2e (+ K scales) into Q.
-    pre = scale * _LOG2E
-    if k.config.granularity == QuantGranularity.CHANNEL:
-        ksc = k.scale.reshape(b, hkv, 1, 1, d).astype(jnp.float32)
-        qf = q.astype(jnp.float32).reshape(b, hkv, q_per_kv, sq, d)
-        q = (qf * (ksc * pre)).reshape(b, hq, sq, d).astype(q.dtype)
-    else:
-        pre = pre * k.scale.reshape(()).astype(jnp.float32)
-        q = (q.astype(jnp.float32) * pre).astype(q.dtype)
-    # Host-pack head pairs into lanes: [B, Hq, Sq, 64] → [B, h2, Sq, 128]
-    # (one XLA transpose; pair-block kernel fetches measured ~25% slower).
-    q = q.reshape(b, h2, 2, sq, d).swapaxes(2, 3).reshape(b, h2, sq, 2 * d)
-
     def kvh(h):
         return (h % hkv) if interleaved_kv else (h // q_per_kv)
-
-    # Folded V scales, lane-concatenated per head pair: [B, h2, 1, 128].
-    if v.config.granularity == QuantGranularity.CHANNEL:
-        vs_full = v.scale.reshape(b, hkv, d).astype(jnp.float32)
-    else:
-        vs_full = jnp.broadcast_to(
-            v.scale.reshape(1, 1, 1).astype(jnp.float32), (b, hkv, d)
-        )
-    i1 = np.asarray([kvh(2 * p) for p in range(h2)])
-    i2 = np.asarray([kvh(2 * p + 1) for p in range(h2)])
-    vsc_cat = jnp.concatenate(
-        [vs_full[:, i1], vs_full[:, i2]], axis=-1
-    )[:, :, None, :]  # [B, h2, 1, 128]
 
     pd = d // 2 if bits_k == 4 else d
     pdv = d // 2 if bits_v == 4 else d
@@ -936,9 +1051,9 @@ def _hpack_forward(
         ),
         interpret=interpret,
     )(*inputs)
-    # Unpack the lane-paired outputs: O [B, h2, Sq, 128] → [B, Hq, Sq, 64];
-    # L lanes [0, 64) hold h1's replicated lse, [64, 128) h2's.
-    o = o.reshape(b, h2, sq, 2, d).swapaxes(2, 3).reshape(b, hq, sq, d)
+    # O stays PACKED [B, h2, Sq, 128] = [o_h1 | o_h2]; L is always
+    # returned natural [B, Hq, Sq] (lanes [0, 64) hold h1's replicated
+    # lse, [64, 128) h2's — cheap extraction, tiny tensor).
     l = jnp.stack([l[:, :, :, 0], l[:, :, :, d]], axis=2).reshape(
         b, hq, sq
     )
@@ -1661,15 +1776,18 @@ def quantized_flash_attention_forward(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11, 12)
+)
 def _qattn(q, kv_flat, bias,
            kv_meta, mask, scale, block_sizes, interleaved_kv, mask_value,
-           interpret, hadamard_block):
+           interpret, hadamard_block, quantize_q, bwd_fullint):
     k, v = _rebuild_kv(kv_flat, kv_meta)
     o, _ = quantized_flash_attention_forward(
         q, k, v, bias=bias, mask=mask, scale=scale, block_sizes=block_sizes,
         interleaved_kv=interleaved_kv, mask_value=mask_value,
         interpret=interpret, hadamard_block=hadamard_block,
+        quantize_q=quantize_q,
     )
     return o.astype(q.dtype)
 
@@ -1707,12 +1825,13 @@ def _rebuild_kv(flat, meta: _KVMeta):
 
 def _qattn_fwd(q, kv_flat, bias,
                kv_meta, mask, scale, block_sizes, interleaved_kv, mask_value,
-               interpret, hadamard_block):
+               interpret, hadamard_block, quantize_q, bwd_fullint):
     k, v = _rebuild_kv(kv_flat, kv_meta)
     o, l = quantized_flash_attention_forward(
         q, k, v, bias=bias, mask=mask, scale=scale, block_sizes=block_sizes,
         interleaved_kv=interleaved_kv, mask_value=mask_value,
         interpret=interpret, hadamard_block=hadamard_block,
+        quantize_q=quantize_q,
     )
     return o.astype(q.dtype), (q, kv_flat, bias, o, l)
 
@@ -1778,7 +1897,7 @@ def _scale_zp_cotangents(dxdeq, qt: QuantizedTensor):
 
 
 def _qattn_bwd(kv_meta, mask, scale, block_sizes, interleaved_kv, mask_value,
-               interpret, hadamard_block, res, do):
+               interpret, hadamard_block, quantize_q, bwd_fullint, res, do):
     from metal_flash_attention_plus_tpu.ops.flash_attention_bwd import (
         flash_attention_backward,
     )
@@ -1805,6 +1924,7 @@ def _qattn_bwd(kv_meta, mask, scale, block_sizes, interleaved_kv, mask_value,
         mask=mask, bias=bias, scale=scale, block_sizes=block_sizes,
         interleaved_kv=interleaved_kv, interpret=interpret,
         compute_dbias=bias is not None,
+        fullint=bwd_fullint,
     )
     dks, dkz = _scale_zp_cotangents(dk_deq, k_qt)
     dvs, dvz = _scale_zp_cotangents(dv_deq, v_qt)
@@ -1845,6 +1965,8 @@ def quantized_flash_attention(
     mask_value: float = DEFAULT_MASK_VALUE,
     hadamard_block: Optional[int] = None,
     interpret: Optional[bool] = None,
+    quantize_q: bool = False,
+    bwd_fullint: bool = False,
 ) -> jnp.ndarray:
     """Differentiable quantized-KV flash attention.
 
@@ -1852,14 +1974,22 @@ def quantized_flash_attention(
     zero-point arrays (via the dequantizing dKV kernel); integer payloads
     are non-differentiable (float0).  ``hadamard_block``: K/V were
     quantized in the rotated basis (see
-    ``quantized_flash_attention_forward``)."""
+    ``quantized_flash_attention_forward``).
+
+    ``quantize_q``: forward runs the full-integer pipeline (per-token int8
+    Q; both MXU dots int8×int8).  ``bwd_fullint``: backward runs the
+    full-integer kernels too (all five backward GEMMs on the int8 MXU path
+    — see ``flash_attention_bwd._fullint_backward``); gradients become
+    approximate within the reference's INT8 < 0.25 backward gate, falling
+    back to the exact kernels for unsupported configs (masked problems,
+    non-foldable scales)."""
     if scale is None:
         scale = float(q.shape[-1]) ** -0.5
     kv_flat, kv_meta = _flatten_kv(k, v)
     return _qattn(
         q, kv_flat, bias,
         kv_meta, mask, float(scale), block_sizes, interleaved_kv, mask_value,
-        interpret, hadamard_block,
+        interpret, hadamard_block, quantize_q, bwd_fullint,
     )
 
 

@@ -712,3 +712,239 @@ def test_folded_backward_matches_dequantized_vjp(kcfg, vcfg):
             np.asarray(g, np.float32), np.asarray(g_r, np.float32),
             atol=6e-2,
         )
+
+
+# ---------------------------------------------------------------------------
+# FULL-INTEGER backward (round 5): all five backward GEMMs on the int8 MXU.
+# ---------------------------------------------------------------------------
+
+
+def _fullint_bwd_arms(kcfg, vcfg, level_env, monkeypatch):
+    from metal_flash_attention_plus_tpu.ops.flash_attention_bwd import (
+        flash_attention_backward,
+        fullint_backward_supported,
+    )
+
+    if level_env is not None:
+        monkeypatch.setenv("MFA_BWD_FULLINT_LEVEL", level_env)
+    q, k, v = _data(b=1, hq=4, hkv=2, sq=256, skv=256, d=128, seed=21)
+    q = q.astype(jnp.bfloat16)
+    do = jax.random.normal(jax.random.PRNGKey(22), q.shape, jnp.bfloat16)
+    kq, vq = quantize(k, kcfg), quantize(v, vcfg)
+    assert fullint_backward_supported(q, kq, vq, FULL, None, None)
+    o, el = quantized_flash_attention_forward(q, kq, vq, mask=FULL)
+    exact = flash_attention_backward(q, kq, vq, o, el, do, mask=FULL)
+    full = flash_attention_backward(
+        q, kq, vq, o, el, do, mask=FULL, fullint=True
+    )
+    return exact, full
+
+
+@pytest.mark.parametrize("level_env", [None, "2"], ids=["lvl1", "lvl2"])
+@pytest.mark.parametrize(
+    "kcfg,vcfg", [("row", "chan"), ("tens", "tens")], ids=["rowK", "tensKV"]
+)
+def test_fullint_backward_matches_exact(kcfg, vcfg, level_env, monkeypatch):
+    # The full-integer backward (per-token-quantized Q/dO, int8×int8 MXU
+    # recompute dots; level 2 additionally row-quantizes dS/P for the
+    # output dots) is an APPROXIMATION of the exact folded backward —
+    # gate rel-L2 well inside the reference's own INT8 < 0.25 backward
+    # tolerance (QuantizedAttentionTest.swift:651-652); measured ~0.01
+    # (default level 1) / ~0.02 (level 2) on gaussian data.
+    cfgs = dict(
+        row=QuantConfig(
+            bits=8, granularity=QuantGranularity.ROW,
+            strategy=QuantStrategy.SYMMETRIC,
+        ),
+        chan=QuantConfig(
+            bits=8, granularity=QuantGranularity.CHANNEL,
+            strategy=QuantStrategy.SYMMETRIC,
+        ),
+        tens=QuantConfig(
+            bits=8, granularity=QuantGranularity.TENSOR,
+            strategy=QuantStrategy.SYMMETRIC,
+        ),
+    )
+    exact, full = _fullint_bwd_arms(
+        cfgs[kcfg], cfgs[vcfg], level_env, monkeypatch
+    )
+    for g_full, g_exact, name in zip(full[:3], exact[:3], "dq dk dv".split()):
+        a = np.asarray(g_full, np.float32)
+        b_ = np.asarray(g_exact, np.float32)
+        rel = np.linalg.norm(a - b_) / np.linalg.norm(b_)
+        assert rel < 0.05, f"{name} rel {rel}"
+
+
+def test_fullint_backward_fallback_masked():
+    # Masked problems (and non-foldable scale configs) must silently fall
+    # back to the exact kernels: fullint=True output == fullint=False.
+    from metal_flash_attention_plus_tpu.ops.flash_attention_bwd import (
+        flash_attention_backward,
+    )
+
+    q, k, v = _data(b=1, hq=2, hkv=2, sq=256, skv=256, d=64, seed=23)
+    q = q.astype(jnp.bfloat16)
+    do = jax.random.normal(jax.random.PRNGKey(24), q.shape, jnp.bfloat16)
+    cfg = QuantConfig(
+        bits=8, granularity=QuantGranularity.ROW,
+        strategy=QuantStrategy.SYMMETRIC,
+    )
+    kq, vq = quantize(k, cfg), quantize(v, cfg)
+    o, el = quantized_flash_attention_forward(q, kq, vq, mask=CAUSAL)
+    a = flash_attention_backward(q, kq, vq, o, el, do, mask=CAUSAL)
+    b_ = flash_attention_backward(
+        q, kq, vq, o, el, do, mask=CAUSAL, fullint=True
+    )
+    for ga, gb in zip(a[:3], b_[:3]):
+        np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))
+
+
+def test_fullint_vjp_scale_cotangents():
+    # Through the differentiable facade: quantize_q forward + fullint
+    # backward; dq and the K/V scale cotangents stay within 5% of the
+    # exact pipeline's.
+    import dataclasses
+
+    q, k, v = _data(b=1, hq=4, hkv=2, sq=256, skv=256, d=128, seed=25)
+    q = q.astype(jnp.bfloat16)
+    do = jax.random.normal(jax.random.PRNGKey(26), q.shape, jnp.float32)
+    kq = quantize(k, QuantConfig(
+        bits=8, granularity=QuantGranularity.ROW,
+        strategy=QuantStrategy.SYMMETRIC,
+    ))
+    vq = quantize(v, QuantConfig(
+        bits=8, granularity=QuantGranularity.CHANNEL,
+        strategy=QuantStrategy.SYMMETRIC,
+    ))
+
+    def loss(q_, ksc, vsc, qq, fi):
+        k2 = dataclasses.replace(kq, scale=ksc)
+        v2 = dataclasses.replace(vq, scale=vsc)
+        o = quantized_flash_attention(
+            q_, k2, v2, mask=FULL, quantize_q=qq, bwd_fullint=fi
+        )
+        return jnp.sum(o.astype(jnp.float32) * do)
+
+    g0 = jax.grad(loss, argnums=(0, 1, 2))(q, kq.scale, vq.scale, False, False)
+    g1 = jax.grad(loss, argnums=(0, 1, 2))(q, kq.scale, vq.scale, True, True)
+    for a, b_, name in zip(g1, g0, ("dq", "dks", "dvs")):
+        a = np.asarray(a, np.float32)
+        b_ = np.asarray(b_, np.float32)
+        rel = np.linalg.norm(a - b_) / np.linalg.norm(b_)
+        assert rel < 0.05, f"{name} rel {rel}"
+
+
+# ---------------------------------------------------------------------------
+# PACKED d=64 head-pair layout — public API (round 5).
+# ---------------------------------------------------------------------------
+
+
+def _packed_data(b=1, hq=4, hkv=2, sq=256, skv=256, seed=31, bits=8):
+    from metal_flash_attention_plus_tpu.ops.quantized_attention import (
+        pack_heads,
+    )
+
+    q, k, v = _data(b=b, hq=hq, hkv=hkv, sq=sq, skv=skv, d=64, seed=seed)
+    q = q.astype(jnp.bfloat16)
+    cfg = QuantConfig(
+        bits=bits, granularity=QuantGranularity.CHANNEL,
+        strategy=QuantStrategy.SYMMETRIC,
+    )
+    return pack_heads(q), q, quantize(k, cfg), quantize(v, cfg)
+
+
+@pytest.mark.parametrize("mask", [FULL, CAUSAL], ids=["full", "causal"])
+@pytest.mark.parametrize("bits", [8, 4], ids=["int8", "int4"])
+def test_packed_layout_matches_reference(mask, bits):
+    from metal_flash_attention_plus_tpu.ops.quantized_attention import (
+        quantized_flash_attention_forward_packed,
+        unpack_heads,
+    )
+
+    qp, q, kq, vq = _packed_data(bits=bits)
+    op, lp = quantized_flash_attention_forward_packed(
+        qp, kq, vq, mask=mask
+    )
+    o = unpack_heads(op)
+    o_ref, l_ref = reference_attention(
+        q, kq.dequantize().astype(jnp.bfloat16),
+        vq.dequantize().astype(jnp.bfloat16), mask=mask,
+    )
+    atol = 3e-2 if bits == 8 else 0.35
+    np.testing.assert_allclose(
+        np.asarray(o, np.float32), np.asarray(o_ref, np.float32), atol=atol
+    )
+    np.testing.assert_allclose(
+        np.asarray(lp), np.asarray(l_ref), atol=2e-2
+    )
+
+
+def test_packed_layout_causality_fixed_kv():
+    # With FIXED quantized KV, a future-q-row change must not affect past
+    # rows' packed outputs (kernel-level causal masking over the packed
+    # score layout).
+    from metal_flash_attention_plus_tpu.ops.quantized_attention import (
+        quantized_flash_attention_forward_packed,
+    )
+
+    qp, _, kq, vq = _packed_data()
+    o1, _ = quantized_flash_attention_forward_packed(qp, kq, vq, mask=CAUSAL)
+    qp2 = qp.at[:, :, 200:, :].add(1.0)
+    o2, _ = quantized_flash_attention_forward_packed(qp2, kq, vq, mask=CAUSAL)
+    np.testing.assert_array_equal(
+        np.asarray(o1[:, :, :200]), np.asarray(o2[:, :, :200])
+    )
+
+
+def test_packed_layout_gqa_interleaved():
+    from metal_flash_attention_plus_tpu.ops.quantized_attention import (
+        quantized_flash_attention_forward,
+        quantized_flash_attention_forward_packed,
+        pack_heads,
+        unpack_heads,
+    )
+
+    q, k, v = _data(b=1, hq=4, hkv=2, sq=128, skv=128, d=64, seed=33)
+    q = q.astype(jnp.bfloat16)
+    cfg = QuantConfig(
+        bits=8, granularity=QuantGranularity.CHANNEL,
+        strategy=QuantStrategy.SYMMETRIC,
+    )
+    kq, vq = quantize(k, cfg), quantize(v, cfg)
+    for inter in (False, True):
+        op, _ = quantized_flash_attention_forward_packed(
+            pack_heads(q), kq, vq, mask=FULL, interleaved_kv=inter
+        )
+        o_ref, _ = reference_attention(
+            q, kq.dequantize().astype(jnp.bfloat16),
+            vq.dequantize().astype(jnp.bfloat16), mask=FULL,
+            interleaved_kv=inter,
+        )
+        np.testing.assert_allclose(
+            np.asarray(unpack_heads(op), np.float32),
+            np.asarray(o_ref, np.float32), atol=3e-2,
+        )
+
+
+def test_packed_layout_rejects_bad_configs():
+    from metal_flash_attention_plus_tpu.ops.quantized_attention import (
+        quantized_flash_attention_forward_packed,
+    )
+    from metal_flash_attention_plus_tpu.attention.masking import (
+        sliding_window,
+    )
+
+    qp, _, kq, vq = _packed_data(sq=128, skv=128)
+    with pytest.raises(ValueError, match="NONE/CAUSAL"):
+        quantized_flash_attention_forward_packed(
+            qp, kq, vq, mask=sliding_window(32, causal=True)
+        )
+    row_cfg = QuantConfig(
+        bits=8, granularity=QuantGranularity.ROW,
+        strategy=QuantStrategy.SYMMETRIC,
+    )
+    k_row = quantize(
+        jax.random.normal(jax.random.PRNGKey(0), (1, 2, 128, 64)), row_cfg
+    )
+    with pytest.raises(ValueError, match="TENSOR/CHANNEL"):
+        quantized_flash_attention_forward_packed(qp, k_row, vq)
