@@ -38,6 +38,25 @@ extern "C" int64_t mfa_fwd_step_vmem_bytes(int32_t block_q, int32_t block_kv,
   return q_tile + kv_tiles + acc + stats + scores;
 }
 
+// Device-generation → VMEM budget (bytes) for the resolver — the TPU
+// analog of the reference's per-generation parameter-table key (apple9 vs
+// older, AttentionDescriptor+Parameters.swift:13-42).  v5e is the measured
+// basis; v6e-class chips carry a roomier VMEM (deeper major slab); an
+// unrecognized device kind gets a CONSERVATIVE budget so the cold table
+// never over-allocates on unknown hardware (the calibration cache then
+// specializes per device).  Mirrors attention/tuning.py::_GEN_VMEM_MIB.
+extern "C" int64_t mfa_device_vmem_budget(const char* device_kind) {
+  if (device_kind == nullptr) return 14LL << 20;
+  std::string k(device_kind);
+  for (auto& c : k) c = static_cast<char>(std::tolower(c));
+  auto has = [&](const char* s) { return k.find(s) != std::string::npos; };
+  if (has("v5 lite") || has("v5e") || has("v5lite")) return 14LL << 20;
+  if (has("v6") || has("trillium")) return 28LL << 20;
+  if (has("v5p") || has("v5")) return 14LL << 20;
+  if (has("v4")) return 14LL << 20;
+  return 7LL << 20;  // unknown: conservative
+}
+
 extern "C" int mfa_resolve_blocks(int32_t head_dim, int32_t bits,
                                   int32_t kind, int32_t causal,
                                   int64_t vmem_budget_bytes,
@@ -69,6 +88,13 @@ extern "C" int mfa_resolve_blocks(int32_t head_dim, int32_t bits,
     bq = 1024; bkv = 1024; bkvm = 2048;
   } else {
     bq = 512; bkv = 512; bkvm = 2048;
+  }
+
+  // A roomier-than-v5e budget admits a deeper major slab (more inner
+  // unroll = more MXU/VPU overlap), capped at 4 inner tiles — the Mosaic
+  // mega-body crash boundary (docs/perf_notes.md round 2).
+  if (vmem_budget_bytes > (20LL << 20)) {
+    bkvm = std::min(bkvm * 2, 4 * bkv);
   }
 
   // Shrink (major slab first, then kv, then q) until the VMEM model —

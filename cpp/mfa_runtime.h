@@ -53,6 +53,12 @@ int mfa_resolve_blocks(int32_t head_dim, int32_t bits, int32_t kind,
 int64_t mfa_fwd_step_vmem_bytes(int32_t block_q, int32_t block_kv,
                                 int32_t head_dim, int32_t bits);
 
+// Device-generation → resolver VMEM budget (bytes): the per-generation
+// parameter-table key (reference: apple9 vs older,
+// AttentionDescriptor+Parameters.swift:13-42).  Unknown kinds get a
+// conservative budget.  Pass the raw jax device_kind string.
+int64_t mfa_device_vmem_budget(const char* device_kind);
+
 typedef struct {
   int32_t block_m;
   int32_t block_n;

@@ -41,8 +41,36 @@ def seq_bucket(seq_len: int) -> int:
     return _SEQ_BUCKETS[-1]
 
 
+# Per-generation VMEM budgets (MiB/core) — the TPU analog of the
+# reference's device-generation table key (apple9 vs older,
+# ``AttentionDescriptor+Parameters.swift:13-42``).  v5e is the MEASURED
+# basis (every number in the table below); other generations derive by
+# budget: a roomier VMEM admits a deeper major slab (more MXU/VPU overlap),
+# an unknown device gets a conservative slab (correctness first — the
+# CalibrationStore then specializes it per device on first calibrate()).
+_GEN_VMEM_MIB = {
+    "v4": 16, "v5e": 16, "v5p": 16, "v6e": 32,
+}
+
+
+def normalize_device_kind(kind: str) -> str:
+    """Map a raw ``jax.devices()[0].device_kind`` string to a table
+    generation key ("v4"/"v5e"/"v5p"/"v6e") or "unknown"."""
+    k = (kind or "").lower()
+    if "v5 lite" in k or "v5e" in k or "v5lite" in k:
+        return "v5e"
+    if "v5p" in k or "v5" in k:
+        return "v5p"
+    if "v6" in k or "trillium" in k:
+        return "v6e"
+    if "v4" in k:
+        return "v4"
+    return "unknown"
+
+
 def default_block_sizes(
-    head_dim: int, bits: int = 16, causal: bool = True
+    head_dim: int, bits: int = 16, causal: bool = True,
+    device_kind: Optional[str] = None,
 ) -> BlockSizes:
     """VMEM-budget cold-start table (the parameter-table analog).
 
@@ -90,6 +118,20 @@ def default_block_sizes(
         bq, bkv, bkvm = 1024, 1024, 2048
     else:
         bq, bkv, bkvm = 512, 512, 2048
+    # Device-generation adjustment (the apple9-vs-older analog): the
+    # numbers above are v5e-measured.  A generation with MORE VMEM can
+    # carry a deeper major slab (more inner unroll = more MXU/VPU
+    # overlap), capped at 4 inner tiles (the Mosaic mega-body crash
+    # boundary); an UNKNOWN device kind halves the slab instead —
+    # conservative cold start, and the per-device CalibrationStore
+    # specializes it on the first calibrate().
+    if device_kind is not None:
+        gen = normalize_device_kind(device_kind)
+        budget = _GEN_VMEM_MIB.get(gen)
+        if budget is None:
+            bkvm = max(bkv, (bkvm // 2 // bkv) * bkv)
+        elif budget > 16:
+            bkvm = min(bkvm * (budget // 16), 4 * bkv)
     # Backward: (512, 512) for both kernels measured best at d=64/256
     # (33.7 / 85.2 TF/s); d=128 marginally prefers (1024, 512)+(512, 1024)
     # (66.2 vs 58.6) — kept uniform pending a finer sweep.
@@ -249,7 +291,9 @@ class AttentionTuner:
             entry = self._cache.get(key)
         if entry is not None:
             return _blocks_from_json(entry["blocks"])
-        return default_block_sizes(head_dim, bits, causal)
+        return default_block_sizes(
+            head_dim, bits, causal, device_kind=self._device_kind()
+        )
 
     def record(self, key: TuneKey, blocks: BlockSizes, tflops: float):
         with self._lock:

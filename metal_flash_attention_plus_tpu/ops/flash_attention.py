@@ -1000,6 +1000,23 @@ def flash_attention_forward(
         # (MFA_INTERPRET_TWO_LEVEL=1 overrides, for structure tests).
         bkv_major = bkv
     n_inner = bkv_major // bkv
+    if n_inner >= 8 and d % LANES == 0 and not interpret:
+        # Known Mosaic compiler crash (HTTP 500 from tpu_compile_helper,
+        # not a Python exception): "mega-body" grid steps — ≥8 unrolled
+        # inner KV subtiles — blow up the Mosaic lowering for every
+        # non-ones configuration at d ≥ 128 (docs/perf_notes.md round-2
+        # "two-level"; COVERAGE.md known gaps).  The block tables avoid
+        # this geometry, but a user passing explicit BlockSizes would get
+        # an opaque runtime RPC failure — reject with an actionable error
+        # instead (same treatment as the r4 dequant-unroll guard in
+        # quantized_attention).
+        raise ValueError(
+            f"flash forward with block_kv_major/block_kv = {n_inner} >= 8 "
+            f"at head_dim {d} (a lane multiple) crashes the Mosaic "
+            "compiler on TPU (known toolchain bug); use block_kv_major "
+            f"<= 4*block_kv — e.g. BlockSizes(block_kv={bkv}, "
+            f"block_kv_major={4 * bkv})"
+        )
     sq_p = _round_up(sq, bq)
     skv_p = _round_up(skv, bkv_major)
 

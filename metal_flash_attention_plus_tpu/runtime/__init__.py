@@ -6,6 +6,7 @@ from metal_flash_attention_plus_tpu.runtime.native import (  # noqa: F401
     PagePool,
     Scheduler,
     ScheduledItem,
+    device_vmem_budget,
     native_available,
     resolve_blocks,
 )

@@ -222,19 +222,46 @@ class BlockConfig:
 KIND_FWD, KIND_FWD_Q, KIND_BWD = 0, 1, 2
 
 
+def device_vmem_budget(device_kind: str) -> int:
+    """Per-generation resolver VMEM budget in bytes (the reference's
+    apple9-vs-older table key); conservative for unknown kinds.  Python
+    fallback mirrors ``cpp/mfa_runtime.cc::mfa_device_vmem_budget``."""
+    lib = _load()
+    if lib is not None:
+        try:
+            fn = lib.mfa_device_vmem_budget
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [ctypes.c_char_p]
+            return int(fn(device_kind.encode()))
+        except AttributeError:  # stale .so without the symbol
+            pass
+    from metal_flash_attention_plus_tpu.attention.tuning import (
+        _GEN_VMEM_MIB,
+        normalize_device_kind,
+    )
+
+    mib = _GEN_VMEM_MIB.get(normalize_device_kind(device_kind))
+    return ((mib - 2) << 20) if mib else (7 << 20)
+
+
 def resolve_blocks(
     head_dim: int, bits: int = 16, kind: int = KIND_FWD,
     vmem_budget_bytes: int = 0, causal: bool = True,
+    device_kind: Optional[str] = None,
 ) -> BlockConfig:
     """Native descriptor → block-config resolution; falls back to the
-    Python table when the library is unavailable."""
+    Python table when the library is unavailable.  ``device_kind`` (a raw
+    jax device_kind string) keys the budget per device generation when
+    ``vmem_budget_bytes`` is not given explicitly."""
+    if not vmem_budget_bytes and device_kind is not None:
+        vmem_budget_bytes = device_vmem_budget(device_kind)
     lib = _load()
     if lib is None:
         from metal_flash_attention_plus_tpu.attention.tuning import (
             default_block_sizes,
         )
 
-        bs = default_block_sizes(head_dim, bits, causal)
+        bs = default_block_sizes(head_dim, bits, causal, device_kind)
         return BlockConfig(**dataclasses.asdict(bs))
     out = _MfaBlockConfig()
     rc = lib.mfa_resolve_blocks(
