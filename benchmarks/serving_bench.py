@@ -1,17 +1,23 @@
 """Serving-engine throughput: continuous-batching decode + chunked prefill.
 
 python benchmarks/serving_bench.py [--suite] [--mla] [--quantized-cache]
-                                   [--w8a8] [--decode 64]
+                                   [--int4-cache] [--w8a8] [--long]
+                                   [--decode 64]
 
 --suite (default when no model flags given): gqa float, gqa + int8 cache,
-gqa + W8A8 weights, mla, mla + int8 latent cache — one row each in
-serving.json.
+gqa + W8A8 weights, mla, mla + int8 latent cache, then the LONG-CONTEXT
+rows (``--long``: ~32K-token contexts, decode-heavy, fused 8-step decode
+ticks) at bf16 / int8 / int4 cache — one row each in serving.json.
 
 Measures end-to-end tokens/second through the ServingEngine (C++ scheduler
-+ paged KV cache + ragged decode kernels) under a mixed workload — the
-serving analog of the reference's ``QuantizedAttention.benchmark()``.
-Reports prefill tokens/s, decode tokens/s, and steady-state batch
-occupancy.  Writes benchmarks/serving.json.
++ paged KV cache + ragged decode kernels) — the serving analog of the
+reference's ``QuantizedAttention.benchmark()``.  Every row reports overall
+tokens/s, per-PHASE rates (prefill tokens/s; decode tokens/s measured over
+the decode phase's own wall clock), and steady-state decode-slot occupancy
+(engine.stats).  The long-context rows are the regime the quantized cache
+exists for: at Skv≈32K the per-token KV read dominates, so the int8 cache's
+halved bytes show up at the ENGINE level, not just the kernel level
+(VERDICT r4 item 5).  Writes benchmarks/serving.json.
 """
 
 from __future__ import annotations
@@ -33,6 +39,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mla", action="store_true")
     ap.add_argument("--quantized-cache", action="store_true")
+    ap.add_argument("--int4-cache", action="store_true",
+                    help="shared-byte int4 KV pages (4x capacity)")
+    ap.add_argument("--long", action="store_true",
+                    help="long-context decode-heavy workload (~32K ctx)")
     ap.add_argument("--w8a8", action="store_true",
                     help="int8 weights via quantize_weights")
     ap.add_argument("--suite", action="store_true")
@@ -56,7 +66,8 @@ def main():
     )
 
     if not args.single and (
-        args.suite or not (args.mla or args.quantized_cache or args.w8a8)
+        args.suite or not (args.mla or args.quantized_cache or args.w8a8
+                           or args.int4_cache or args.long)
     ):
         rows = []
         base = [sys.executable, __file__]
@@ -68,6 +79,9 @@ def main():
             (["--w8a8"], "gqa+w8a8"),
             (["--mla"], "mla"),
             (["--mla", "--quantized-cache"], "mla+int8latent"),
+            (["--long"], "gqa-32k"),
+            (["--long", "--quantized-cache"], "gqa-32k+int8cache"),
+            (["--long", "--int4-cache"], "gqa-32k+int4cache"),
         ):
             r = subprocess.run(
                 base + extra + ["--single", "--decode", str(args.decode),
@@ -120,41 +134,72 @@ def main():
             params = quantize_weights(params)
         executor = None
 
+    quant_mode = 4 if args.int4_cache else bool(args.quantized_cache)
+    if args.long:
+        # Long-context, decode-heavy: ~32K-token contexts, 256-token
+        # page granularity (the bandwidth-bound regime, exp26), fused
+        # 8-step decode ticks to amortize the per-dispatch host cost.
+        requests, prompt_n, decode_n = 4, 32256, 256
+        pages_per_seq = (prompt_n + decode_n) // 256 + 1
+        eng_kw = dict(
+            num_pages=requests * pages_per_seq + 8, page_tokens=256,
+            max_batch=requests, chunk_size=512,
+            max_pages_per_seq=pages_per_seq,
+            quantized_cache=quant_mode, decode_steps=8,
+        )
+    else:
+        requests, prompt_n, decode_n = args.requests, args.prompt, args.decode
+        eng_kw = dict(
+            num_pages=512, page_tokens=64, max_batch=requests,
+            chunk_size=128, quantized_cache=quant_mode,
+        )
+
     def run_once():
         engine = ServingEngine(
-            params, cfg, num_pages=512, page_tokens=64,
-            max_batch=args.requests, chunk_size=128,
-            quantized_cache=args.quantized_cache,
+            params, cfg,
+            **eng_kw,
             **({"executor": executor} if executor else {}),
         )
         key = jax.random.PRNGKey(1)
         total_prompt = 0
-        for rid in range(args.requests):
+        for rid in range(requests):
             key, k = jax.random.split(key)
-            n = int(args.prompt * (0.5 + (rid % 4) / 4))  # mixed lengths
+            if args.long:
+                n = prompt_n - 256 * (rid % 4)  # mixed, all ~32K
+            else:
+                n = int(prompt_n * (0.5 + (rid % 4) / 4))  # mixed lengths
             toks = jax.random.randint(k, (n,), 0, cfg.vocab_size)
             total_prompt += n
             engine.submit(GenerationRequest(
-                rid, [int(t) for t in toks], max_new_tokens=args.decode
+                rid, [int(t) for t in toks], max_new_tokens=decode_n
             ))
         t0 = time.perf_counter()
-        out = engine.run()
+        out = engine.run(max_steps=100_000)
         wall = time.perf_counter() - t0
-        return total_prompt, sum(len(v) for v in out.values()), wall
+        return total_prompt, sum(len(v) for v in out.values()), wall, engine
 
     run_once()  # compile prefill-chunk + decode-step programs
-    total_prompt, total_new, wall = run_once()
+    total_prompt, total_new, wall, engine = run_once()
+    st = engine.stats
 
     result = {
-        "model": "mla" if args.mla else "gqa",
+        "model": ("mla" if args.mla else "gqa") + (
+            "-32k" if args.long else ""),
         "w8a8_weights": bool(args.w8a8),
-        "quantized_cache": bool(args.quantized_cache),
-        "requests": args.requests,
+        "quantized_cache": quant_mode,
+        "requests": requests,
         "prompt_tokens": total_prompt,
         "new_tokens": total_new,
         "wall_s": round(wall, 3),
         "tokens_per_s": round((total_prompt + total_new) / wall, 1),
-        "decode_tokens_per_s": round(total_new / wall, 1),
+        # Per-phase rates (engine.stats): decode tokens/s over the decode
+        # phase's OWN wall clock — the number the quantized cache moves.
+        "prefill_tokens_per_s": round(
+            st["prefill_tokens"] / max(st["prefill_s"], 1e-9), 1),
+        "decode_tokens_per_s": round(
+            st["decode_tokens"] / max(st["decode_s"], 1e-9), 1),
+        "decode_occupancy": st["decode_occupancy"],
+        "decode_steps_fused": eng_kw.get("decode_steps", 1),
         "backend": jax.default_backend(),
     }
     print(json.dumps(result))

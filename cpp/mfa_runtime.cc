@@ -391,6 +391,14 @@ struct MfaScheduler {
   MfaPagePool* pool = nullptr;
   int32_t max_batch = 0;
   int32_t token_budget = 0;
+  // Decode tokens scheduled (and KV slots reserved) per decode item per
+  // step — >1 lets the host FUSE that many decode iterations into one
+  // device dispatch (lax.scan), amortizing the per-dispatch host cost
+  // that dominates long-context decode.  The host reports each generated
+  // token individually (mfa_sched_token), so completion accounting is
+  // unchanged; over-reserved slots of an early (EOS) finish are freed on
+  // release.
+  int32_t decode_chunk = 1;
 
   struct Running {
     MfaRequest req;
@@ -426,6 +434,12 @@ extern "C" int mfa_sched_submit(MfaScheduler* s, const MfaRequest* req) {
   std::lock_guard<std::mutex> lock(s->mu);
   s->waiting.push_back(*req);
   return 0;
+}
+
+extern "C" void mfa_sched_set_decode_chunk(MfaScheduler* s, int32_t n) {
+  if (!s || n < 1) return;
+  std::lock_guard<std::mutex> lock(s->mu);
+  s->decode_chunk = n;
 }
 
 extern "C" int32_t mfa_sched_next_step(MfaScheduler* s, MfaScheduledItem* out,
@@ -480,19 +494,26 @@ extern "C" int32_t mfa_sched_next_step(MfaScheduler* s, MfaScheduledItem* out,
       mfa_seq_set_len(s->pool, r.seq, r.prefill_done);
     }
 
-    // Phase 2: decode for every fully-prefilled sequence (one token
-    // each).
+    // Phase 2: decode for every fully-prefilled sequence
+    // (``decode_chunk`` tokens each; chunk_len carries the grant).
     for (int64_t id : s->running_order) {
       if (n >= max_out) break;
       auto it = s->running.find(id);
       if (it == s->running.end()) continue;
       auto& r = it->second;
       if (r.prefill_done < r.req.prompt_len) continue;
-      // The decode token needs one more KV slot.
-      if (mfa_seq_reserve(s->pool, r.seq,
-                          r.req.prompt_len + r.generated + 1) != 0)
-        continue;  // page pressure: skip this step (frees will unblock)
-      out[n++] = {id, r.seq, /*kind=*/1, 0, 0};
+      int32_t remaining = r.req.max_new_tokens - r.generated;
+      if (remaining <= 0) continue;
+      int32_t chunk = std::min(s->decode_chunk, remaining);
+      if (chunk < 1) chunk = 1;
+      // The chunk's decode tokens each need a KV slot; under page
+      // pressure fall back to single-token grants before skipping.
+      while (chunk >= 1 &&
+             mfa_seq_reserve(s->pool, r.seq,
+                             r.req.prompt_len + r.generated + chunk) != 0)
+        chunk /= 2;
+      if (chunk < 1) continue;  // page pressure: frees will unblock
+      out[n++] = {id, r.seq, /*kind=*/1, 0, chunk};
     }
     if (n > 0) return n;
     if (s->running_order.empty()) break;

@@ -142,10 +142,15 @@ void mfa_sched_destroy(MfaScheduler* s);
 // Enqueue a request. Returns 0, or -1 if the queue is full.
 int mfa_sched_submit(MfaScheduler* s, const MfaRequest* req);
 
+// Decode tokens granted (and KV slots reserved) per decode item per step
+// (default 1).  >1 lets the host fuse that many decode iterations into a
+// single device dispatch; the grant rides the item's chunk_len.
+void mfa_sched_set_decode_chunk(MfaScheduler* s, int32_t n);
+
 // Assemble the next step: fills up to max_out items, returns the count.
 // Prefill chunks are scheduled before decodes; decodes cover every running
-// sequence.  Reserves KV pages as needed; requests that cannot get pages
-// stay queued.
+// sequence (decode items carry the multi-token grant in chunk_len).
+// Reserves KV pages as needed; requests that cannot get pages stay queued.
 int32_t mfa_sched_next_step(MfaScheduler* s, MfaScheduledItem* out,
                             int32_t max_out);
 

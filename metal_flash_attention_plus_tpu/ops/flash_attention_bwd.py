@@ -509,15 +509,24 @@ def _rowquant_pos(x):
 
 
 def _dq_fullint_kernel(
-    qq_ref, qs_ref, kq_ref, ksr_ref, vq_ref, dov_ref, dovs_ref,
-    l_ref, d_ref, dq_ref, dq_acc,
-    *,
+    *refs,
     block_q: int,
     block_kv: int,
     n_inner: int,
-    scale: float,
     int8_grads: bool,
+    k_tensor: bool,
 ):
+    # TENSOR K (``k_tensor``): the scalar K scale is folded into the
+    # per-token Q scales host-side (scores) and into the dq store
+    # multiplier — both per-tile ksr multiplies disappear (saves 2 VPU
+    # passes per score tile vs ROW K).
+    if k_tensor:
+        (qq_ref, qs_ref, kq_ref, vq_ref, dov_ref, dovs_ref,
+         l_ref, d_ref, dqsc_ref, dq_ref, dq_acc) = refs
+        ksr_ref = None
+    else:
+        (qq_ref, qs_ref, kq_ref, ksr_ref, vq_ref, dov_ref, dovs_ref,
+         l_ref, d_ref, dqsc_ref, dq_ref, dq_acc) = refs
     j = pl.program_id(3)
 
     @pl.when(j == 0)
@@ -532,8 +541,10 @@ def _dq_fullint_kernel(
             qq_ref[0, 0], k_int, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
-        ks_row = ksr_ref[0, 0, :, sl]  # [1, bkv] transposed K scales
-        s = s_int.astype(jnp.float32) * qs_ref[0, 0] * ks_row
+        s = s_int.astype(jnp.float32) * qs_ref[0, 0]
+        if not k_tensor:
+            ks_row = ksr_ref[0, 0, :, sl]  # [1, bkv] transposed K scales
+            s = s * ks_row
         l_wide = pltpu.repeat(l_ref[0, 0], block_kv // LANES, axis=1)
         p = jnp.exp(s - l_wide)
         # dP: int8×int8 (dO pre-folded with the V scales host-side).
@@ -545,8 +556,10 @@ def _dq_fullint_kernel(
         d_wide = pltpu.repeat(d_ref[0, 0], block_kv // LANES, axis=1)
         ds_ = p * (dp - d_wide)
         # Fold the per-token K scales into dS columns before the dQ dot
-        # (dQ[i,:] = Σ_t dS[i,t]·k_s[t]·K_int[t,:]).
-        ds_ = ds_ * ks_row
+        # (dQ[i,:] = Σ_t dS[i,t]·k_s[t]·K_int[t,:]); a TENSOR K scale
+        # rides the store multiplier instead.
+        if not k_tensor:
+            ds_ = ds_ * ks_row
         if int8_grads:
             dsq, dssc = _rowquant_signed(ds_)
             acc = jax.lax.dot_general(
@@ -565,20 +578,31 @@ def _dq_fullint_kernel(
 
     @pl.when(j == pl.num_programs(3) - 1)
     def _store():
-        dq_ref[0, 0] = (dq_acc[...] * scale).astype(dq_ref.dtype)
+        dq_ref[0, 0] = (dq_acc[...] * dqsc_ref[0, 0]).astype(dq_ref.dtype)
 
 
 def _dkv_fullint_kernel(
-    qq_ref, qsr_ref, kq_ref, ksc_ref, vq_ref,
-    dor_ref, dorsr_ref, dov_ref, dovsr_ref,
-    l_ref, d_ref, dk_ref, dv_ref, dk_acc, dv_acc,
-    *,
+    *refs,
     block_q: int,
     block_kv: int,
     n_inner: int,
     ni_max: int,
     int8_grads: bool,
+    k_tensor: bool,
 ):
+    # TENSOR K (``k_tensor``): the scalar K scale rides inside the
+    # per-token Q-scale row (scores) — the lane-replicated ks column tile
+    # and its widening repeat disappear; dK divides the scalar back out
+    # at store (dkc_ref = 1/k_sc).
+    if k_tensor:
+        (qq_ref, qsr_ref, kq_ref, vq_ref,
+         dor_ref, dorsr_ref, dov_ref, dovsr_ref,
+         l_ref, d_ref, dkc_ref, dk_ref, dv_ref, dk_acc, dv_acc) = refs
+        ksc_ref = None
+    else:
+        (qq_ref, qsr_ref, kq_ref, ksc_ref, vq_ref,
+         dor_ref, dorsr_ref, dov_ref, dovsr_ref,
+         l_ref, d_ref, dkc_ref, dk_ref, dv_ref, dk_acc, dv_acc) = refs
     t = pl.program_id(3)
 
     @pl.when(t == 0)
@@ -586,9 +610,10 @@ def _dkv_fullint_kernel(
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dv_acc[...] = jnp.zeros_like(dv_acc)
 
-    # Per-token K scales, lane-replicated [bkv, LANES] → widened once per
-    # grid step to the score tile's column count.
-    ks_wide = pltpu.repeat(ksc_ref[0, 0], block_q // LANES, axis=1)
+    if not k_tensor:
+        # Per-token K scales, lane-replicated [bkv, LANES] → widened once
+        # per grid step to the score tile's column count.
+        ks_wide = pltpu.repeat(ksc_ref[0, 0], block_q // LANES, axis=1)
 
     def _inner(ti):
         sl = pl.ds(ti * block_q, block_q)
@@ -598,8 +623,10 @@ def _dkv_fullint_kernel(
             kq_ref[0, 0], qt, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
-        qs_row = qsr_ref[0, 0, :, sl]  # [1, bq]
-        st = st_int.astype(jnp.float32) * ks_wide * qs_row
+        qs_row = qsr_ref[0, 0, :, sl]  # [1, bq] (includes k_sc if TENSOR)
+        st = st_int.astype(jnp.float32) * qs_row
+        if not k_tensor:
+            st = st * ks_wide
         pt = jnp.exp(st - l_ref[0, 0, :, sl])
         # dV += Pᵀ·dO: per-token dO scales ride the CONTRACTED index, so
         # they fold into Pᵀ's columns first.
@@ -624,6 +651,8 @@ def _dkv_fullint_kernel(
         dpt = dpt_int.astype(jnp.float32) * dovsr_ref[0, 0, :, sl]
         dst = pt * (dpt - d_ref[0, 0, :, sl])
         # dK += dSᵀ·Q_s: per-token Q scales fold into dSᵀ's columns.
+        # Under TENSOR K, qs_row carries an extra k_sc — the store's
+        # dkc_ref (= 1/k_sc) divides it back out.
         dst = dst * qs_row
         if int8_grads:
             dstq, dstsc = _rowquant_signed(dst)
@@ -642,7 +671,7 @@ def _dkv_fullint_kernel(
 
     @pl.when(t == pl.num_programs(3) - 1)
     def _store():
-        dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
+        dk_ref[0, 0] = (dk_acc[...] * dkc_ref[0, 0]).astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
 
 
@@ -743,17 +772,28 @@ def _fullint_backward(
     qs_f = q.astype(jnp.float32) * scale
     qq, q_sc = _per_token_quant(qs_f)  # scales [B,Hq,Sq,1]
 
-    # K scales normalized to per-token [B,Hkv,Skv] (TENSOR expands).
-    if k.config.granularity == QuantGranularity.TENSOR:
-        ks_tok = jnp.broadcast_to(
-            k.scale.reshape(1, 1, 1).astype(jnp.float32), (b, hkv, skv)
-        )
+    # K scales: TENSOR folds the scalar into the Q scales (scores) and
+    # the store multipliers — zero per-tile ksr work in either kernel;
+    # ROW rides as a transposed column tile (dQ) / lane-replicated rows
+    # (dKV).
+    k_tensor = k.config.granularity == QuantGranularity.TENSOR
+    if k_tensor:
+        ksc = k.scale.reshape(()).astype(jnp.float32)
+        q_sc = q_sc * ksc
+        ksr_t = ks_col = None
+        # dQ = scale·Σ dS·k_sc·K_int: the kernel's dS carries no k fold
+        # under TENSOR, so the store multiplier carries scale·k_sc; dK's
+        # dst fold inherited an extra k_sc through q_sc — divide it out.
+        dqsc = (scale * ksc).reshape(1, 1, 1, 1)
+        dkc = (1.0 / ksc).reshape(1, 1, 1, 1)
     else:
         ks_tok = k.scale.reshape(b, hkv, skv).astype(jnp.float32)
-    ksr_t = ks_tok[:, :, None, :]  # [B,Hkv,1,Skv] (dQ: column multiply)
-    ks_col = jnp.broadcast_to(
-        ks_tok[..., None], (b, hkv, skv, LANES)
-    )  # [B,Hkv,Skv,LANES] lane-replicated (dKV: row multiply)
+        ksr_t = ks_tok[:, :, None, :]  # [B,Hkv,1,Skv] (dQ: col multiply)
+        ks_col = jnp.broadcast_to(
+            ks_tok[..., None], (b, hkv, skv, LANES)
+        )  # [B,Hkv,Skv,LANES] lane-replicated (dKV: row multiply)
+        dqsc = jnp.full((1, 1, 1, 1), scale, jnp.float32)
+        dkc = jnp.ones((1, 1, 1, 1), jnp.float32)
 
     # V scales fold into dO (dP = (dO·diag(s_v))·V_intᵀ).
     dof = do.astype(jnp.float32)
@@ -812,17 +852,23 @@ def _fullint_backward(
     ksr_spec = pl.BlockSpec(
         (1, 1, 1, bkvM_dq), lambda *a: (a[0], kv_head(a[1]), 0, a[3])
     )
+    one_spec = pl.BlockSpec((1, 1, 1, 1), lambda *a: (0, 0, 0, 0))
+    dq_in_specs = [q_spec, qsc_spec, kv_spec]
+    dq_inputs = [qq, q_sc, k.data]
+    if not k_tensor:
+        dq_in_specs.append(ksr_spec)
+        dq_inputs.append(ksr_t)
+    dq_in_specs += [kv_spec, q_spec, qsc_spec, stat_spec, stat_spec,
+                    one_spec]
+    dq_inputs += [v.data, dov, dov_sc, l_col, d_col, dqsc]
     dq = pl.pallas_call(
         functools.partial(
             _dq_fullint_kernel,
             block_q=bq_dq, block_kv=bkv_dq, n_inner=n_inner_dq,
-            scale=scale, int8_grads=int8_grads,
+            int8_grads=int8_grads, k_tensor=k_tensor,
         ),
         grid=(b, hq, ni_dq, nj_dq),
-        in_specs=[
-            q_spec, qsc_spec, kv_spec, ksr_spec, kv_spec,
-            q_spec, qsc_spec, stat_spec, stat_spec,
-        ],
+        in_specs=dq_in_specs,
         out_specs=pl.BlockSpec(
             (1, 1, bq_dq, d), lambda *a: (a[0], a[1], a[2], 0)
         ),
@@ -834,7 +880,7 @@ def _fullint_backward(
             ),
         ),
         interpret=interpret,
-    )(qq, q_sc, k.data, ksr_t, v.data, dov, dov_sc, l_col, d_col)
+    )(*dq_inputs)
 
     # ---- dKV kernel (lean grid) ----
     nj = skv // bkv_dkv
@@ -860,19 +906,25 @@ def _fullint_backward(
             (1, 1, bkv_dkv, width_), lambda *a: (a[0], a[1], a[2], 0)
         )
 
+    dkv_in_specs = [q_side(False), q_side(True), kv_side(d)]
+    dkv_inputs = [qq, qsr, k.data]
+    if not k_tensor:
+        dkv_in_specs.append(kv_side(LANES))
+        dkv_inputs.append(ks_col)
+    dkv_in_specs += [
+        kv_side(d),
+        q_side(False), q_side(True), q_side(False), q_side(True),
+        q_side(True), q_side(True), one_spec,
+    ]
+    dkv_inputs += [v.data, dor, dorsr, dov, dovsr, l_row, d_row, dkc]
     dk, dv = pl.pallas_call(
         functools.partial(
             _dkv_fullint_kernel,
             block_q=bq_dkv, block_kv=bkv_dkv, n_inner=n_inner_dkv,
-            ni_max=ni_max, int8_grads=int8_grads,
+            ni_max=ni_max, int8_grads=int8_grads, k_tensor=k_tensor,
         ),
         grid=(b, hkv, nj, group * ni_max),
-        in_specs=[
-            q_side(False), q_side(True),
-            kv_side(d), kv_side(LANES), kv_side(d),
-            q_side(False), q_side(True), q_side(False), q_side(True),
-            q_side(True), q_side(True),
-        ],
+        in_specs=dkv_in_specs,
         out_specs=[
             pl.BlockSpec(
                 (1, 1, bkv_dkv, d), lambda *a: (a[0], a[1], a[2], 0)
@@ -895,10 +947,7 @@ def _fullint_backward(
             ),
         ),
         interpret=interpret,
-    )(
-        qq, qsr, k.data, ks_col, v.data,
-        dor, dorsr, dov, dovsr, l_row, d_row,
-    )
+    )(*dkv_inputs)
     return dq, dk, dv, None
 
 

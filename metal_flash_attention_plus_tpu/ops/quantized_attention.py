@@ -966,16 +966,26 @@ def _hpack_core(
     off = skv - sq
     bits_k, bits_v = k.config.bits, v.config.bits
 
-    # Sweep (exp35/exp35b, docs/perf_notes.md round 4): causal best at
-    # (1024, 512, M1024) = 51.7 TF/s (+40% over the unpacked 36.8);
-    # FULL at (512, 512, M1024) = 70.4.  bq=2048 VMEM-OOMs.
-    bq = min(block_sizes.block_q, 1024 if causal else 512)
+    # Measured defaults (exp35/exp35b + round-5 exp40 packed-API sweep,
+    # docs/perf_notes.md): (1024, 512, M1024) for BOTH masks — at FULL,
+    # bq=1024 beat bq=512 70.6 vs 66.0 TF/s within-run through the packed
+    # API.  Explicit block_sizes are honored but CAPPED at bq ≤ 1024,
+    # bkv ≤ 512, major ≤ 1024: bq=2048 and major=2048 (4-deep unroll)
+    # both crash the Mosaic compiler for this kernel's [bq, 128]-packed
+    # body (exp40, HTTP 500) — the caps keep user-supplied BlockSizes out
+    # of the crash geometries rather than raising (unlike the unpacked
+    # kernels, NO packed configuration needs the bigger shapes).
+    if block_sizes == BlockSizes():
+        bq, bkv, bkvm = 1024, 512, 1024
+    else:
+        bq = min(block_sizes.block_q, 1024)
+        bkv = min(block_sizes.block_kv, 512)
+        bkvm = min(max(block_sizes.kv_major, bkv), 1024)
     while sq % bq:
         bq //= 2
-    bkv = min(block_sizes.block_kv, 512)
     while skv % bkv:
         bkv //= 2
-    bkvm = min(1024, skv)
+    bkvm = min(bkvm, skv)
     bkvm -= bkvm % bkv
     if interpret and not _interpret_two_level():
         bkvm = bkv

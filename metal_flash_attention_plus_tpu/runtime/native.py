@@ -416,6 +416,18 @@ class Scheduler:
     def report_token(self, request_id: int, finished: bool = False):
         self._lib.mfa_sched_token(self._h, request_id, int(finished))
 
+    def set_decode_chunk(self, n: int):
+        """Decode tokens granted (and KV slots reserved) per decode item
+        per step — >1 enables the engine's FUSED multi-step decode (the
+        grant rides each item's chunk_len)."""
+        try:
+            fn = self._lib.mfa_sched_set_decode_chunk
+        except AttributeError:  # stale .so — single-token grants only
+            return
+        fn.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+        fn.restype = None
+        fn(self._h, int(n))
+
     @property
     def num_waiting(self) -> int:
         return self._lib.mfa_sched_num_waiting(self._h)

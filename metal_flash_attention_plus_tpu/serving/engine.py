@@ -102,6 +102,14 @@ class ServingEngine:
         # nibble — the reference's INT4 cache mode, README.md:291-296).
         quantized_cache=False,
         executor=None,
+        # Decode iterations FUSED into one device dispatch per engine tick
+        # (lax.scan with in-graph greedy sampling).  The per-dispatch host
+        # cost on this runtime is ~0.5-2.7 ms — at long context it, not
+        # the kernel, dominates single-token decode; fusing T steps
+        # amortizes it T-fold.  EOS inside a fused block is honored
+        # host-side (tokens past EOS are discarded; their over-reserved
+        # pages free on completion).  1 = the classic per-token loop.
+        decode_steps: int = 1,
     ):
         self.params = params
         self.cfg = cfg
@@ -126,6 +134,18 @@ class ServingEngine:
         self.outputs: Dict[int, List[int]] = {}
         self._last_token: Dict[int, int] = {}
         self._lengths: Dict[int, int] = {}
+        self.decode_steps = max(1, int(decode_steps))
+        self.sched.set_decode_chunk(self.decode_steps)
+        # Steady-state occupancy accounting (decode slots used / max_batch
+        # per decode tick) — the serving bench's promised metric — plus
+        # per-phase wall time (prefill vs decode) so long-context decode
+        # rates are reportable separately from the prompt-build cost.
+        self._occ_slots = 0
+        self._occ_ticks = 0
+        self._prefill_s = 0.0
+        self._decode_s = 0.0
+        self._decode_tokens = 0
+        self._prefill_tokens = 0
 
         self._prefill_jit = jax.jit(
             lambda params, tokens, offset, last_index, cache, page_row:
@@ -137,6 +157,24 @@ class ServingEngine:
             lambda params, tokens, lengths, pts, cache: self.ex.decode_step(
                 params, tokens, lengths, pts, cache, cfg
             )
+        )
+
+        def _decode_scan(params, tokens, lengths, pts, cache, n_steps):
+            def body(carry, _):
+                tok, ln, cache = carry
+                logits, cache = self.ex.decode_step(
+                    params, tok, ln, pts, cache, cfg
+                )
+                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return (nxt, ln + 1, cache), nxt
+
+            (tok, ln, cache), toks = jax.lax.scan(
+                body, (tokens, lengths, cache), None, length=n_steps
+            )
+            return toks, cache  # toks [T, B]
+
+        self._decode_scan_jit = jax.jit(
+            _decode_scan, static_argnames=("n_steps",)
         )
 
     def submit(self, req: GenerationRequest):
@@ -175,6 +213,9 @@ class ServingEngine:
         prefills = [i for i in items if i.kind == ScheduledItem.PREFILL]
         decodes = [i for i in items if i.kind == ScheduledItem.DECODE]
 
+        import time as _time
+
+        t_phase = _time.perf_counter()
         for it in prefills:
             req = self.requests[it.request_id]
             self._seq_of[it.request_id] = it.seq_handle
@@ -198,10 +239,19 @@ class ServingEngine:
                 self.cache,
                 page_row,
             )
+            self._prefill_tokens += it.chunk_len
             if it.chunk_start + it.chunk_len == len(full):
                 # Sequence caught up: the last position's logits yield
                 # the next generated token.
                 self._emit(it.request_id, int(jnp.argmax(logits)))
+        if prefills:
+            # Phase fence: a scalar READBACK — block_until_ready does not
+            # synchronize on this runtime (utils/profiling.py); without it
+            # queued prefill work would bleed into the decode phase's
+            # clock.
+            _ = float(jnp.asarray(logits).ravel()[0])
+            self._prefill_s += _time.perf_counter() - t_phase
+            t_phase = _time.perf_counter()
 
         if decodes:
             b = self.max_batch
@@ -219,17 +269,72 @@ class ServingEngine:
                 lengths[slot] = self._lengths[rid]
                 pts[slot] = self._page_row(it.seq_handle)
                 live.append(rid)
-            logits, self.cache = self._decode_jit(
-                self.params,
-                jnp.asarray(tokens),
-                jnp.asarray(lengths),
-                jnp.asarray(pts),
-                self.cache,
+            self._occ_slots += len(live)
+            self._occ_ticks += 1
+            # Fused tick: the common multi-token grant across the batch
+            # (compiled once for decode_steps; smaller tail grants take
+            # the single-step loop to avoid per-T recompiles).
+            t_fused = min(
+                (max(1, it.chunk_len) for it in decodes[:b]),
+                default=1,
             )
-            nxt = np.asarray(jnp.argmax(logits, axis=-1))
-            for slot, rid in enumerate(live):
-                self._emit(rid, int(nxt[slot]))
+            if t_fused >= self.decode_steps and self.decode_steps > 1:
+                toks, self.cache = self._decode_scan_jit(
+                    self.params,
+                    jnp.asarray(tokens),
+                    jnp.asarray(lengths),
+                    jnp.asarray(pts),
+                    self.cache,
+                    n_steps=self.decode_steps,
+                )
+                toks = np.asarray(toks)  # [T, B]
+                for slot, rid in enumerate(live):
+                    for t in range(self.decode_steps):
+                        if rid not in self.requests or self._done(rid):
+                            break  # EOS/max inside the fused block
+                        self._emit(rid, int(toks[t, slot]))
+                        self._decode_tokens += 1
+            else:
+                logits, self.cache = self._decode_jit(
+                    self.params,
+                    jnp.asarray(tokens),
+                    jnp.asarray(lengths),
+                    jnp.asarray(pts),
+                    self.cache,
+                )
+                nxt = np.asarray(jnp.argmax(logits, axis=-1))
+                for slot, rid in enumerate(live):
+                    self._emit(rid, int(nxt[slot]))
+                    self._decode_tokens += 1
+            # np.asarray above already forced the readback fence.
+            self._decode_s += _time.perf_counter() - t_phase
         return True
+
+    @property
+    def stats(self) -> Dict[str, float]:
+        """Per-phase wall time + steady-state occupancy (serving bench)."""
+        return dict(
+            prefill_s=round(self._prefill_s, 4),
+            decode_s=round(self._decode_s, 4),
+            prefill_tokens=self._prefill_tokens,
+            decode_tokens=self._decode_tokens,
+            decode_occupancy=round(self.decode_occupancy, 4),
+        )
+
+    def _done(self, rid: int) -> bool:
+        req = self.requests[rid]
+        out = self.outputs[rid]
+        return len(out) >= req.max_new_tokens or (
+            req.eos_token is not None and req.eos_token in out
+        )
+
+    @property
+    def decode_occupancy(self) -> float:
+        """Mean decode-slot occupancy (used slots / max_batch) over decode
+        ticks so far — the steady-state batching metric."""
+        if not self._occ_ticks:
+            return 0.0
+        return self._occ_slots / (self._occ_ticks * self.max_batch)
 
     def _emit(self, rid: int, token: int):
         req = self.requests[rid]

@@ -579,3 +579,44 @@ def test_engine_unschedulable_request_fails_loudly():
     engine.submit(GenerationRequest(1, list(range(16)), max_new_tokens=48))
     with pytest.raises(RuntimeError, match="cannot be admitted"):
         engine.run(max_steps=200)
+
+
+def test_engine_fused_decode_matches_single_step():
+    # decode_steps > 1 (fused lax.scan decode with in-graph greedy
+    # sampling + multi-token scheduler grants) must generate exactly the
+    # single-step engine's tokens, report steady-state occupancy, and
+    # split phase timings.
+    from metal_flash_attention_plus_tpu.runtime import native_available
+
+    if not native_available():
+        pytest.skip("native runtime unavailable")
+    from metal_flash_attention_plus_tpu.serving.engine import (
+        GenerationRequest,
+        ServingEngine,
+    )
+
+    params = init_params(CFG, jax.random.PRNGKey(0))
+    prompts = {1: [5, 9, 17, 3, 22, 8, 1], 2: [100, 42], 3: [7] * 19}
+
+    def run(decode_steps, max_new=9):
+        engine = ServingEngine(
+            params, CFG, num_pages=32, page_tokens=16, max_batch=2,
+            cache_dtype=jnp.float32, decode_steps=decode_steps,
+        )
+        for rid, p in prompts.items():
+            engine.submit(GenerationRequest(rid, p, max_new_tokens=max_new))
+        out = engine.run()
+        return out, engine
+
+    out1, _ = run(1)
+    out4, engine4 = run(4)
+    assert out1 == out4, (out1, out4)
+    st = engine4.stats
+    assert st["decode_tokens"] > 0
+    assert 0.0 < st["decode_occupancy"] <= 1.0
+    assert st["decode_s"] > 0 and st["prefill_s"] > 0
+    # max_new NOT a multiple of decode_steps → tail takes the single-step
+    # path; totals still exact.
+    out5, _ = run(5, max_new=7)
+    outr, _ = run(1, max_new=7)
+    assert out5 == outr
