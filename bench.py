@@ -12,17 +12,31 @@ with a DEFAULT descriptor (maskType .none, i.e. unmasked square
 attention), so FULL is the like-for-like phase; causal rates are
 reported as detail rows (rounds 1-3 graded causal against the unmasked
 reference fractions, understating parity by the ~1.45× causal
-short-row structure tax — docs/perf_notes.md round 4):
+short-row structure tax — docs/perf_notes.md round 4).
 
-- fwd d=64 INT8-KV (head-pair-packed kernel) and d=256 INT8-KV (lean
-  schedule + folded mixed dots); value = their mean TFLOP/s.
-- fwd+bwd d=256 INT8-KV through the full custom-vjp (dQ + dKV kernels
-  with scale/zp cotangents) — the north-star phase.
-- vs_baseline: mean over the graded arms of (our fraction of FULL chip
-  peak ÷ the reference's own ALU fraction for that phase: 83% sustained
-  fwd ``README.md:104``, 63% fwd+bwd ``README.md:256-259``).  The old
-  min(1, d/128) MXU cap is removed — the head-packed d=64 kernel fills
-  the contraction, so utilization is vs full peak like the reference's.
+Round 5 grades ALL THREE of the reference's head dims plus the
+fwd+bwd north star, each at its measured-best quantized pipeline
+(exp39/exp40 promotion matrices):
+
+- fwd d=64 INT8-KV through the PACKED-LAYOUT public API (head pairs
+  lane-packed across layers — zero boundary transposes; the layout the
+  transformer/serving paths produce for free).
+- fwd d=128 INT8-KV FOLDED (mixed bf16×int8 dots): at d=128 the kernel
+  is VPU-bound, so the full-integer pipeline's extra scale/round ops
+  LOSE to folded (exp39: 131.7 vs 141.7 TF/s) — folded is the honest
+  fastest int8 config there.
+- fwd d=256 INT8 FULL-INTEGER (both MXU dots int8×int8, exp36).
+- fwd+bwd d=256 FULL-INTEGER forward AND backward (all recompute GEMMs
+  int8×int8; exp38/exp40: 179.7-198.0 TF/s = 1.16× the bf16 fwd+bwd
+  control, dq rel-L2 0.017) — the reference's own "quantized backward
+  1.14-1.48× faster" headline (README.md:389-393).
+- value = mean TFLOP/s of the three fwd arms.
+- vs_baseline: mean over the four graded arms of (our fraction of FULL
+  chip peak ÷ the reference's own ALU fraction for that phase: 83%
+  sustained fwd ``README.md:104``, 63% fwd+bwd ``README.md:256-259``).
+  The old min(1, d/128) MXU cap is removed — the head-packed d=64
+  kernel fills the contraction, so utilization is vs full peak like the
+  reference's.
 
 TIME-BOXING (round-4 rework; round 3 shipped rc=124/no JSON): every arm
 runs under a global ``MFA_BENCH_BUDGET_S`` budget (default 540 s).  Arms
@@ -195,12 +209,17 @@ def _fp_ref(q, k, v, causal=True):
 
 def _build_arm(
     d: int, h: int, bits: int, b: int, bits_v: int = None, causal=True,
-    fullint=False,
+    pipeline: str = "folded",
 ):
+    from metal_flash_attention_plus_tpu.ops.flash_attention import (
+        BlockSizes,
+    )
+
     ks = jax.random.split(jax.random.PRNGKey(0), 3)
     q = jax.random.normal(ks[0], (b, h, SEQ, d), jnp.bfloat16)
     k = jax.random.normal(ks[1], (b, h, SEQ, d), jnp.float32)
     v = jax.random.normal(ks[2], (b, h, SEQ, d), jnp.float32)
+    fullint = pipeline == "fullint"
     if fullint:
         # FULL-INTEGER pipeline (exp36 winner at FULL d=256: 211.2 TF/s,
         # rel 0.033 < the 0.05 gate — BOTH MXU dots int8×int8 at 2× the
@@ -210,21 +229,36 @@ def _build_arm(
             bits=bits, granularity=QuantGranularity.ROW,
             strategy=QuantStrategy.SYMMETRIC,
         ))
+    elif pipeline == "packed":
+        # PACKED-LAYOUT d=64 public API (round 5, exp40): head pairs
+        # lane-packed across layers; CHANNEL K/V (the folded-scale
+        # contract).  Packing happens ONCE at build — the layout a
+        # packed-mode model carries between layers for free
+        # (models/transformer._split_heads_packed).
+        kq = quantize(k, QuantConfig(
+            bits=bits, granularity=QuantGranularity.CHANNEL,
+            strategy=QuantStrategy.SYMMETRIC,
+        ))
     else:
         kq = quantize(k, kv_config(bits, "k"))
-    vq = quantize(v, kv_config(bits if bits_v is None else bits_v, "v"))
+    if pipeline == "packed":
+        vq = quantize(v, QuantConfig(
+            bits=8 if bits_v is None else bits_v,
+            granularity=QuantGranularity.CHANNEL,
+            strategy=QuantStrategy.SYMMETRIC,
+        ))
+    else:
+        vq = quantize(v, kv_config(bits if bits_v is None else bits_v, "v"))
 
-    # The folded kernels have the float kernel's VPU profile → the
-    # float-causal block table at int8; int4 keeps the quantized table.
-    # The fullint arm pins exp36's measured optimum (M1024 loses 14%).
+    # Blocks: measured optima per pipeline (exp36/exp39/exp40 promotion
+    # matrices, docs/perf_notes.md round 5); int4 keeps the quantized
+    # tuner table.
     if fullint:
-        from metal_flash_attention_plus_tpu.ops.flash_attention import (
-            BlockSizes,
-        )
-
-        blocks = BlockSizes(
-            block_q=512, block_kv=512, block_kv_major=2048
-        )
+        blocks = BlockSizes(block_q=512, block_kv=512, block_kv_major=2048)
+    elif pipeline == "packed":
+        blocks = BlockSizes(block_q=1024, block_kv=512, block_kv_major=1024)
+    elif pipeline == "folded" and d == 128 and not causal:
+        blocks = BlockSizes(block_q=1024, block_kv=512, block_kv_major=2048)
     elif bits == 8:
         blocks = AttentionTuner.shared().recommend(
             "fwd", d, SEQ, causal=causal
@@ -236,6 +270,26 @@ def _build_arm(
     mask = CAUSAL if causal else FULL
     # Operands as jit ARGS, not closures — large captured arrays inflate
     # the remote-compile request (HTTP 413 at ~200 MB, exp36).
+    if pipeline == "packed":
+        from metal_flash_attention_plus_tpu.ops.quantized_attention import (
+            pack_heads,
+            quantized_flash_attention_forward_packed,
+            unpack_heads,
+        )
+
+        qp = pack_heads(q)
+        fj = jax.jit(
+            lambda qp, kq, vq: quantized_flash_attention_forward_packed(
+                qp, kq, vq, mask=mask, block_sizes=blocks, interpret=False,
+            )[0]
+        )
+
+        def f(qp):
+            return fj(qp, kq, vq)
+
+        f(qp)
+        # The error probe unpacks the packed O outside the timed fn.
+        return f, qp, k, v, kq, vq, unpack_heads
     fj = jax.jit(
         lambda q, kq, vq: quantized_flash_attention_forward(
             q, kq, vq, mask=mask, block_sizes=blocks,
@@ -247,12 +301,12 @@ def _build_arm(
         return fj(q, kq, vq)
 
     f(q)
-    return f, q, k, v, kq, vq
+    return f, q, k, v, kq, vq, None
 
 
 def run_config(
     d: int, h: int, bits: int, chip, bits_v: int = None, gate_key: str = "",
-    causal: bool = True, fullint: bool = False, b2: int = 24,
+    causal: bool = True, pipeline: str = "folded", b2: int = 24,
 ) -> dict:
     # Two-point batch-slope timing: this tunnel stack adds a FLUCTUATING
     # 0.45-2.7 ms unpipelined cost per dispatch (a trivial ``x+1`` jit
@@ -263,11 +317,18 @@ def run_config(
     # dispatches inside ONE command buffer and reading
     # gpuEndTime - gpuStartTime (QuantizedAttention.swift:878-989).
     b1 = 4
-    f1, q1, k, v, kq, vq = _build_arm(d, h, bits, b1, bits_v, causal, fullint)
-    f2, q2, *_ = _build_arm(d, h, bits, b2, bits_v, causal, fullint)
+    f1, q1, k, v, kq, vq, unpack = _build_arm(
+        d, h, bits, b1, bits_v, causal, pipeline
+    )
+    f2, q2, *_ = _build_arm(d, h, bits, b2, bits_v, causal, pipeline)
 
     o = f1(q1)
-    o_fp = _fp_ref(q1, k, v, causal)
+    if unpack is not None:  # packed layout: probe errors in natural layout
+        o = unpack(o)
+        q_nat = unpack(q1).astype(jnp.bfloat16)
+    else:
+        q_nat = q1
+    o_fp = _fp_ref(q_nat, k, v, causal)
     diff = o.astype(jnp.float32) - o_fp.astype(jnp.float32)
     max_err = float(jnp.max(jnp.abs(diff)))
     rel_err = float(
@@ -295,7 +356,7 @@ def run_config(
     return dict(
         d=d, bits=bits if bits_v is None else f"k{bits}v{bits_v}",
         mask="causal" if causal else "full",
-        pipeline="fullint" if fullint else "folded",
+        pipeline=pipeline,
         tflops=round(tflops, 2), gbs=round(gbs, 1),
         max_err=round(max_err, 4), rel_err=round(rel_err, 4),
         rel_gate=gate, rel_ok=(rel_err < gate) if gate else None,
@@ -305,12 +366,20 @@ def run_config(
 
 def run_fwd_bwd_config(d: int, h: int, chip, causal: bool = False) -> dict:
     """Quantized fwd+bwd — the north-star metric (BASELINE.json: "quantized
-    flash-attention fwd+bwd at ≥85% of roofline").  Folded int8 KV through
-    the full custom-vjp pipeline: the forward, the dequantizing dQ kernel,
-    AND the dequantizing dKV kernel with scale/zp cotangents (the 7-GEMM
-    backward's TPU factoring).  Op model: (9D+15)·N²·2 FLOPs
+    flash-attention fwd+bwd at ≥85% of roofline").  Round 5: the FULL-
+    INTEGER pipeline end to end — fullint forward (both MXU dots
+    int8×int8) AND the fullint backward (all recompute GEMMs int8×int8,
+    per-token-quantized Q/dO; exp38/exp40 verdict — level 1, output dots
+    mixed bf16×int8; dq rel-L2 0.017 vs the exact backward), with
+    scale/zp cotangents.  Op model: (9D+15)·N²·2 FLOPs
     (``README.md:128-135``); FULL mask by default — the reference's
-    fwd+bwd table is unmasked square attention too."""
+    fwd+bwd table is unmasked square attention too.  Reference bar: its
+    quantized backward is 1.14-1.48× FASTER than the FP16 backward
+    (``README.md:389-393``); exp38/exp40 measured this pipeline at
+    1.16-1.27× the bf16 fwd+bwd control."""
+    from metal_flash_attention_plus_tpu.ops.flash_attention import (
+        BlockSizes,
+    )
     from metal_flash_attention_plus_tpu.ops.quantized_attention import (
         quantized_flash_attention,
     )
@@ -318,7 +387,12 @@ def run_fwd_bwd_config(d: int, h: int, chip, causal: bool = False) -> dict:
         attention_ginstrs,
     )
 
-    blocks = AttentionTuner.shared().recommend("fwd", d, SEQ, causal=causal)
+    # exp40 block sweep: dkv q-block 1024 (major 2048) +4% over 512.
+    blocks = BlockSizes(
+        block_q=512, block_kv=512, block_kv_major=2048,
+        block_q_dq=512, block_kv_dq=512, block_kv_dq_major=2048,
+        block_q_dkv=1024, block_kv_dkv=512, block_q_dkv_major=2048,
+    )
     mask = CAUSAL if causal else FULL
 
     def build(b):
@@ -327,8 +401,14 @@ def run_fwd_bwd_config(d: int, h: int, chip, causal: bool = False) -> dict:
         k = jax.random.normal(ks[1], (b, h, SEQ, d), jnp.float32)
         v = jax.random.normal(ks[2], (b, h, SEQ, d), jnp.float32)
         do = jax.random.normal(ks[3], (b, h, SEQ, d), jnp.bfloat16)
-        kq = quantize(k, kv_config(8, "k"))
-        vq = quantize(v, kv_config(8, "v"))
+        kq = quantize(k, QuantConfig(
+            bits=8, granularity=QuantGranularity.ROW,
+            strategy=QuantStrategy.SYMMETRIC,
+        ))
+        vq = quantize(v, QuantConfig(
+            bits=8, granularity=QuantGranularity.CHANNEL,
+            strategy=QuantStrategy.SYMMETRIC,
+        ))
         import dataclasses as _dc
 
         def loss(q, ks_, vs_, kq, vq, do):
@@ -342,6 +422,7 @@ def run_fwd_bwd_config(d: int, h: int, chip, causal: bool = False) -> dict:
             return jnp.sum(
                 quantized_flash_attention(
                     q, kq, vq, mask=mask, block_sizes=blocks,
+                    quantize_q=True, bwd_fullint=True,
                 ).astype(jnp.float32)
                 * do.astype(jnp.float32)
             )
@@ -368,7 +449,7 @@ def run_fwd_bwd_config(d: int, h: int, chip, causal: bool = False) -> dict:
     tflops = flops_per_b / sec_per_b / 1e12
     util = tflops / chip.bf16_tflops  # vs FULL peak (see run_config)
     return dict(
-        phase="fwd_bwd", d=d, bits=8,
+        phase="fwd_bwd", d=d, bits=8, pipeline="fullint",
         mask="causal" if causal else "full",
         tflops=round(tflops, 2), util=round(util, 4),
     )
@@ -521,9 +602,10 @@ def emit_headline(chip):
         return
     _headline_emitted = True
     r64 = _results.get("fwd_d64_int8_full")
+    r128 = _results.get("fwd_d128_int8_full")
     r256 = _results.get("fwd_d256_int8_full")
     r_fb = _results.get("fwd_bwd_d256_int8_full")
-    graded = [r for r in (r64, r256) if r]
+    graded = [r for r in (r64, r128, r256) if r]
     mean_tflops = (
         sum(r["tflops"] for r in graded) / len(graded) if graded else 0.0
     )
@@ -545,14 +627,16 @@ def emit_headline(chip):
     parts = [
         (
             f"quantized flash-attn seq {SEQ} ({chip.name}), graded on "
-            "FULL (unmasked) like the reference's own benchmark "
-            "(SquareAttentionTest, maskType .none); util vs full chip "
-            "peak; causal rates in detail rows"
+            "FULL (unmasked) at d=64/128/256 like the reference's own "
+            "benchmark table (SquareAttentionTest, maskType .none); util "
+            "vs full chip peak; causal rates in detail rows"
         ),
-        _fmt(r64, "fwd d=64 int8-KV"),
-        _fmt(r256, "fwd d=256 int8-KV"),
+        _fmt(r64, "fwd d=64 int8-KV (packed layout)"),
+        _fmt(r128, "fwd d=128 int8-KV (folded)"),
+        _fmt(r256, "fwd d=256 int8-KV (fullint)"),
         (
-            f"fwd+bwd d=256 int8 {r_fb['tflops']} TF/s util {r_fb['util']}"
+            f"fwd+bwd d=256 fullint fwd+bwd {r_fb['tflops']} TF/s "
+            f"util {r_fb['util']}"
             if r_fb else "fwd+bwd SKIPPED"
         ),
     ]
@@ -590,7 +674,8 @@ def main():
         _arm(
             "fwd_d64_int8_full", 75,
             lambda: run_config(
-                64, 8, 8, chip, gate_key="int8", causal=False),
+                64, 8, 8, chip, gate_key="int8", causal=False,
+                pipeline="packed"),
         )
         # Decode runs EARLY (second): its six interleaved workloads hold
         # the largest live set (~5 GB at b2=16), and an allocation
@@ -598,10 +683,16 @@ def main():
         # runtime — give it the emptiest possible HBM.
         _arm("paged_decode_32k", 150, run_bandwidth_arm)
         _arm(
+            "fwd_d128_int8_full", 90,
+            lambda: run_config(
+                128, 8, 8, chip, gate_key="int8", causal=False,
+                pipeline="folded", b2=16),
+        )
+        _arm(
             "fwd_d256_int8_full", 130,
             lambda: run_config(
                 256, 4, 8, chip, gate_key="int8", causal=False,
-                fullint=True, b2=16),
+                pipeline="fullint", b2=16),
         )
         # Detail arms BEFORE the fwd+bwd arm: an allocation failure (or
         # grad-executable residue) can leave the device unable to
