@@ -241,6 +241,93 @@ def run(args):
 
         t_qf_both = slope_time(build_qf_both, max(4, iters // 2))
 
+        # Round-5 promoted FULL-mask arm — the bench.py graded config per
+        # head dim (exp39/exp40 promotion matrices): d=64 packed-layout
+        # public API, d=128 folded (fullint loses there — VPU-bound),
+        # d=256 full-integer.  Utilization vs FULL chip peak (the packed
+        # d=64 kernel fills the contraction, so the capped peak of the
+        # legacy columns would overstate it).
+        from metal_flash_attention_plus_tpu.ops.flash_attention import (
+            BlockSizes,
+        )
+
+        if d == 64:
+            best_name = "packed"
+            best_blk = BlockSizes(
+                block_q=1024, block_kv=512, block_kv_major=1024
+            )
+        elif d == 128:
+            best_name = "folded"
+            best_blk = BlockSizes(
+                block_q=1024, block_kv=512, block_kv_major=2048
+            )
+        else:
+            best_name = "fullint"
+            best_blk = BlockSizes(
+                block_q=512, block_kv=512, block_kv_major=2048
+            )
+
+        def build_best_full(b):
+            q, k, v = qkv(b)
+            if best_name == "packed":
+                from metal_flash_attention_plus_tpu.ops.quantized_attention import (  # noqa: E501
+                    pack_heads,
+                    quantized_flash_attention_forward_packed,
+                )
+
+                kq = quantize(k.astype(jnp.float32), cfg_v8)  # CHANNEL
+                vq = quantize(v.astype(jnp.float32), cfg_v8)
+                qp = pack_heads(q)
+                f = jax.jit(
+                    lambda qp: quantized_flash_attention_forward_packed(
+                        qp, kq, vq, mask=FULL, block_sizes=best_blk,
+                        interpret=False)[0])
+                return f, (qp,)
+            kq = quantize(
+                k.astype(jnp.float32),
+                cfg_kt8 if best_name == "folded" else cfg_k8,
+            )
+            vq = quantize(v.astype(jnp.float32), cfg_v8)
+            f = jax.jit(lambda q: quantized_flash_attention_forward(
+                q, kq, vq, mask=FULL, block_sizes=best_blk,
+                quantize_q=best_name == "fullint", interpret=False)[0])
+            return f, (q,)
+
+        t_best = slope_time(build_best_full, iters)
+
+        # Full-integer fwd+bwd at FULL (d=256 — the bench graded arm):
+        # fullint forward + fullint backward (exp38/exp40).
+        t_fib = None
+        if d == 256:
+            fib_blk = BlockSizes(
+                block_q=512, block_kv=512, block_kv_major=2048,
+                block_q_dq=512, block_kv_dq=512, block_kv_dq_major=2048,
+                block_q_dkv=1024, block_kv_dkv=512, block_q_dkv_major=2048,
+            )
+
+            def build_fib(b):
+                q, k, v = qkv(b)
+                kq = quantize(k.astype(jnp.float32), cfg_k8)
+                vq = quantize(v.astype(jnp.float32), cfg_v8)
+                do = jax.random.normal(
+                    jax.random.PRNGKey(7), (b, h, s, d), jnp.bfloat16)
+                import dataclasses as _dc
+
+                def loss(q, ks_, vs_):
+                    kq2 = _dc.replace(kq, scale=ks_)
+                    vq2 = _dc.replace(vq, scale=vs_)
+                    return jnp.sum(
+                        quantized_flash_attention(
+                            q, kq2, vq2, mask=FULL, block_sizes=fib_blk,
+                            quantize_q=True, bwd_fullint=True,
+                        ).astype(jnp.float32) * do.astype(jnp.float32)
+                    )
+
+                fj = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+                return (lambda q: fj(q, kq.scale, vq.scale)), (q,)
+
+            t_fib = slope_time(build_fib, max(4, iters // 2))
+
         def tf_or(t, *a, **k):
             return 0.0 if t is None else tf(t, *a, **k)
 
@@ -254,6 +341,8 @@ def run(args):
         qi_tf = tf_or(t_qi, "forward")
         qf_tf = tf_or(t_qf, "forward")
         qfb_tf = tf_or(t_qf_both, "fwd_bwd")
+        best_tf = tf_or(t_best, "forward", causal=False)
+        fib_tf = tf_or(t_fib, "fwd_bwd", causal=False)
         rows.append(
             dict(
                 d=d,
@@ -273,6 +362,19 @@ def run(args):
                 int8_folded_speedup_vs_bf16=ratio(t_fwd, t_qf),
                 int8_fwd_bwd_tflops=round(qfb_tf, 1),
                 int8_fwd_bwd_util=round(qfb_tf / peak, 3),
+                # Round-5 promoted FULL arms (the bench graded configs;
+                # util vs FULL chip peak, not the capped legacy peak).
+                int8_best_full_pipeline=best_name,
+                int8_best_full_tflops=round(best_tf, 1),
+                int8_best_full_util_fullpeak=round(
+                    best_tf / chip.bf16_tflops, 3),
+                **(
+                    dict(
+                        int8_fullint_fwd_bwd_full_tflops=round(fib_tf, 1),
+                        int8_fullint_fwd_bwd_full_util_fullpeak=round(
+                            fib_tf / chip.bf16_tflops, 3),
+                    ) if t_fib is not None else {}
+                ),
             )
         )
         print(
@@ -284,7 +386,14 @@ def run(args):
             f"{ratio(t_fwd, t_qi)}x bf16), "
             f"int8-folded {qf_tf:.1f} ({qf_tf/peak:.0%}, "
             f"{ratio(t_fwd, t_qf)}x bf16), "
-            f"int8-fwd+bwd {qfb_tf:.1f} ({qfb_tf/peak:.0%})",
+            f"int8-fwd+bwd {qfb_tf:.1f} ({qfb_tf/peak:.0%}), "
+            f"BEST-full[{best_name}] {best_tf:.1f} "
+            f"({best_tf/chip.bf16_tflops:.0%} of full peak)"
+            + (
+                f", fullint-fwd+bwd-full {fib_tf:.1f} "
+                f"({fib_tf/chip.bf16_tflops:.0%})"
+                if t_fib is not None else ""
+            ),
             flush=True,
         )
 

@@ -136,10 +136,12 @@ def main():
 
     quant_mode = 4 if args.int4_cache else bool(args.quantized_cache)
     if args.long:
-        # Long-context, decode-heavy: ~32K-token contexts, 256-token
-        # page granularity (the bandwidth-bound regime, exp26), fused
-        # 8-step decode ticks to amortize the per-dispatch host cost.
-        requests, prompt_n, decode_n = 4, 32256, 256
+        # Long-context, decode-heavy: ~16K-token contexts (the VERDICT
+        # r4 "Skv 16-32K" regime; 32K prompts cost 4x the prefill wall
+        # and blew the row budget), 256-token page granularity (the
+        # bandwidth-bound regime, exp26), fused 8-step decode ticks to
+        # amortize the per-dispatch host cost.
+        requests, prompt_n, decode_n = 4, 16128, 256
         pages_per_seq = (prompt_n + decode_n) // 256 + 1
         eng_kw = dict(
             num_pages=requests * pages_per_seq + 8, page_tokens=256,
@@ -154,7 +156,7 @@ def main():
             chunk_size=128, quantized_cache=quant_mode,
         )
 
-    def run_once():
+    def run_once(warmup=False):
         engine = ServingEngine(
             params, cfg,
             **eng_kw,
@@ -162,23 +164,35 @@ def main():
         )
         key = jax.random.PRNGKey(1)
         total_prompt = 0
-        for rid in range(requests):
+        n_req = 1 if warmup else requests
+        for rid in range(n_req):
             key, k = jax.random.split(key)
-            if args.long:
-                n = prompt_n - 256 * (rid % 4)  # mixed, all ~32K
+            if warmup:
+                # Compile-only pass: one short request exercises the
+                # prefill-chunk, fused-scan, and single-step decode
+                # programs (shapes are fixed by chunk_size/max_batch, so
+                # the full-scale run hits a warm jit cache) without
+                # paying a full-length prompt.
+                n = eng_kw["chunk_size"] * 2
+            elif args.long:
+                n = prompt_n - 256 * (rid % 4)  # mixed, all ~16K
             else:
                 n = int(prompt_n * (0.5 + (rid % 4) / 4))  # mixed lengths
             toks = jax.random.randint(k, (n,), 0, cfg.vocab_size)
             total_prompt += n
             engine.submit(GenerationRequest(
-                rid, [int(t) for t in toks], max_new_tokens=decode_n
+                rid, [int(t) for t in toks],
+                max_new_tokens=(
+                    eng_kw.get("decode_steps", 1) + 2 if warmup
+                    else decode_n
+                ),
             ))
         t0 = time.perf_counter()
         out = engine.run(max_steps=100_000)
         wall = time.perf_counter() - t0
         return total_prompt, sum(len(v) for v in out.values()), wall, engine
 
-    run_once()  # compile prefill-chunk + decode-step programs
+    run_once(warmup=True)  # compile prefill/decode programs cheaply
     total_prompt, total_new, wall, engine = run_once()
     st = engine.stats
 

@@ -77,6 +77,49 @@ def mla_executor():
     )
 
 
+_JIT_CACHE: Dict = {}
+
+
+def _jitted_programs(prefill_chunk, decode_step, cfg):
+    """(prefill_jit, decode_jit, decode_scan_jit) — cached per
+    (executor fns, cfg) so successive ServingEngine instances with the
+    same model/executor reuse the compiled programs instead of paying the
+    30-90 s tunnel compile again (executor fns are module-level, cfg is a
+    frozen dataclass — both hash stably)."""
+    key = (prefill_chunk, decode_step, cfg)
+    hit = _JIT_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    prefill_jit = jax.jit(
+        lambda params, tokens, offset, last_index, cache, page_row:
+        prefill_chunk(
+            params, tokens, offset, last_index, cache, page_row, cfg
+        )
+    )
+    decode_jit = jax.jit(
+        lambda params, tokens, lengths, pts, cache: decode_step(
+            params, tokens, lengths, pts, cache, cfg
+        )
+    )
+
+    def _decode_scan(params, tokens, lengths, pts, cache, n_steps):
+        def body(carry, _):
+            tok, ln, cache = carry
+            logits, cache = decode_step(params, tok, ln, pts, cache, cfg)
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return (nxt, ln + 1, cache), nxt
+
+        (tok, ln, cache), toks = jax.lax.scan(
+            body, (tokens, lengths, cache), None, length=n_steps
+        )
+        return toks, cache  # toks [T, B]
+
+    decode_scan_jit = jax.jit(_decode_scan, static_argnames=("n_steps",))
+    _JIT_CACHE[key] = (prefill_jit, decode_jit, decode_scan_jit)
+    return _JIT_CACHE[key]
+
+
 class ServingEngine:
     """Single-host continuous-batching engine over the paged KV cache."""
 
@@ -147,34 +190,13 @@ class ServingEngine:
         self._decode_tokens = 0
         self._prefill_tokens = 0
 
-        self._prefill_jit = jax.jit(
-            lambda params, tokens, offset, last_index, cache, page_row:
-            self.ex.prefill_chunk(
-                params, tokens, offset, last_index, cache, page_row, cfg
+        # Jitted programs come from a MODULE-LEVEL cache keyed on
+        # (executor fns, cfg): per-instance jit wrappers would recompile
+        # for every new engine (benchmarks build one engine per run).
+        self._prefill_jit, self._decode_jit, self._decode_scan_jit = (
+            _jitted_programs(
+                self.ex.prefill_chunk, self.ex.decode_step, cfg
             )
-        )
-        self._decode_jit = jax.jit(
-            lambda params, tokens, lengths, pts, cache: self.ex.decode_step(
-                params, tokens, lengths, pts, cache, cfg
-            )
-        )
-
-        def _decode_scan(params, tokens, lengths, pts, cache, n_steps):
-            def body(carry, _):
-                tok, ln, cache = carry
-                logits, cache = self.ex.decode_step(
-                    params, tok, ln, pts, cache, cfg
-                )
-                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                return (nxt, ln + 1, cache), nxt
-
-            (tok, ln, cache), toks = jax.lax.scan(
-                body, (tokens, lengths, cache), None, length=n_steps
-            )
-            return toks, cache  # toks [T, B]
-
-        self._decode_scan_jit = jax.jit(
-            _decode_scan, static_argnames=("n_steps",)
         )
 
     def submit(self, req: GenerationRequest):
