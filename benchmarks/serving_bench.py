@@ -141,11 +141,14 @@ def main():
         # and blew the row budget), 256-token page granularity (the
         # bandwidth-bound regime, exp26), fused 8-step decode ticks to
         # amortize the per-dispatch host cost.
-        requests, prompt_n, decode_n = 4, 16128, 256
+        requests, prompt_n, decode_n = 4, 16128, 128
         pages_per_seq = (prompt_n + decode_n) // 256 + 1
         eng_kw = dict(
             num_pages=requests * pages_per_seq + 8, page_tokens=256,
-            max_batch=requests, chunk_size=512,
+            # 1024-token chunks: the tunnel's per-dispatch round-trip
+            # (0.5-2.7 ms nominal, ~0.5 s in congestion spells) dominates
+            # prefill wall — halve the dispatch count.
+            max_batch=requests, chunk_size=1024,
             max_pages_per_seq=pages_per_seq,
             quantized_cache=quant_mode, decode_steps=8,
         )
