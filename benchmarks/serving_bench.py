@@ -33,6 +33,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def main():
@@ -79,9 +80,6 @@ def main():
             (["--w8a8"], "gqa+w8a8"),
             (["--mla"], "mla"),
             (["--mla", "--quantized-cache"], "mla+int8latent"),
-            (["--long"], "gqa-32k"),
-            (["--long", "--quantized-cache"], "gqa-32k+int8cache"),
-            (["--long", "--int4-cache"], "gqa-32k+int4cache"),
         ):
             r = subprocess.run(
                 base + extra + ["--single", "--decode", str(args.decode),
@@ -95,6 +93,21 @@ def main():
             except json.JSONDecodeError:
                 rows.append({"config": name, "error": r.stderr[-300:]})
             print(line or r.stderr[-200:], flush=True)
+        # Long-context rows run in ONE process (cache modes back-to-back
+        # + a bf16 repeat) so the int8/int4 ratios are within-session —
+        # the tunnel's rate drifts too much across processes for
+        # cross-process ratios to mean anything (docs/perf_notes.md).
+        r = subprocess.run(
+            base + ["--long", "--single"], capture_output=True, text=True,
+        )
+        for line in r.stdout.strip().splitlines():
+            try:
+                rows.append(json.loads(line))
+                print(line, flush=True)
+            except json.JSONDecodeError:
+                pass
+        if not r.stdout.strip():
+            rows.append({"config": "gqa-32k", "error": r.stderr[-300:]})
         Path(__file__).with_name("serving.json").write_text(
             json.dumps(rows, indent=1)
         )
@@ -136,12 +149,11 @@ def main():
 
     quant_mode = 4 if args.int4_cache else bool(args.quantized_cache)
     if args.long:
-        # Long-context, decode-heavy: ~16K-token contexts (the VERDICT
-        # r4 "Skv 16-32K" regime; 32K prompts cost 4x the prefill wall
-        # and blew the row budget), 256-token page granularity (the
-        # bandwidth-bound regime, exp26), fused 8-step decode ticks to
-        # amortize the per-dispatch host cost.
-        requests, prompt_n, decode_n = 4, 16128, 128
+        # Long-context, decode-heavy: ~32K-token contexts (the VERDICT
+        # r4 regime), 256-token page granularity (the bandwidth-bound
+        # regime, exp26), fused 8-step decode ticks to amortize the
+        # per-dispatch host cost.
+        requests, prompt_n, decode_n = 4, 32256, 256
         pages_per_seq = (prompt_n + decode_n) // 256 + 1
         eng_kw = dict(
             num_pages=requests * pages_per_seq + 8, page_tokens=256,
@@ -150,7 +162,10 @@ def main():
             # prefill wall — halve the dispatch count.
             max_batch=requests, chunk_size=1024,
             max_pages_per_seq=pages_per_seq,
-            quantized_cache=quant_mode, decode_steps=8,
+            # 32-fused decode ticks: at ~32K context one decode step's
+            # KV read is ~46 us but a tunnel dispatch is 0.5-100 ms —
+            # T=32 puts kernel time back in charge of the ratio.
+            quantized_cache=quant_mode, decode_steps=32,
         )
     else:
         requests, prompt_n, decode_n = args.requests, args.prompt, args.decode
@@ -178,13 +193,15 @@ def main():
                 # paying a full-length prompt.
                 n = eng_kw["chunk_size"] * 2
             elif args.long:
-                n = prompt_n - 256 * (rid % 4)  # mixed, all ~16K
+                n = prompt_n - 256 * (rid % 4)  # mixed, all ~32K
             else:
                 n = int(prompt_n * (0.5 + (rid % 4) / 4))  # mixed lengths
             toks = jax.random.randint(k, (n,), 0, cfg.vocab_size)
             total_prompt += n
+            # ONE host transfer — per-element int(t) readbacks cost a
+            # device round-trip EACH (16K-token prompts hung for minutes).
             engine.submit(GenerationRequest(
-                rid, [int(t) for t in toks],
+                rid, np.asarray(toks).tolist(),
                 max_new_tokens=(
                     eng_kw.get("decode_steps", 1) + 2 if warmup
                     else decode_n
@@ -195,31 +212,46 @@ def main():
         wall = time.perf_counter() - t0
         return total_prompt, sum(len(v) for v in out.values()), wall, engine
 
-    run_once(warmup=True)  # compile prefill/decode programs cheaply
-    total_prompt, total_new, wall, engine = run_once()
-    st = engine.stats
+    def measure_mode(mode, tag):
+        eng_kw["quantized_cache"] = mode
+        run_once(warmup=True)  # compile prefill/decode programs cheaply
+        total_prompt, total_new, wall, engine = run_once()
+        st = engine.stats
+        result = {
+            "model": ("mla" if args.mla else "gqa") + (
+                "-32k" if args.long else ""),
+            "w8a8_weights": bool(args.w8a8),
+            "quantized_cache": mode,
+            "requests": requests,
+            "prompt_tokens": total_prompt,
+            "new_tokens": total_new,
+            "wall_s": round(wall, 3),
+            "tokens_per_s": round((total_prompt + total_new) / wall, 1),
+            # Per-phase rates (engine.stats): decode tokens/s over the
+            # decode phase's OWN wall clock — the number the quantized
+            # cache moves.
+            "prefill_tokens_per_s": round(
+                st["prefill_tokens"] / max(st["prefill_s"], 1e-9), 1),
+            "decode_tokens_per_s": round(
+                st["decode_tokens"] / max(st["decode_s"], 1e-9), 1),
+            "decode_occupancy": st["decode_occupancy"],
+            "decode_steps_fused": eng_kw.get("decode_steps", 1),
+            "backend": jax.default_backend(),
+        }
+        if tag:
+            result["tag"] = tag
+        print(json.dumps(result), flush=True)
 
-    result = {
-        "model": ("mla" if args.mla else "gqa") + (
-            "-32k" if args.long else ""),
-        "w8a8_weights": bool(args.w8a8),
-        "quantized_cache": quant_mode,
-        "requests": requests,
-        "prompt_tokens": total_prompt,
-        "new_tokens": total_new,
-        "wall_s": round(wall, 3),
-        "tokens_per_s": round((total_prompt + total_new) / wall, 1),
-        # Per-phase rates (engine.stats): decode tokens/s over the decode
-        # phase's OWN wall clock — the number the quantized cache moves.
-        "prefill_tokens_per_s": round(
-            st["prefill_tokens"] / max(st["prefill_s"], 1e-9), 1),
-        "decode_tokens_per_s": round(
-            st["decode_tokens"] / max(st["decode_s"], 1e-9), 1),
-        "decode_occupancy": st["decode_occupancy"],
-        "decode_steps_fused": eng_kw.get("decode_steps", 1),
-        "backend": jax.default_backend(),
-    }
-    print(json.dumps(result))
+    if args.long:
+        # All cache modes IN ONE PROCESS plus a bf16 repeat: the tunnel's
+        # rate drifts across processes, so only within-session ratios are
+        # meaningful; the repeat row bounds the drift.
+        measure_mode(False, "bf16")
+        measure_mode(True, "int8")
+        measure_mode(4, "int4")
+        measure_mode(False, "bf16-repeat(drift-bound)")
+    else:
+        measure_mode(quant_mode, None)
 
 
 if __name__ == "__main__":

@@ -46,7 +46,8 @@ def init_mla_cache(
     shape = (
         cfg.num_layers, 1, num_pages + 1, page_tokens, cfg.cache_width
     )
-    placeholder = jnp.zeros((1, 1, 1, 1, 1), jnp.float32)
+    # DISTINCT placeholder arrays per leaf: sharing one buffer breaks
+    # buffer donation in the engine's donated cache programs.
     return PagedKVCache(
         kv_pages=jnp.zeros(shape, jnp.int8 if quantized else dtype),
         k_scales=(
@@ -54,9 +55,9 @@ def init_mla_cache(
                 (cfg.num_layers, 1, num_pages + 1, 1, page_tokens),
                 jnp.float32,
             )
-            if quantized else placeholder
+            if quantized else jnp.zeros((1, 1, 1, 1, 1), jnp.float32)
         ),
-        v_scales=placeholder,
+        v_scales=jnp.zeros((1, 1, 1, 1, 1), jnp.float32),
         page_tokens=page_tokens,
         num_pages=num_pages,
         quantized=quantized,

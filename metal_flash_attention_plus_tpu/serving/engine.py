@@ -91,16 +91,24 @@ def _jitted_programs(prefill_chunk, decode_step, cfg):
     if hit is not None:
         return hit
 
+    # The cache argument is DONATED in every program: without donation
+    # XLA materializes a fresh copy of the whole page pool per dispatch
+    # (cache in → cache out), which at long context dwarfs the actual KV
+    # read — measured as a per-tick cost scaling with POOL bytes, not
+    # context bytes.  The engine always reassigns self.cache from the
+    # result, so the donated input is never reused.
     prefill_jit = jax.jit(
         lambda params, tokens, offset, last_index, cache, page_row:
         prefill_chunk(
             params, tokens, offset, last_index, cache, page_row, cfg
-        )
+        ),
+        donate_argnums=(4,),
     )
     decode_jit = jax.jit(
         lambda params, tokens, lengths, pts, cache: decode_step(
             params, tokens, lengths, pts, cache, cfg
-        )
+        ),
+        donate_argnums=(4,),
     )
 
     def _decode_scan(params, tokens, lengths, pts, cache, n_steps):
@@ -115,7 +123,9 @@ def _jitted_programs(prefill_chunk, decode_step, cfg):
         )
         return toks, cache  # toks [T, B]
 
-    decode_scan_jit = jax.jit(_decode_scan, static_argnames=("n_steps",))
+    decode_scan_jit = jax.jit(
+        _decode_scan, static_argnames=("n_steps",), donate_argnums=(4,)
+    )
     _JIT_CACHE[key] = (prefill_jit, decode_jit, decode_scan_jit)
     return _JIT_CACHE[key]
 

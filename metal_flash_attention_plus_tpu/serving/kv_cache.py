@@ -99,11 +99,13 @@ class PagedKVCache:
                 quantized=True,
                 bits=bits,
             )
-        placeholder = jnp.zeros((1, 1, 1, 1, 1), jnp.float32)
+        # DISTINCT placeholder arrays: sharing one buffer across two
+        # pytree leaves breaks buffer donation ("donate the same buffer
+        # twice") in the engine's donated cache programs.
         return PagedKVCache(
             kv_pages=jnp.zeros(shape, dtype),
-            k_scales=placeholder,
-            v_scales=placeholder,
+            k_scales=jnp.zeros((1, 1, 1, 1, 1), jnp.float32),
+            v_scales=jnp.zeros((1, 1, 1, 1, 1), jnp.float32),
             page_tokens=page_tokens,
             num_pages=num_pages,
         )
