@@ -101,6 +101,11 @@ def slope_time(build, iters, b1=B1, b2=B2):
 
 
 def run(args):
+    from metal_flash_attention_plus_tpu.utils.compile_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()  # warm compiles across processes/rounds
     chip = detect_chip()
     tuner = AttentionTuner.shared()
     rows = []

@@ -55,6 +55,11 @@ def main():
     ap.add_argument("--prompt", type=int, default=256)
     args = ap.parse_args()
 
+    from metal_flash_attention_plus_tpu.utils.compile_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
     from metal_flash_attention_plus_tpu.runtime import native_available
 
     if not native_available():
