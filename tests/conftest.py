@@ -26,6 +26,16 @@ import pytest  # noqa: E402
 if os.environ.get("MFA_TPU_TESTS") != "1":
     jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache (repo-local, gitignored): the fast tier is
+# dominated by XLA compile time on this 1-core box — a warm cache cuts
+# the tier's wall time roughly in half across runs.  Disable with
+# MFA_COMPILE_CACHE=0.
+from metal_flash_attention_plus_tpu.utils.compile_cache import (  # noqa: E402,E501
+    enable_persistent_cache,
+)
+
+enable_persistent_cache()
+
 
 def on_cpu() -> bool:
     return jax.default_backend() == "cpu"

@@ -92,5 +92,9 @@ def test_tuner_store_roundtrip(tmp_path):
     tuner2 = AttentionTuner(store=store)
     got = tuner2.recommend("fwd", 64, 4096)
     assert got == blocks
-    # Unknown key falls back to the cold-start table.
-    assert tuner2.recommend("fwd", 256, 1024) == default_block_sizes(256)
+    # Unknown key falls back to the cold-start table — which since
+    # round 5 carries the device-generation dimension (on the CPU test
+    # backend the device kind is unknown → conservative slab).
+    assert tuner2.recommend("fwd", 256, 1024) == default_block_sizes(
+        256, device_kind=tuner2._device_kind()
+    )

@@ -1,6 +1,7 @@
 """FWHT rotation: Hadamard-matrix parity, involution, and the quantization
 outlier-smoothing win it exists for (``HadamardRotation.swift`` analog)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -36,6 +37,7 @@ def test_blocked_transform():
     np.testing.assert_allclose(np.asarray(got), ref, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_outlier_smoothing_reduces_quant_error():
     # A tensor with a few large outliers: rotation spreads them, so
     # per-tensor int8 quantization error drops (the ConvRot motivation).

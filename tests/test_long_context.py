@@ -41,6 +41,7 @@ BS128 = BlockSizes(
 )
 
 
+@pytest.mark.slow
 def test_mla_sparse_quantized_composition():
     """Compressed (latent) + sparse (sliding window) + quantized (int8
     latent cache) in ONE call — the config-5 composition, small shapes."""
@@ -64,6 +65,7 @@ def test_mla_sparse_quantized_composition():
     np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref), atol=5e-4)
 
 
+@pytest.mark.slow
 def test_mla_context_parallel_ring():
     """MLA latent attention sharded over the context axis: q_lat and the
     latent cache are ring-sharded; the MQA broadcast (Hkv=1) rides the

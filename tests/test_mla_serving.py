@@ -34,11 +34,12 @@ CFG = MLAConfig(
 def test_mla_forward_runs_and_is_causal():
     params = init_mla_params(CFG, jax.random.PRNGKey(0))
     toks = jax.random.randint(jax.random.PRNGKey(1), (1, 48), 0, 128)
-    logits = mla_forward(params, toks, CFG)
+    fwd = jax.jit(lambda t: mla_forward(params, t, CFG))  # 1 trace, 2 calls
+    logits = fwd(toks)
     assert logits.shape == (1, 48, 128)
     # Causality: changing a future token must not change earlier logits.
     toks2 = toks.at[0, 40].set((toks[0, 40] + 1) % 128)
-    logits2 = mla_forward(params, toks2, CFG)
+    logits2 = fwd(toks2)
     np.testing.assert_allclose(
         np.asarray(logits[:, :40]), np.asarray(logits2[:, :40]), atol=1e-5
     )
@@ -94,6 +95,7 @@ def test_mla_cache_width_advantage():
     assert CFG.cache_width < gqa_equiv / 1.5
 
 
+@pytest.mark.slow
 def test_mla_engine_quantized_latent_cache():
     """Compressed + quantized: int8 latent pages (d_c + d_r BYTES/token).
     Greedy tokens should agree closely with the float-cache engine."""

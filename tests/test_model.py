@@ -1,5 +1,6 @@
 """Flagship transformer sanity: shapes, determinism, and training signal."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -42,6 +43,7 @@ def test_forward_shapes_and_determinism():
     np.testing.assert_array_equal(np.asarray(logits), np.asarray(logits2))
 
 
+@pytest.mark.slow
 def test_train_step_reduces_loss():
     params = init_params(CFG, jax.random.PRNGKey(0))
     tokens = jax.random.randint(jax.random.PRNGKey(2), (4, 65), 0, 128)

@@ -208,6 +208,7 @@ def test_qat_backward_dkv_matches_reference(cfg, mask):
         assert rel < 0.05, (name, rel)
 
 
+@pytest.mark.slow
 def test_scale_zero_point_cotangents_finite_diff():
     """quantized_flash_attention now returns exact cotangents for the K/V
     scale arrays (chained through the dequantizing dKV kernel); check the
@@ -231,6 +232,7 @@ def test_scale_zero_point_cotangents_finite_diff():
     )
 
 
+@pytest.mark.slow
 def test_channel_v_scale_cotangents_finite_diff():
     """CHANNEL granularity (the folded pipeline's V default) through the
     differentiable path: dq flows and the per-channel scale cotangent
@@ -305,7 +307,8 @@ def test_block2d_matches_dequantized_golden(cfg, mask):
 
 @pytest.mark.parametrize(
     "cfg",
-    [B2D8, pytest.param(B2D8R, marks=pytest.mark.slow), B2D4],
+    [B2D8, pytest.param(B2D8R, marks=pytest.mark.slow),
+     pytest.param(B2D4, marks=pytest.mark.slow)],
     ids=["b1x32", "b8x32", "b1x32-int4"],
 )
 def test_block2d_backward_matches_dequantized_golden(cfg):
@@ -742,7 +745,10 @@ def _fullint_bwd_arms(kcfg, vcfg, level_env, monkeypatch):
 
 @pytest.mark.parametrize("level_env", [None, "2"], ids=["lvl1", "lvl2"])
 @pytest.mark.parametrize(
-    "kcfg,vcfg", [("row", "chan"), ("tens", "tens")], ids=["rowK", "tensKV"]
+    "kcfg,vcfg",
+    [("row", "chan"),
+     pytest.param("tens", "tens", marks=pytest.mark.slow)],
+    ids=["rowK", "tensKV"],
 )
 def test_fullint_backward_matches_exact(kcfg, vcfg, level_env, monkeypatch):
     # The full-integer backward (per-token-quantized Q/dO, int8×int8 MXU
@@ -854,7 +860,11 @@ def _packed_data(b=1, hq=4, hkv=2, sq=256, skv=256, seed=31, bits=8):
 
 
 @pytest.mark.parametrize("mask", [FULL, CAUSAL], ids=["full", "causal"])
-@pytest.mark.parametrize("bits", [8, 4], ids=["int8", "int4"])
+@pytest.mark.parametrize(
+    "bits",
+    [8, pytest.param(4, marks=pytest.mark.slow)],  # int4: slow tier
+    ids=["int8", "int4"],
+)
 def test_packed_layout_matches_reference(mask, bits):
     from metal_flash_attention_plus_tpu.ops.quantized_attention import (
         quantized_flash_attention_forward_packed,

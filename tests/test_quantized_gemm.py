@@ -301,6 +301,7 @@ def test_folded_weight_only_matches_dequant(bits, gran):
     assert rel < 0.02, rel  # bf16 MXU noise only; int payload is exact
 
 
+@pytest.mark.slow
 def test_load_previous_c_accumulate():
     """loadPreviousC parity (``GEMMDescriptor.swift:11-94``): every
     quantized-GEMM entry point with a ``c`` operand must equal

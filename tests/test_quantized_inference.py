@@ -90,6 +90,7 @@ def test_w8a8_causality():
     )
 
 
+@pytest.mark.slow
 def test_w8a8_packed_d64_attention():
     # PACKED head-pair layout end-to-end (round 5): Q produced packed
     # straight from the projection, rope applied lane-locally, O consumed

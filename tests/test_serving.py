@@ -246,6 +246,7 @@ def test_quantized_cache_decode_matches_dequant():
         )
 
 
+@pytest.mark.slow
 def test_engine_with_quantized_cache():
     """End-to-end generation with an int8 paged cache: tokens should match
     the float-cache engine closely (int8 KV rel-err ~1%, greedy argmax is
