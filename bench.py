@@ -103,6 +103,35 @@ SEQ = 4096
 # the documented floors; real (structured) KV sits well below.
 REL_GATES = {"int8": 0.05, "k4v8": 0.16, "int4": 0.25}
 
+# Measurement knobs, reduced once at startup when the tunnel is CONGESTED
+# (a trivial dispatch costing >50 ms means every measured train is
+# round-trip-bound: 120 dispatches/arm at 0.5 s each would eat the whole
+# budget — fewer, noisier samples beat missing arms; the slope still
+# cancels the intercept exactly).  Set by _calibrate_measurement().
+MEAS = {"iters": 10, "trains": 3, "reps": 2, "congested": False}
+
+
+def _calibrate_measurement():
+    # Keep the probe itself tiny — under hard congestion EVERY dispatch
+    # costs ~0.5-30 s, so this is 4 round-trips, not a timing study.
+    x = jnp.zeros((8, 128))
+    f = jax.jit(lambda x: x + 1.0)
+    f(x)
+    t = measure(f, x, iters=2, warmup=1, trains=1)
+    if t > 0.05:
+        MEAS.update(iters=5, trains=2, reps=1, congested=True)
+        print(f"congested tunnel (dispatch {t*1e3:.0f} ms) — reduced "
+              "measurement reps", file=sys.stderr, flush=True)
+
+
+def _slope_min(f, *args, iters=None):
+    it = iters or MEAS["iters"]
+    return min(
+        measure(f, *args, iters=it, warmup=2, trains=MEAS["trains"])
+        for _ in range(MEAS["reps"])
+    )
+
+
 BUDGET_S = float(os.environ.get("MFA_BENCH_BUDGET_S", "540"))
 _T0 = time.monotonic()
 
@@ -217,40 +246,47 @@ def _build_arm(
         BlockSizes,
     )
 
-    ks = jax.random.split(jax.random.PRNGKey(0), 3)
-    q = jax.random.normal(ks[0], (b, h, SEQ, d), jnp.bfloat16)
-    k = jax.random.normal(ks[1], (b, h, SEQ, d), jnp.float32)
-    v = jax.random.normal(ks[2], (b, h, SEQ, d), jnp.float32)
     fullint = pipeline == "fullint"
     if fullint:
         # FULL-INTEGER pipeline (exp36 winner at FULL d=256: 211.2 TF/s,
         # rel 0.033 < the 0.05 gate — BOTH MXU dots int8×int8 at 2× the
         # bf16 rate): per-token symmetric K (zero-point-free scores) +
         # CHANNEL V (scales fold out of the PV dot), quantize_q=True.
-        kq = quantize(k, QuantConfig(
+        kcfg = QuantConfig(
             bits=bits, granularity=QuantGranularity.ROW,
             strategy=QuantStrategy.SYMMETRIC,
-        ))
+        )
     elif pipeline == "packed":
         # PACKED-LAYOUT d=64 public API (round 5, exp40): head pairs
         # lane-packed across layers; CHANNEL K/V (the folded-scale
         # contract).  Packing happens ONCE at build — the layout a
         # packed-mode model carries between layers for free
         # (models/transformer._split_heads_packed).
-        kq = quantize(k, QuantConfig(
+        kcfg = QuantConfig(
             bits=bits, granularity=QuantGranularity.CHANNEL,
             strategy=QuantStrategy.SYMMETRIC,
-        ))
+        )
     else:
-        kq = quantize(k, kv_config(bits, "k"))
+        kcfg = kv_config(bits, "k")
     if pipeline == "packed":
-        vq = quantize(v, QuantConfig(
+        vcfg = QuantConfig(
             bits=8 if bits_v is None else bits_v,
             granularity=QuantGranularity.CHANNEL,
             strategy=QuantStrategy.SYMMETRIC,
-        ))
+        )
     else:
-        vq = quantize(v, kv_config(bits if bits_v is None else bits_v, "v"))
+        vcfg = kv_config(bits if bits_v is None else bits_v, "v")
+
+    # ONE jitted build: eager random+quantize ops are ~25 dispatches per
+    # build and each dispatch costs 0.5+ s in congestion spells.
+    def _gen(key):
+        ks = jax.random.split(key, 3)
+        q = jax.random.normal(ks[0], (b, h, SEQ, d), jnp.bfloat16)
+        k = jax.random.normal(ks[1], (b, h, SEQ, d), jnp.float32)
+        v = jax.random.normal(ks[2], (b, h, SEQ, d), jnp.float32)
+        return q, k, v, quantize(k, kcfg), quantize(v, vcfg)
+
+    q, k, v, kq, vq = jax.jit(_gen)(jax.random.PRNGKey(0))
 
     # Blocks: measured optima per pipeline (exp36/exp39/exp40 promotion
     # matrices, docs/perf_notes.md round 5); int4 keeps the quantized
@@ -337,10 +373,8 @@ def run_config(
         jnp.linalg.norm(diff) / jnp.linalg.norm(o_fp.astype(jnp.float32))
     )
 
-    t1 = min(measure(f1, q1, iters=10, warmup=2, trains=3)
-             for _ in range(2))
-    t2 = min(measure(f2, q2, iters=10, warmup=2, trains=3)
-             for _ in range(2))
+    t1 = _slope_min(f1, q1)
+    t2 = _slope_min(f2, q2)
     flops_per_b = attention_flops(SEQ, SEQ, d, num_heads=h, batch=1) / (
         2 if causal else 1
     )
@@ -398,19 +432,24 @@ def run_fwd_bwd_config(d: int, h: int, chip, causal: bool = False) -> dict:
     mask = CAUSAL if causal else FULL
 
     def build(b):
-        ks = jax.random.split(jax.random.PRNGKey(0), 4)
-        q = jax.random.normal(ks[0], (b, h, SEQ, d), jnp.bfloat16)
-        k = jax.random.normal(ks[1], (b, h, SEQ, d), jnp.float32)
-        v = jax.random.normal(ks[2], (b, h, SEQ, d), jnp.float32)
-        do = jax.random.normal(ks[3], (b, h, SEQ, d), jnp.bfloat16)
-        kq = quantize(k, QuantConfig(
-            bits=8, granularity=QuantGranularity.ROW,
-            strategy=QuantStrategy.SYMMETRIC,
-        ))
-        vq = quantize(v, QuantConfig(
-            bits=8, granularity=QuantGranularity.CHANNEL,
-            strategy=QuantStrategy.SYMMETRIC,
-        ))
+        def _gen(key):
+            ks = jax.random.split(key, 4)
+            q = jax.random.normal(ks[0], (b, h, SEQ, d), jnp.bfloat16)
+            k = jax.random.normal(ks[1], (b, h, SEQ, d), jnp.float32)
+            v = jax.random.normal(ks[2], (b, h, SEQ, d), jnp.float32)
+            do = jax.random.normal(ks[3], (b, h, SEQ, d), jnp.bfloat16)
+            kq = quantize(k, QuantConfig(
+                bits=8, granularity=QuantGranularity.ROW,
+                strategy=QuantStrategy.SYMMETRIC,
+            ))
+            vq = quantize(v, QuantConfig(
+                bits=8, granularity=QuantGranularity.CHANNEL,
+                strategy=QuantStrategy.SYMMETRIC,
+            ))
+            return q, do, kq, vq
+
+        # One jitted build (eager dispatch costs dominate in congestion).
+        q, do, kq, vq = jax.jit(_gen)(jax.random.PRNGKey(0))
         import dataclasses as _dc
 
         def loss(q, ks_, vs_, kq, vq, do):
@@ -440,8 +479,8 @@ def run_fwd_bwd_config(d: int, h: int, chip, causal: bool = False) -> dict:
     b1, b2 = 4, 12
     f1, q1 = build(b1)
     f2, q2 = build(b2)
-    t1 = min(measure(f1, q1, iters=8, warmup=2, trains=3) for _ in range(2))
-    t2 = min(measure(f2, q2, iters=8, warmup=2, trains=3) for _ in range(2))
+    t1 = _slope_min(f1, q1, iters=8)
+    t2 = _slope_min(f2, q2, iters=8)
     sec_per_b = max((t2 - t1) / (b2 - b1), 1e-9)
     flops_per_b = (
         2.0 * attention_ginstrs(
@@ -609,7 +648,8 @@ def emit_headline(chip):
     r_fb = _results.get("fwd_bwd_d256_int8_full")
     graded = [r for r in (r64, r128, r256) if r]
     mean_tflops = (
-        sum(r["tflops"] for r in graded) / len(graded) if graded else 0.0
+        sum(r["tflops"] for r in graded) / len(graded)
+        if graded else (r_fb["tflops"] if r_fb else 0.0)
     )
     vs_terms = [r["util"] / REFERENCE_ALU_FRACTION for r in graded]
     if r_fb:
@@ -664,6 +704,7 @@ def main():
 
     enable_persistent_cache()  # warm compiles across processes/rounds
     chip = detect_chip()
+    _calibrate_measurement()
 
     def _bail(signum, frame):
         raise _Deadline(signum)
@@ -705,7 +746,7 @@ def main():
                 pipeline="folded", b2=16),
         )
         _arm(
-            "fwd_d64_int8_full", 75,
+            "fwd_d64_int8_full", 60,
             lambda: run_config(
                 64, 8, 8, chip, gate_key="int8", causal=False,
                 pipeline="packed", b2=16),
