@@ -748,14 +748,17 @@ def _hpack_kernel(
         alpha = jnp.exp2(m_prev - m_next)
         m1w = pltpu.repeat(m_next[:, :d], block_kv // d, axis=1)
         m2w = pltpu.repeat(m_next[:, d:], block_kv // d, axis=1)
-        p = jnp.exp2(jnp.concatenate([s1 - m1w, s2 - m2w], axis=1))
+        # SPLIT PV (round 5, exp43: +3.5%): the PV contraction is bkv,
+        # not d, so per-half dots contract the FULL depth — same MXU
+        # time as one packed dot, but no block-diagonal V build and no
+        # P concat (exp2 runs per half straight into its dot).
+        p1 = jnp.exp2(s1 - m1w)
+        p2 = jnp.exp2(s2 - m2w)
         l_scr[...] = alpha * l_scr[...] + jnp.concatenate([
             jnp.broadcast_to(
-                jnp.sum(p[:, :block_kv], axis=1, keepdims=True),
-                (block_q, d)),
+                jnp.sum(p1, axis=1, keepdims=True), (block_q, d)),
             jnp.broadcast_to(
-                jnp.sum(p[:, block_kv:], axis=1, keepdims=True),
-                (block_q, d)),
+                jnp.sum(p2, axis=1, keepdims=True), (block_q, d)),
         ], axis=1)
         m_scr[...] = m_next
         v1 = v1_ref[0, 0, sl, :]
@@ -767,15 +770,17 @@ def _hpack_kernel(
 
             v1 = unpack_int4_tile_int8(v1, d)
             v2 = unpack_int4_tile_int8(v2, d)
-        v_bd = jnp.concatenate([
-            jnp.concatenate([v1, z8], axis=1),
-            jnp.concatenate([z8, v2], axis=1),
-        ], axis=0)
-        pv = jax.lax.dot_general(
-            p.astype(jnp.bfloat16), v_bd, (((1,), (0,)), ((), ())),
+        pv1 = jax.lax.dot_general(
+            p1.astype(jnp.bfloat16), v1, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        acc_scr[...] = acc_scr[...] * alpha + pv
+        pv2 = jax.lax.dot_general(
+            p2.astype(jnp.bfloat16), v2, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[...] = acc_scr[...] * alpha + jnp.concatenate(
+            [pv1, pv2], axis=1
+        )
 
     if causal:
         fully_live = (j + 1) * bkvm <= i * block_q + off + 1
