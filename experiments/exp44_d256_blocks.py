@@ -104,10 +104,19 @@ def main():
     b512 = BlockSizes(block_q=512, block_kv=512, block_kv_major=2048)
     b1024 = BlockSizes(block_q=1024, block_kv=512, block_kv_major=2048)
     fl = 4 * H * S * S * D
+    import os
     for name, blk in (("fwd fullint bq512 (ctl)", b512),
                       ("fwd fullint bq1024", b1024)):
-        sec = slope(fwd_arm(blk), 16, 10)
-        print(f"{name}: {fl/sec/1e12:6.1f} TF/s", flush=True)
+        if os.environ.get("MFA_EXP44_SKIP_FWD"):
+            break
+        try:
+            sec = slope(fwd_arm(blk), 16, 10)
+            print(f"{name}: {fl/sec/1e12:6.1f} TF/s", flush=True)
+        except Exception as e:  # noqa: BLE001 — arm-tolerant sweep
+            # Measured 2026-08-21: bq1024 under fullint VMEM-OOMs
+            # (scoped 16.36M > 16M) — infeasible, bq512 stands.
+            print(f"{name}: FAILED ({type(e).__name__}: "
+                  f"{str(e).splitlines()[0][:100]})", flush=True)
 
     def bwd_blocks(qdq):
         return BlockSizes(
@@ -120,8 +129,12 @@ def main():
                                   phase="fwd_bwd")
     for name, blk in (("fwd+bwd dq-q512 (ctl)", bwd_blocks(512)),
                       ("fwd+bwd dq-q1024", bwd_blocks(1024))):
-        sec = slope(bwd_arm(blk), 12, 8)
-        print(f"{name}: {flb/sec/1e12:6.1f} TF/s", flush=True)
+        try:
+            sec = slope(bwd_arm(blk), 12, 8)
+            print(f"{name}: {flb/sec/1e12:6.1f} TF/s", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: FAILED ({type(e).__name__}: "
+                  f"{str(e).splitlines()[0][:100]})", flush=True)
 
 
 if __name__ == "__main__":

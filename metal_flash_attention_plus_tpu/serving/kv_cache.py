@@ -17,7 +17,9 @@ capacity per HBM byte; zero points add nothing for zero-mean K/V.
 Quantization happens at WRITE time (absmax/127 per token vector).
 
 INT4 mode (``bits=4``): K and V of the SAME token share one byte — K in
-the low nibble, V in the high nibble ([L, Hkv, NP+1, page_tokens, D]
+the low nibble (+8 offset), V as the SIGNED high nibble (value << 4; the
+split layout of exp41 — arithmetic ``>> 4`` unpacks V in one VPU op)
+([L, Hkv, NP+1, page_tokens, D]
 int8, HALF the int8 pool's bytes and a QUARTER of bf16's — the
 reference's "INT4 = 12.5% memory" headline,
 ``/root/reference/README.md:291-296``; dequantizing int4 load parity:
@@ -123,10 +125,16 @@ def _pack_tokens_kv4(k: jnp.ndarray, v: jnp.ndarray):
     """Symmetric per-token int4 K/V packed into ONE byte plane.
 
     k, v: [..., D] floats → (byte [..., D] int8 with K+8 in the low nibble
-    and V+8 in the high nibble, k_scale [..., 1], v_scale [..., 1]).
-    Scale = absmax/7 (the int4 analog of the int8 absmax/127; the +8
-    offset mirrors the reference's nibble convention,
-    ``GEMMQuantization.swift`` int4 pack)."""
+    and V as the SIGNED high nibble (value << 4), k_scale [..., 1],
+    v_scale [..., 1]).  Scale = absmax/7 (the int4 analog of the int8
+    absmax/127; the low-nibble +8 offset mirrors the reference's nibble
+    convention, ``GEMMQuantization.swift`` int4 pack).
+
+    The SPLIT high-nibble encoding (exp41) exists for the decode kernel:
+    an arithmetic ``byte >> 4`` on the sign-extended byte recovers the
+    signed V payload in ONE VPU op (no mask, no offset), so only the K
+    half pays the mask+sub — measured 1.14× over the symmetric
+    offset-offset layout in the decode-shaped unpack microbench."""
 
     def q4(x):
         absmax = jnp.max(
@@ -138,16 +146,17 @@ def _pack_tokens_kv4(k: jnp.ndarray, v: jnp.ndarray):
 
     kq, ks = q4(k)
     vq, vs = q4(v)
-    byte = ((kq + 8) | ((vq + 8) << 4)).astype(jnp.int8)
+    byte = ((kq + 8) | (vq << 4)).astype(jnp.int8)
     return byte, ks, vs
 
 
 def unpack_kv4(byte: jnp.ndarray):
     """Inverse of the :func:`_pack_tokens_kv4` byte plane → (k4, v4) int32
-    in [-8, 7].  Works on any shape; sign-extension of the int8 bytes is
-    masked off (&0xF) exactly like ``ops.quantized_gemm.unpack_int4_tile``."""
+    in [-8, 7].  K: sign-extension of the int8 bytes is masked off (&0xF)
+    exactly like ``ops.quantized_gemm.unpack_int4_tile``; V: one
+    arithmetic shift on the sign-extended byte (split layout, exp41)."""
     wide = byte.astype(jnp.int32)
-    return (wide & 0xF) - 8, ((wide >> 4) & 0xF) - 8
+    return (wide & 0xF) - 8, wide >> 4
 
 
 def write_prompt(
