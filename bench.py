@@ -424,9 +424,11 @@ def run_fwd_bwd_config(d: int, h: int, chip, causal: bool = False) -> dict:
     )
 
     # exp40 block sweep: dkv q-block 1024 (major 2048) +4% over 512.
+    # exp44: dq q-block 1024 +1.6% (194.9 vs 191.8 within-run); fwd
+    # bq1024 under fullint VMEM-OOMs (16.36M > 16M) — bq512 stands.
     blocks = BlockSizes(
         block_q=512, block_kv=512, block_kv_major=2048,
-        block_q_dq=512, block_kv_dq=512, block_kv_dq_major=2048,
+        block_q_dq=1024, block_kv_dq=512, block_kv_dq_major=2048,
         block_q_dkv=1024, block_kv_dkv=512, block_q_dkv_major=2048,
     )
     mask = CAUSAL if causal else FULL
